@@ -1,0 +1,110 @@
+"""Cross-engine-deterministic expression builders.
+
+Floating-point aggregation is order-dependent, and Spark's shuffle order is
+nondeterministic — so ``SUM(double)`` is not reproducible even across two
+Spark runs, let alone against a DuckDB oracle. Every aggregate this engine
+exposes therefore routes through *exact decimal arithmetic*:
+
+    sum:    SUM(CAST(x AS DECIMAL(18,4)))            -- exact, order-free
+    avg:    CAST(sum_dec AS DOUBLE) / COUNT(*)       -- one IEEE division
+    stddev: sqrt((s2 - s1*s1/n) / (n-1))             -- from exact s1, s2
+
+The same construction is used in the DuckDB oracle SQL, making results
+bitwise identical. This also fixes the reference's own reproducibility bug:
+its silver aggregates use ``first``/``last`` with no ordering
+(financial_dl_etl.py:56-57), which Spark documents as nondeterministic — we
+use ``min_by``/``max_by`` keyed on a unique ordering column instead.
+
+At scale these decimal aggregates still run as partial+final hash aggregates
+with map-side combine (decimal sums are associative), so the plan shape is
+identical to a double sum — no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dec(c: Column | str, typ: str = DEC) -> Column:
+    """Deterministically quantize a double column to exact decimal."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(typ)
+
+
+def exact_sum(c: Column | str, typ: str = DEC) -> Column:
+    """Order-insensitive, cross-engine-exact sum of a double column."""
+    return F.sum(dec(c, typ)).cast("double")
+
+
+def exact_avg(c: Column | str, typ: str = DEC) -> Column:
+    """Exact-sum / count. DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)``."""
+    return F.sum(dec(c, typ)).cast("double") / F.count(F.lit(1))
+
+
+def exact_std(c: Column | str, q_scale: int = 4) -> Column:
+    """Sample stddev, bitwise-reproducible across engines; NULL for n<2.
+
+    The naive ``sqrt((s2 - s1²/n)/(n-1))`` over doubles is poisoned by
+    catastrophic cancellation: a single-ulp difference in the decimal→double
+    conversion of ``s2`` (DuckDB converts int128/10^scale with two
+    roundings) blows up through the subtraction. Instead we quantize x to an
+    integer ``q = round(x·10^q_scale)`` and compute the variance numerator
+    ``n·Σq² − (Σq)²`` entirely in exact decimal integer arithmetic; only
+    that one exact integer is converted to double (a single correctly
+    rounded conversion in both engines), then::
+
+        stddev = sqrt(num / (n·(n−1))) / 10^q_scale
+
+    Width budget (documented limits): |q| < 10^19, Σq² < 10^25 — i.e. group
+    sizes up to ~10^6 rows of values up to ~10^9·10^-q_scale. For larger
+    groups raise the widths (DuckDB caps decimal multiply at width 38, so
+    operand widths must be rebalanced, not just increased).
+
+    DuckDB twin: :func:`exact_std_sql`.
+    """
+    scale_f = float(10**q_scale)
+    qd = (dec(c, f"decimal(18,{q_scale})") * (10**q_scale)).cast("decimal(19,0)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(qd).cast("decimal(19,0)")
+    s2 = F.sum(qd * qd).cast("decimal(25,0)")
+    num = n.cast("decimal(10,0)") * s2 - s1 * s1
+    return F.when(
+        n > 1, F.sqrt(num.cast("double") / (n * (n - 1))) / scale_f
+    ).otherwise(F.lit(None))
+
+
+def exact_std_sql(expr: str, q_scale: int = 4) -> str:
+    """DuckDB-side twin of :func:`exact_std` (string-template form)."""
+    p = 10**q_scale
+    qd = f"CAST(CAST({expr} AS DECIMAL(18,{q_scale})) * {p} AS DECIMAL(19,0))"
+    # NB: the numerator exceeds 2^53, and DuckDB's direct int128→double cast
+    # rounds twice (upper·2^64 + lower); routing through VARCHAR gets the
+    # correctly rounded strtod conversion, matching Java's BigInteger path.
+    return (
+        "CASE WHEN COUNT(*) > 1 THEN sqrt(CAST(CAST("
+        f"CAST(COUNT(*) AS DECIMAL(10,0)) * CAST(SUM({qd} * {qd}) AS DECIMAL(25,0))"
+        f" - CAST(SUM({qd}) AS DECIMAL(19,0)) * CAST(SUM({qd}) AS DECIMAL(19,0))"
+        f" AS VARCHAR) AS DOUBLE) / (COUNT(*) * (COUNT(*) - 1))) / {p}.0 ELSE NULL END"
+    )
+
+
+def md5_long(c: Column | str, salt: str | None = None) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+
+    Used by MinHash/SimHash so signatures are identical in Spark and the
+    DuckDB oracle. DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    if salt is not None:
+        col = F.concat(F.lit(salt), F.lit(":"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, salt: str | None = None) -> str:
+    """DuckDB-side twin of :func:`md5_long` (string-template form)."""
+    inner = f"'{salt}:' || {expr}" if salt is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"

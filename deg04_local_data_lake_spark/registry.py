@@ -1,0 +1,64 @@
+"""Query registry feeding ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 (and the LLM-data extensions)
+registers, at import time, a callable ``(spark, sf_dir) -> DataFrame`` plus —
+whenever the semantics are SQL-expressible — an equivalent DuckDB oracle SQL
+string. The driver hash-compares the two at sf0.01; ``tests/test_parity.py``
+runs the identical comparison locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB SQL over the testdata views."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import deg04_local_data_lake_spark.operators.aggregates  # noqa: F401
+    import deg04_local_data_lake_spark.operators.asof  # noqa: F401
+    import deg04_local_data_lake_spark.operators.cdc  # noqa: F401
+    import deg04_local_data_lake_spark.operators.dedup  # noqa: F401
+    import deg04_local_data_lake_spark.operators.multimodal  # noqa: F401
+    import deg04_local_data_lake_spark.operators.relational  # noqa: F401
+    import deg04_local_data_lake_spark.operators.similarity  # noqa: F401
+    import deg04_local_data_lake_spark.operators.text  # noqa: F401
+    import deg04_local_data_lake_spark.operators.windows  # noqa: F401
+    import deg04_local_data_lake_spark.pipelines.medallion  # noqa: F401
+    import deg04_local_data_lake_spark.streaming.ingest  # noqa: F401
+
+    _LOADED = True
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

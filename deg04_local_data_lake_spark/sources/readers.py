@@ -1,0 +1,71 @@
+"""Scan operators (SURVEY.md §2.1, S1-S7).
+
+All readers return lazy DataFrames so Catalyst can push filters/projections
+into the file scan (check ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+At 100 TB the parquet reader relies on partition pruning + min/max row-group
+skipping; nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """CSV scan with inferred (S1: custom/delta_table_write.py:53) or
+    explicit (S2: scratchpads/financial_dl_etl.py:19-30) schema.
+
+    Prefer an explicit schema at scale: inference triggers an extra full
+    pass over the input.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_lake_table(
+    spark: SparkSession, path_or_name: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Lake-table scan: by path for delta/parquet (S3:
+    custom/delta_table_read.py:31), by catalog name for managed/Iceberg
+    tables (S4/S5: financial_dl_etl.py:46, custom/iceberg_demo_read.py:33).
+    """
+    if fmt == "catalog":
+        return spark.table(path_or_name)
+    return spark.read.format(fmt).load(path_or_name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]

@@ -1,0 +1,49 @@
+"""Sink operators (SURVEY.md §2.2, K1-K6).
+
+Parquet is the always-available baseline; ``delta`` / ``iceberg`` are format
+flags used when the session was built with the matching extension. Writes
+are partitioned (never ``coalesce(1)``): at 100 TB output parallelism is the
+write throughput, and small-file compaction is a table-service concern
+(OPTIMIZE / rewrite_data_files), not an ingest-time ``coalesce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_lake_table(
+    df: DataFrame,
+    path_or_name: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    overwrite_schema: bool = False,
+    as_table: bool = False,
+) -> None:
+    """Unified sink covering the reference's write surface:
+
+    - K1 delta/parquet overwrite by path (custom/delta_table_write.py:72-75)
+    - K2 ``mergeSchema`` evolution     (financial_dl_etl.py:66,81,99)
+    - K3 ``overwriteSchema``           (scratchpads/delta_datalake.py:74)
+    - K5 saveAsTable                   (scratchpads/iceberg_data_lake.py:65)
+    - K6 partitioned write             (financial_dl_bronze.py:26)
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    if overwrite_schema:
+        writer = writer.option("overwriteSchema", "true")
+    if as_table:
+        writer.saveAsTable(path_or_name)
+    else:
+        writer.save(path_or_name)
+
+
+def write_iceberg_v2(df: DataFrame, table: str) -> None:
+    """K4 DataFrameWriterV2 create-or-replace
+    (custom/iceberg_demo_write.py:74-75)."""
+    df.writeTo(table).createOrReplace()
