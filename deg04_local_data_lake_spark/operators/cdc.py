@@ -1,1 +1,151 @@
-"""(stub — filled in this round)"""
+"""CDC upsert — the reference's one composite algorithm
+(SURVEY.md §2.5 J1-J3, scratchpads/increamental_dataload.py:49-85).
+
+The reference detects changed records (inner equi-join + any-column-differs
+filter), new records (left_outer + isNull — idiomatically an anti-join),
+applies updates (left_outer + per-column ``coalesce``), and unions. We
+expose the same semantics as one reusable operator, ``cdc_upsert``, plus
+the individual detection joins as their own queries.
+
+Scale notes: the incremental batch is normally ≪ base, so Spark broadcasts
+it and the base table never shuffles — verify ``BroadcastHashJoin`` in the
+plan. With a Delta-enabled session the whole operator collapses into a
+single ``MERGE INTO`` (transactional, file-skipping on the join key); the
+join formulation here is the format-agnostic fallback and the semantic
+spec. The reference's ``coalesce(1)`` mid-pipeline
+(increamental_dataload.py:73) is deliberately NOT reproduced — it
+serializes the write at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+# Derived employees-analog fixture (FIXTURES.md F4): base = customer;
+# incremental = updates to every 10th customer + new ids from supplier.
+_BASE_SQL = """
+SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+FROM customer
+"""
+_INC_SQL = """
+SELECT c_custkey AS id, c_name AS name, c_acctbal + 100.0 AS acctbal,
+       'UPDATED' AS segment
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT 1000000 + s_suppkey, s_name, s_acctbal, 'NEW' FROM supplier
+"""
+
+
+def _base_inc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    base = customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    inc = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") + 100.0).alias("acctbal"),
+        F.lit("UPDATED").alias("segment"),
+    ).unionByName(
+        supplier.select(
+            (F.lit(1000000) + F.col("s_suppkey")).alias("id"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.lit("NEW").alias("segment"),
+        )
+    )
+    return base, inc
+
+
+def changed_records(base: DataFrame, inc: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """J1 (increamental_dataload.py:49-53): inner equi-join + any-column-
+    differs residual filter. Null-safe comparison (``eqNullSafe``) — the
+    reference's ``!=`` silently drops rows where either side is NULL."""
+    i = inc.select(F.col(key).alias("inc_key"), *[F.col(c).alias(f"inc_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        diff = ~F.col(c).eqNullSafe(F.col(f"inc_{c}"))
+        cond = diff if cond is None else (cond | diff)
+    return (
+        base.join(F.broadcast(i), base[key] == i.inc_key, "inner")
+        .filter(cond)
+        .select(key, *[c for c in cols], *[f"inc_{c}" for c in cols])
+    )
+
+
+def new_records(base: DataFrame, inc: DataFrame, key: str) -> DataFrame:
+    """J2: the reference's left_outer + isNull (increamental_dataload.py:60)
+    expressed as the idiomatic ``left_anti`` join — same semantics, no
+    NULL-column materialization, and Spark can broadcast the base's key
+    column only."""
+    return inc.join(base.select(key), on=key, how="left_anti")
+
+
+def cdc_upsert(base: DataFrame, inc: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """J3 + U1 (increamental_dataload.py:69-85): apply updates via
+    left-join + per-column coalesce, then union the new records by name."""
+    i = inc.select(F.col(key).alias("inc_key"), *[F.col(c).alias(f"inc_{c}") for c in cols])
+    updated = base.join(F.broadcast(i), base[key] == i.inc_key, "left").select(
+        base[key],
+        *[F.coalesce(F.col(f"inc_{c}"), base[c]).alias(c) for c in cols],
+    )
+    return updated.unionByName(new_records(base, inc, key))
+
+
+@register(
+    "cdc_changed_records",
+    oracle=f"""
+WITH base AS ({_BASE_SQL}), inc AS ({_INC_SQL})
+SELECT base.id, base.name, base.acctbal, base.segment,
+       inc.name AS inc_name, inc.acctbal AS inc_acctbal, inc.segment AS inc_segment
+FROM base JOIN inc ON base.id = inc.id
+WHERE base.name IS DISTINCT FROM inc.name
+   OR base.acctbal IS DISTINCT FROM inc.acctbal
+   OR base.segment IS DISTINCT FROM inc.segment
+""",
+)
+def cdc_changed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, inc = _base_inc(spark, sf_dir)
+    return changed_records(base, inc, "id", ["name", "acctbal", "segment"])
+
+
+@register(
+    "cdc_new_records",
+    oracle=f"""
+WITH base AS ({_BASE_SQL}), inc AS ({_INC_SQL})
+SELECT inc.* FROM inc
+WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.id = inc.id)
+""",
+)
+def cdc_new_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, inc = _base_inc(spark, sf_dir)
+    return new_records(base, inc, "id")
+
+
+@register(
+    "cdc_upsert_customer",
+    oracle=f"""
+WITH base AS ({_BASE_SQL}), inc AS ({_INC_SQL}),
+updated AS (
+  SELECT base.id,
+         coalesce(inc.name, base.name) AS name,
+         coalesce(inc.acctbal, base.acctbal) AS acctbal,
+         coalesce(inc.segment, base.segment) AS segment
+  FROM base LEFT JOIN inc ON base.id = inc.id
+)
+SELECT * FROM updated
+UNION ALL
+SELECT inc.* FROM inc WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.id = inc.id)
+""",
+)
+def cdc_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, inc = _base_inc(spark, sf_dir)
+    return cdc_upsert(base, inc, "id", ["name", "acctbal", "segment"])

@@ -1,1 +1,345 @@
-"""(stub — filled in this round)"""
+"""Deduplication operators for LLM training-data pipelines
+(north star, BASELINE.json; SURVEY.md §7 P3).
+
+Five escalating strategies over ``documents`` / ``embeddings``:
+
+- exact       — hash-groupBy canonicalization (one shuffle on the hash)
+- n-gram Jaccard — exact pairwise set similarity via shingle join
+- MinHash     — per-doc signatures via higher-order functions (NO shuffle,
+                no explode: ``array_min(transform(shingles, hash))`` per
+                hash function, computed in one codegen stage per row)
+- MinHash LSH — band the signatures, join on band to get candidate pairs
+                (the 100 TB path: shuffle volume ∝ candidates, not pairs²)
+- SimHash     — 32-bit sign-sum fingerprint, again per-row higher-order
+                functions, zero shuffle
+
+Portability: every hash is the 60-bit md5 prefix (functions/portable.py
+``md5_long``) so Spark and the DuckDB oracle produce identical signatures.
+
+Scale notes: brute-force ``ngram_jaccard_pairs`` is O(docs·shingles) join
+fan-out — correct as a *verify* step on LSH candidates, never as the
+全-corpus pass; that is exactly how ``dedup_minhash_pairs`` composes
+(band-join candidates → exact verify). The per-row signature builders cost
+16 md5 calls per shingle but zero network; at 1000 executors they scale
+linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import md5_long_sql
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+SHINGLE_K = 3  # 3-word shingles
+
+
+# ---------------------------------------------------------------- exact
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical id = min doc_id per content hash. Hashing
+    first keeps shuffle rows narrow (32-byte key instead of full text)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    canonical = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+# ------------------------------------------------------- shingle helpers
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles as an array column — built per-row with
+    higher-order functions (no explode, no shuffle)."""
+    w = F.filter(F.split(text, " "), lambda x: x != "")
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+_SHINGLES_SQL = """
+SELECT doc_id, list_distinct(sh) AS shingles FROM (
+  SELECT doc_id, list(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) u
+  GROUP BY doc_id
+)
+"""
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, inter,
+       inter / (n_a + n_b - inter) AS jaccard
+FROM pairs
+WHERE inter / (n_a + n_b - inter) >= 0.08
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle equi-join.
+
+    The join key is the shingle itself, so only docs sharing a shingle meet
+    — but fan-out is quadratic in docs-per-shingle. Use as the verify stage
+    on LSH candidates at scale (see dedup_minhash_pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return pairs.select("doc_a", "doc_b", "inter", jac.alias("jaccard")).filter(
+        jac >= 0.08
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """One min-hash per salt k: ``array_min(transform(shingles, md5_k))``.
+    Pure per-row expressions → zero shuffle, fully codegen'd."""
+    def hasher(k: int):
+        # factory, not a default-arg lambda: pyspark treats a second lambda
+        # param as the array index and would rebind k to a Column
+        def h(s):
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 15), 16, 10
+            ).cast("long")
+
+        return h
+
+    return [
+        F.array_min(F.transform(shingles, hasher(k))).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+
+
+def _minhash_sig_sql() -> str:
+    cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> {md5_long_sql('s', str(k))})) AS h{k}"
+        for k in range(N_HASHES)
+    )
+    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh"
+
+
+@register("dedup_minhash_signatures", oracle=_minhash_sig_sql())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    return sh.select("doc_id", *minhash_signature(F.col("shingles")))
+
+
+_BANDS_SQL = f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN md5(CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR) || ',' || CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR))
+           WHEN 1 THEN md5(CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR) || ',' || CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR))
+           WHEN 2 THEN md5(CAST(h8 AS VARCHAR) || ',' || CAST(h9 AS VARCHAR) || ',' || CAST(h10 AS VARCHAR) || ',' || CAST(h11 AS VARCHAR))
+           ELSE md5(CAST(h12 AS VARCHAR) || ',' || CAST(h13 AS VARCHAR) || ',' || CAST(h14 AS VARCHAR) || ',' || CAST(h15 AS VARCHAR))
+         END AS band_key
+  FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b
+)
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+{_BANDS_SQL}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: hash each 4-row band of the signature,
+    join documents sharing any band bucket. This is the scale path — the
+    only shuffle is on (band, band_key), and its volume is the number of
+    *colliding* docs, not all pairs."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    band_exprs = []
+    for b in range(N_HASHES // BAND_SIZE):
+        parts = []
+        for k in range(b * BAND_SIZE, (b + 1) * BAND_SIZE):
+            parts.append(F.col(f"h{k}").cast("string"))
+            parts.append(F.lit(","))
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*parts[:-1])).alias("band_key")
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+  FROM documents
+),
+h AS (
+  SELECT doc_id, len(wd) AS n,
+         list_transform(wd, x -> {md5_long_sql('x')}) AS hashes
+  FROM w
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32),
+         j -> CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) > n
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+FROM h
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct words: bit j is set when more than half
+    the word hashes have bit j set. Nested higher-order functions — the
+    whole fingerprint is one codegen'd expression per row, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wd = F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    hashes = F.transform(
+        wd,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
+    d = docs.select("doc_id", F.size(wd).alias("n"), hashes.alias("hashes"))
+
+    def bit(j: int):
+        # single-arg lambda: pyspark treats a second lambda param as the
+        # array index, so close over j via this factory instead
+        def has_bit(h):
+            return F.shiftright(h, j).bitwiseAND(1) == 1
+
+        return F.when(
+            2 * F.size(F.filter(F.col("hashes"), has_bit)) > F.col("n"),
+            F.lit(2**j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    simhash = bit(0)
+    for j in range(1, 32):
+        simhash = simhash + bit(j)
+    return d.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# ------------------------------------------------- embedding near-dup
+
+@register(
+    "dedup_embedding_pairs",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.qe, b.qe) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.qe, b.qe) / (a.nrm * b.nrm) >= 0.3
+""",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``label`` (the
+    pre-clustering key): cosine ≥ τ within a block (τ=0.3 here: the synthetic embeddings have no true near-dups — max pairwise cosine ~0.51 — so the threshold is set to exercise the operator).
+
+    Determinism: embeddings are quantized to integer micro-units, so dot
+    products are exact integers (≤2^53 — exact in DuckDB's double
+    accumulator too) and the cosine is a single identical IEEE division.
+    At 100 TB the label-block join is the generalization of LSH bucketing —
+    shuffle on block key, quadratic only within blocks.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    dot = lambda u, v: F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    q = emb.select("vec_id", "label", qe.alias("qe"))
+    n = q.select(
+        "vec_id", "label", "qe", F.sqrt(dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = (
+        dot(F.col("a.qe"), F.col("b.qe")).cast("double")
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

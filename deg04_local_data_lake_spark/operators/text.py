@@ -1,1 +1,201 @@
-"""(stub — filled in this round)"""
+"""Text-analysis operators for LLM training-data pipelines
+(north star, BASELINE.json; not present in the reference — SURVEY.md §7 P3).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting over the
+``documents`` table.
+
+All four are *pure per-row expression pipelines* — no shuffle, no UDFs, no
+Python: at 100 TB they run at parquet scan speed inside whole-stage codegen,
+and the only cost is the regex engine. Ratios are computed as int/int
+divisions (exact inputs → identical IEEE doubles in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+STOPWORDS = {
+    "en": ["the", "a", "is", "of", "and", "to", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "des", "et", "est", "un", "une", "dans", "pour"],
+    "es": ["el", "los", "de", "que", "y", "en", "un", "una", "por", "con"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+# Kept to syntax with identical semantics in Java regex and RE2.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (Spark split keeps trailing
+    empties with limit -1; DuckDB string_split keeps them too — filtering
+    makes both agree)."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def _stop_hits(words: Column, lang: str) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+
+
+def _words_sql(expr: str = "text") -> str:
+    return f"list_filter(string_split({expr}, ' '), w -> w <> '')"
+
+
+def _stop_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(w, x -> list_contains([{lst}], x)))"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_words_sql()} AS w,
+         length(replace(text, ' ', '')) AS n_alpha
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_uniq,
+         n_alpha,
+         {_stop_hits_sql("en")} AS stop_hits
+  FROM t
+)
+SELECT doc_id, lang, n_words, n_uniq,
+       n_alpha / n_words AS avg_word_len,
+       n_uniq / n_words AS uniq_ratio,
+       stop_hits / n_words AS stop_ratio,
+       0.4 * least(1.0, n_words / 50.0)
+         + 0.3 * (n_uniq / n_words)
+         + 0.3 * (1 - stop_hits / n_words) AS quality_score
+FROM m
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation, lexical diversity,
+    stopword density — the standard pre-training filter trio."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_alpha"),
+        _stop_hits(w, "en").alias("stop_hits"),
+    )
+    n_words = F.col("n_words")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_uniq",
+        (F.col("n_alpha") / n_words).alias("avg_word_len"),
+        (F.col("n_uniq") / n_words).alias("uniq_ratio"),
+        (F.col("stop_hits") / n_words).alias("stop_ratio"),
+        (
+            0.4 * F.least(F.lit(1.0), n_words / 50.0)
+            + 0.3 * (F.col("n_uniq") / n_words)
+            + 0.3 * (1 - F.col("stop_hits") / n_words)
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_words_sql()}) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}'))
+         / len({_words_sql()}) AS tokens_per_word
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / punctuation) — the cheap
+    proxy for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe / F.size(w)).alias("tokens_per_word"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_words_sql()} AS w FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_stop_hits_sql("en")} AS s_en,
+         {_stop_hits_sql("de")} AS s_de,
+         {_stop_hits_sql("fr")} AS s_fr,
+         {_stop_hits_sql("es")} AS s_es
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_fr, s_es,
+       CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM s
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID with a fixed argmax tiebreak order
+    (en > de > fr > es) so prediction is total and deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    s = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_stop_hits(w, lg).alias(f"s_{lg}") for lg in ("en", "de", "fr", "es")],
+    )
+    return s.select(
+        "*",
+        F.when(
+            F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), F.lit("en")
+        )
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), F.lit("de"))
+        .when(F.col("s_fr") >= F.col("s_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       length(text) AS n_chars,
+       (length(text) // 100) * 100 AS length_bucket
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (whitespace-collapse → lower → md5) — the
+    first-line exact-dedup key for near-identical formatting variants."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+        # integer division on both sides — a double-division + int cast
+        # would round in DuckDB but truncate in Spark
+        F.expr("(length(text) DIV 100) * 100").alias("length_bucket"),
+    )

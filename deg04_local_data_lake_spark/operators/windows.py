@@ -1,1 +1,171 @@
-"""(stub — filled in this round)"""
+"""Window functions / top-k / sessionization (SURVEY.md §2.7).
+
+The reference never imports ``Window`` — but its silver ``first/last``
+semantics are only well-defined through an ordering, and the north-star
+dedup/similarity ops need rank/top-k. These operators supply that surface.
+
+Every window here partitions on a key with bounded group size (customer,
+user, day), so the shuffle is a single hash exchange and state per group is
+small. Sorting happens within partitions only (no global sort). Ordering
+keys always end in a unique tiebreaker column — a window over a non-total
+order is the same nondeterminism bug as the reference's ``first/last``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+
+def top_k_per_group(
+    df: DataFrame, partition: list[str], order: list, k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Generic top-k: ``row_number`` over a total order, filter ≤ k.
+
+    Spark executes this without materializing full sorted groups when k is
+    small (rank filter pushes a per-partition limit); for extreme skew,
+    pre-aggregate a per-partition top-k first (map-side) — not needed at
+    the reference's group sizes.
+    """
+    w = Window.partitionBy(*partition).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+@register(
+    "window_topk_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (orderkey tiebreak → total order)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+@register(
+    "window_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT order_date, revenue,
+       lag(revenue) OVER (ORDER BY order_date) AS prev_revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+         ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(COUNT(*) OVER (
+         ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS ma7_revenue
+FROM daily
+""",
+)
+def window_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + 7-row moving average over the daily revenue series.
+
+    NB: the outer window is unpartitioned — fine here because the *daily*
+    series is tiny (one row per date) after the pre-aggregation; the heavy
+    lifting happened in the partitioned hash-agg. Never run an
+    unpartitioned window over raw fact rows at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy("order_date")
+    wf = w.rowsBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (
+            F.sum(dec("revenue")).over(wf).cast("double")
+            / F.count(F.lit(1)).over(wf).cast("bigint")
+        ).alias("ma7_revenue"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization as a relational window program: a session
+    starts when the gap to the previous event of the same user exceeds
+    ``gap_minutes``; session ids are a running sum of session starts.
+
+    This is the batch twin of the streaming session-window operator
+    (streaming/ingest.py): one shuffle on user, two window passes over the
+    same partitioning (Spark reuses the exchange).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # microsecond-integer timestamps: exact gap arithmetic in both engines
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_ok = (us - F.lag(us).over(w)) <= gap_minutes * 60 * 1_000_000
+    is_new = F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    return events.withColumn("session_seq", F.sum(is_new).over(w).cast("bigint"))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS session_seq
+FROM gaps
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events).select("user_id", "event_id", "session_seq")
+
+
+@register(
+    "events_hourly_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate in batch — the semantic spec for the
+    Structured Streaming twin (streaming/ingest.py ``stream_hourly_counts``
+    runs the same plan over ``readStream`` with a watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

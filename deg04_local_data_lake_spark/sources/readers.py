@@ -63,7 +63,23 @@ def read_lake_table(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md)."""
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and convert
+    with integer division — ``ts DIV 1000`` — to microseconds; float
+    division would lose precision above 2^53 ns. DuckDB truncates
+    nanos→micros the same way, so values stay oracle-identical.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
