@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed twice: a warm-up collect (JIT + parquet footer
+cache) is NOT counted; the timed run is the steady-state number. Total
+``value`` is the sum of per-query timed seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "silver_asset_performance",
+    "silver_market_trend",
+    "gold_monthly_summary",
+    "cdc_upsert_customer",
+    "window_topk_orders",
+    "events_sessionize",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "text_quality",
+    "text_token_stats",
+    "mm_image_features",
+    "asof_purchase_click",
+    "range_join_error_burst",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from deg04_local_data_lake_spark import registry
+    from deg04_local_data_lake_spark.session import get_spark_session
+
+    spark = get_spark_session(app_name="deg04-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query wall-clock (warm, noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

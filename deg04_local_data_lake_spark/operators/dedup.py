@@ -68,7 +68,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-word shingles as an array column — built per-row with
-    higher-order functions (no explode, no shuffle)."""
+    higher-order functions (no explode, no shuffle).
+
+    NOTE: Spark evaluates higher-order lambdas interpreted (CodegenFallback)
+    — measured ~10× slower than the window formulation in
+    :func:`shingle_rows`, which the shingle queries use. This column form
+    remains for shuffle-free contexts (tiny dims, streaming map-side)."""
     w = F.filter(F.split(text, " "), lambda x: x != "")
     n = F.size(w)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -78,6 +83,32 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
         " ", *[F.element_at(w, i + j) for j in range(k)]
     )
     return F.array_distinct(F.transform(idx, shingle))
+
+
+def shingle_rows(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, text) → one row per k-word shingle (multiset, in-order).
+
+    posexplode → window ``lead`` keeps every expression codegen'd; the one
+    shuffle (hash by doc_id for the window) is immediately reused by the
+    downstream per-doc aggregation, so the whole shingle→signature pipeline
+    costs a single exchange of token-sized rows.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(win) for j in range(1, k)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "s")
+    )
 
 
 _SHINGLES_SQL = """
@@ -117,11 +148,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — but fan-out is quadratic in docs-per-shingle. Use as the verify stage
     on LSH candidates at scale (see dedup_minhash_pairs).
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
-    ex = sh.select(
-        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
-    )
+    d = shingle_rows(docs).distinct()
+    ex = d.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -142,39 +173,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- MinHash
 
-def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> list[Column]:
-    """One min-hash per salt k: ``array_min(transform(shingles, md5_k))``.
-    Pure per-row expressions → zero shuffle, fully codegen'd."""
-    def hasher(k: int):
-        # factory, not a default-arg lambda: pyspark treats a second lambda
-        # param as the array index and would rebind k to a Column
-        def h(s):
-            return F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 15), 16, 10
-            ).cast("long")
+# Permutation family hash_k = A[k]·h1 + B[k]·h2 over two independent
+# 48-bit digest halves (h1 = md5 hex 1-12, h2 = hex 17-28). Odd constants
+# < 4096 keep A·h1 + B·h2 < 2^61 — exact int64, no modulus needed. One md5
+# per shingle total; 16 salted md5s cost 16× the hashing (measured 9 s at
+# sf0.1 before this).
+MINHASH_A = [1, 2053, 1361, 3967, 573, 2895, 1719, 3251,
+             845, 2407, 3581, 1129, 2761, 391, 3049, 1843]
+MINHASH_B = [1, 1487, 3643, 2291, 917, 3319, 1571, 2749,
+             405, 3865, 1235, 2593, 673, 3137, 1999, 2835]
 
-        return h
 
-    return [
-        F.array_min(F.transform(shingles, hasher(k))).alias(f"h{k}")
-        for k in range(n_hashes)
-    ]
+def minhash_signatures(sh_rows: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, s) shingle rows → (doc_id, h0..h15) MinHash signatures.
+
+    Plain-column md5 → groupBy(doc_id) with 16 ``min`` aggregates — every
+    expression codegen'd (Spark's higher-order lambdas are CodegenFallback
+    and defeat common-subexpression elimination; an earlier array-based
+    formulation recomputed the md5 16× and ran ~6× slower). MinHash is
+    duplicate-insensitive (min over a multiset == min over its set), so the
+    multiset rows need no distinct. The groupBy reuses the shingle window's
+    doc_id partitioning — one exchange total.
+    """
+    hs = sh_rows.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 17, 12), 16, 10).cast("long").alias("h2"),
+    )
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min(MINHASH_A[k] * F.col("h1") + MINHASH_B[k] * F.col("h2")).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    )
 
 
 def _minhash_sig_sql() -> str:
     cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> {md5_long_sql('s', str(k))})) AS h{k}"
+        f"MIN({MINHASH_A[k]}::BIGINT * h1 + {MINHASH_B[k]}::BIGINT * h2) AS h{k}"
         for k in range(N_HASHES)
     )
-    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh"
+    return f"""WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+              ('0x' || substr(md5(s), 17, 12))::BIGINT AS h2
+       FROM ex)
+SELECT doc_id, {cols} FROM hs GROUP BY doc_id"""
 
 
 @register("dedup_minhash_signatures", oracle=_minhash_sig_sql())
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signature per document."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
-    return sh.select("doc_id", *minhash_signature(F.col("shingles")))
+    return minhash_signatures(shingle_rows(docs))
 
 
 _BANDS_SQL = f"""
@@ -203,9 +255,16 @@ FROM bands a JOIN bands b
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: hash each 4-row band of the signature,
-    join documents sharing any band bucket. This is the scale path — the
-    only shuffle is on (band, band_key), and its volume is the number of
-    *colliding* docs, not all pairs."""
+    group documents sharing a band bucket, expand in-bucket pairs.
+
+    Single-pass formulation: ONE shuffle on (band, band_key) into
+    ``collect_list``, then per-bucket pair expansion with higher-order
+    functions — a self-join would shuffle (and recompute) the whole
+    signature pipeline twice. Pair expansion is quadratic in *bucket* size
+    only; buckets are near-dup groups, i.e. small. (If a degenerate corpus
+    produced a mega-bucket, cap it with a salted secondary split before the
+    expansion — the skew knob lives in one place here.)
+    """
     sig = dedup_minhash_signatures(spark, sf_dir)
     band_exprs = []
     for b in range(N_HASHES // BAND_SIZE):
@@ -221,16 +280,28 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    # all unordered in-bucket pairs, orientation-normalized so the result
+    # is independent of collect_list's nondeterministic order
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(
+                    F.col("ids"),
+                    lambda b: F.struct(
+                        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.getField("doc_a") < p.getField("doc_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -259,9 +330,13 @@ FROM h
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over distinct words: bit j is set when more than half
-    the word hashes have bit j set. Nested higher-order functions — the
-    whole fingerprint is one codegen'd expression per row, zero shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    the word hashes have bit j set. Nested higher-order functions — one
+    self-contained expression per row, zero shuffle (lambdas evaluate
+    interpreted, hence the repartition for parallelism on the single-file
+    testdata input)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     wd = F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
     hashes = F.transform(
         wd,

@@ -1,1 +1,156 @@
-"""(stub — filled in this round)"""
+"""Multimodal (image/audio/video) column plumbing
+(north star, BASELINE.json; SURVEY.md §7 P3).
+
+Treats media as opaque ``binary`` columns plus a typed metadata struct, with
+decode / feature-extraction / frame-sampling as Arrow-batched
+``mapInPandas`` stages. The real codecs (PIL/torchaudio/ffmpeg) are NOT in
+this container, so ``decode_image``/``decode_audio`` are clearly-marked
+stubs raising ``NotImplementedError`` — everything Spark-side (schema,
+batch shape, UDF signature, partition behavior) is real and oracle-checked:
+the synthetic payloads are deterministic (md5-derived), so the pandas
+feature extraction has an exact SQL twin.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches — memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, not partition
+size, which is what makes 100 MB-scale media rows workable. Binary columns
+should be sized so row groups stay within executor memory; at 100 TB media
+lives in its own parquet files (one row group ≈ a few hundred items) with
+metadata-only side tables for pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+FRAME_BYTES = 16  # synthetic "frame" size inside the 64-byte payload
+SAMPLED_FRAMES = (0, 2)
+
+
+def decode_image(data: bytes) -> object:
+    """STUB — image codecs are not available in this environment.
+
+    The production implementation decodes ``data`` (JPEG/PNG bytes) to an
+    ndarray inside the same mapInPandas batch loop used by
+    ``image_features_batches`` below; only this function changes.
+    """
+    raise NotImplementedError("image codec not available in this container")
+
+
+def decode_audio(data: bytes) -> object:
+    """STUB — audio codecs are not available in this environment."""
+    raise NotImplementedError("audio codec not available in this container")
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic synthetic media payload + metadata struct:
+    ``data`` = 4× md5(text) digest (64 bytes), metadata carries fake
+    width/height/format derived from doc fields."""
+    digest = F.unhex(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.concat(digest, digest, digest, digest).alias("data"),
+        F.struct(
+            ((F.col("n_chars") % 64) + 1).cast("int").alias("width"),
+            ((F.col("doc_id") % 48) + 1).cast("int").alias("height"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def image_features_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-item byte features. In production the body
+    calls ``decode_image`` and computes real features; the Arrow batch
+    handling is identical."""
+    for pdf in it:
+        data = pdf["data"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": data.map(len).astype("int64"),
+                "header_hex": data.map(lambda b: b[:4].hex()),
+                "byte_sum": data.map(lambda b: int(sum(b))).astype("int64"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+            }
+        )
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+WITH payload AS (
+  SELECT doc_id, md5(text) AS m, n_chars FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+         4 * CAST(list_sum(list_transform(generate_series(1, 16),
+             i -> ('0x' || substr(m, 2*i - 1, 2))::BIGINT)) AS BIGINT) AS byte_sum,
+         substr(m, 1, 8) AS header_hex,
+         n_chars
+  FROM payload
+)
+SELECT doc_id,
+       64::BIGINT AS n_bytes,
+       header_hex,
+       byte_sum,
+       CAST((n_chars % 64) + 1 AS INTEGER) AS width,
+       CAST((doc_id % 48) + 1 AS INTEGER) AS height
+FROM bytes
+""",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → features through a real Arrow mapInPandas stage; the
+    deterministic payload gives the pandas code an exact SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select(
+        "doc_id", "data", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return media.mapInPandas(
+        image_features_batches,
+        schema="doc_id long, n_bytes long, header_hex string, byte_sum long, "
+        "width int, height int",
+    )
+
+
+def sample_frames_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-stride frame sampling from a packed binary
+    payload (video-frame analog: production replaces the slice with an
+    ffmpeg keyframe extraction; batch shape is the same)."""
+    for pdf in it:
+        rows = {"doc_id": [], "frame_idx": [], "frame_hex": []}
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            for idx in SAMPLED_FRAMES:
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_hex"].append(
+                    data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES].hex()
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id, f.frame_idx,
+       substr(repeat(md5(text), 4), 32 * f.frame_idx + 1, 32) AS frame_hex
+FROM documents,
+     LATERAL (SELECT unnest([0, 2]) AS frame_idx) f
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every other 16-byte frame of the 64-byte payload) —
+    a row-expanding mapInPandas stage, the shape video pipelines need."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "data")
+    return media.mapInPandas(
+        sample_frames_batches, schema="doc_id long, frame_idx int, frame_hex string"
+    )

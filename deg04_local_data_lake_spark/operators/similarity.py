@@ -1,1 +1,212 @@
-"""(stub — filled in this round)"""
+"""Approximate-nearest-neighbor similarity search over embeddings
+(north star, BASELINE.json; SURVEY.md §7 P3).
+
+Two escalating strategies over the ``embeddings`` table
+(``array<float>``, 64-dim):
+
+- ``similarity_topk``      — brute-force cosine top-k: the exactness
+  baseline. Query side is broadcast; scan side is embarrassingly parallel.
+- ``similarity_ivf_topk``  — IVF (inverted-file) search: build coarse cells
+  (here: the ``label`` pre-clustering), rank cells per query by cosine to
+  the *centroid direction*, probe only the top ``NPROBE`` cells, exact-rank
+  inside. At 100 TB the centroid table is tiny (broadcast), each query
+  touches NPROBE/N_CELLS of the corpus, and the only big shuffle is keyed
+  by cell id.
+
+Determinism (oracle parity): embeddings are quantized to integer
+micro-units; every dot product is then an exact integer (< 2^53, exact even
+in DuckDB's double accumulator), and cosines are single IEEE divisions.
+Centroid *direction* is the component-sum vector — using the sum instead of
+the mean cancels the 1/n and keeps everything in exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+NPROBE = 3
+
+
+def quantized(col: Column) -> Column:
+    """float array → exact integer micro-unit array."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+
+
+def int_dot(u: Column, v: Column) -> Column:
+    """Exact integer dot product via zip_with + left fold."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_QUANT_SQL = """
+SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+FROM embeddings
+"""
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+WITH q AS ({_QUANT_SQL}),
+n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.qe, b.qe) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vectors (vec_id < 10).
+
+    The query side is tiny → ``broadcast`` hint, so the corpus never
+    shuffles for the join; ranking shuffles only |queries|×|corpus| scored
+    pairs on query_id. This is the exact-recall baseline the IVF variant is
+    measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("qe")
+    )
+    n = emb.select(
+        "vec_id", "qe", F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                int_dot(F.col("q_qe"), F.col("qe")).cast("double")
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+WITH q AS ({_QUANT_SQL}),
+ex AS (SELECT vec_id, label, i AS pos, qe[i] AS v
+       FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u),
+cent AS (
+  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS c FROM ex GROUP BY label, pos
+),
+cnorm AS (SELECT label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS c_nrm FROM cent GROUP BY label),
+qv AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q WHERE vec_id < {N_QUERIES}),
+qex AS (SELECT vec_id, pos, v FROM ex WHERE vec_id < {N_QUERIES}),
+cell_score AS (
+  SELECT qex.vec_id AS query_id, cent.label,
+         CAST(SUM(qex.v * cent.c) AS BIGINT) AS dot
+  FROM qex JOIN cent ON qex.pos = cent.pos
+  GROUP BY 1, 2
+),
+cell_rank AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(dot AS DOUBLE) / c_nrm DESC, label) AS cell_rn
+  FROM cell_score JOIN cnorm USING (label)
+),
+probed AS (SELECT query_id, label FROM cell_rank WHERE cell_rn <= {NPROBE}),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv.qe, n.qe) / (qv.nrm * n.nrm) AS cosine
+  FROM probed p
+  JOIN (SELECT vec_id, label, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q) n
+    ON n.label = p.label
+  JOIN qv ON qv.vec_id = p.query_id
+  WHERE n.vec_id <> p.query_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+""",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the NPROBE cells whose centroid
+    direction is most cosine-similar to the query, exact-rank within them.
+
+    Plan shape at scale: centroids are |cells|×|dim| rows (tiny → computed
+    once, broadcast both ways); the candidate join is keyed on cell id so
+    each query only meets ~NPROBE/|cells| of the corpus. The query-side
+    explode is |queries|×|dim| — still broadcastable for realistic query
+    batches.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("qe")
+    )
+    # centroid direction per cell: component sums (posexplode → keyed agg)
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = ex.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("c"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
+    )
+    n = emb.select(
+        "vec_id", "label", "qe",
+        F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm"),
+    )
+    qv = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"), F.col("nrm").alias("q_nrm")
+    )
+    # drop label: qex and cent share lineage through ex, and a duplicated
+    # label column would make the post-join groupBy reference ambiguous
+    qex = ex.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "pos", "v")
+    cell_score = (
+        qex.join(F.broadcast(cent), "pos")
+        .groupBy(F.col("vec_id").alias("query_id"), "label")
+        .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        (F.col("dot").cast("double") / F.col("c_nrm")).desc(), F.col("label")
+    )
+    probed = (
+        cell_score.join(F.broadcast(cnorm), "label")
+        .withColumn("cell_rn", F.row_number().over(wc))
+        .filter(F.col("cell_rn") <= NPROBE)
+        .select("query_id", "label")
+    )
+    cand = (
+        n.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                int_dot(F.col("q_qe"), F.col("qe")).cast("double")
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)

@@ -43,8 +43,12 @@ def _norm(v: Any) -> Any:
 
 def _rows(cols: list[str], data: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # repr-keyed sort: rows may mix None with values, which plain tuple
+    # comparison cannot order; equal values have equal reprs, so both
+    # engines' equal multisets sort identically
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in data
+        (tuple(_norm(r[i]) for i in order) for r in data),
+        key=lambda t: tuple(repr(v) for v in t),
     )
 
 

@@ -1,0 +1,60 @@
+"""Physical-plan inspection helpers — the "would this survive 100×?" tools.
+
+Used by tests to assert scale-critical plan properties instead of hoping:
+filters reached the parquet scan, projections were pruned, small sides
+actually broadcast, and Python never appears in a hot path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """The filter must appear inside the scan's PushedFilters, not only as
+    a post-scan Filter node."""
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(fragment in ln for ln in pushed), (
+        f"filter {fragment!r} not pushed to scan; PushedFilters lines: {pushed}"
+    )
+
+
+def assert_read_schema_pruned(df: DataFrame, max_cols: int) -> None:
+    """Column pruning reached the scan: ReadSchema width ≤ max_cols."""
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            width = ln.count(":")  # struct<a:int,b:double,...> field count
+            assert width - 1 <= max_cols, f"scan reads too many columns: {ln}"
+            return
+    raise AssertionError("no ReadSchema in plan")
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "expected a broadcast join in plan"
+    )
+
+
+def assert_no_python_row_udf(df: DataFrame) -> None:
+    """BatchEvalPython = row-at-a-time Python in the plan — the slow path
+    this engine bans; Arrow stages (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) are the sanctioned escape hatch."""
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"

@@ -1,1 +1,124 @@
-"""(stub — filled in this round)"""
+"""Structured Streaming ingest + stateful aggregation
+(SURVEY.md §2.10: the reference declares a streaming stack —
+confluent-kafka/quixstreams/fastavro, mage_demo/requirements.txt:3-7 — but
+never builds it; this module is the idiomatic Spark realization of that
+intent).
+
+Batch twins of both aggregations are registered as oracle-checked queries
+(operators/windows.py ``events_hourly_counts``, and ``events_session_agg``
+here): Structured Streaming's incremental execution of the same logical
+plan is what makes "correctness-checked in batch" meaningful.
+
+Scale notes: watermarks bound state (late rows beyond 2h are dropped);
+session windows use Spark's native session_window state merging. For a
+Kafka source swap ``readStream.format("kafka")`` — the transform and sink
+stages are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-source event stream (bronze ingest direction). ``maxFilesPerTrigger``
+    bounds per-microbatch work; an explicit schema is mandatory for streams."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windowed counts with a late-data watermark — streaming
+    twin of the oracle-checked batch query ``events_hourly_counts``."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session-window aggregation (gap-merged), usable in batch and
+    streaming. Batch semantics are pinned by the ``events_session_agg``
+    oracle below (sessionize CTE formulation)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    ).select("user_id", "n_events", "first_ts", "last_ts")
+
+
+def write_stream_to_lake(
+    df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"
+):
+    """Bronze streaming sink: append with exactly-once file-sink semantics
+    via the checkpoint (the streaming analog of sources/writers.py)."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+@register(
+    "events_session_agg",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM sess GROUP BY user_id, session_seq
+""",
+)
+def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the native session_window plan; oracle derives the same
+    sessions from the gap/running-sum formulation — two genuinely different
+    mechanisms, one semantic."""
+    return session_agg(load_table(spark, sf_dir, "events"))
