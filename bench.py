@@ -54,9 +54,12 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)  # median of 3
 
     out = {
         "metric": "headline query wall-clock (warm, noop sink)",

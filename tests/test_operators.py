@@ -1,0 +1,120 @@
+"""Operator-level unit tests on small in-memory frames — semantics the
+oracle comparison can't see (reference-fixture behavior, edge cases,
+plan-shape assertions)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.operators.asof import asof_join
+from deg04_local_data_lake_spark.operators.cdc import (
+    cdc_upsert,
+    changed_records,
+    new_records,
+)
+from deg04_local_data_lake_spark.operators.windows import sessionize, top_k_per_group
+
+
+def _employees(spark):
+    """The reference's CDC fixture (increamental_dataload.py:9-45 /
+    FIXTURES.md F4): 3 base rows; inc = 2 field-updates + 1 multi-field
+    update + 1 new."""
+    base = spark.createDataFrame(
+        [(1, "Alice", 30, 50000), (2, "Bob", 35, 60000), (3, "Carol", 28, 55000)],
+        "id int, name string, age int, salary int",
+    )
+    inc = spark.createDataFrame(
+        [
+            (1, "Alice", 31, 50000),      # age update
+            (2, "Bob", 35, 65000),        # salary update
+            (3, "Caroline", 29, 58000),   # multi-field update
+            (4, "Dan", 40, 52000),        # new record
+        ],
+        "id int, name string, age int, salary int",
+    )
+    return base, inc
+
+
+def test_cdc_upsert_reference_semantics(spark):
+    base, inc = _employees(spark)
+    cols = ["name", "age", "salary"]
+
+    changed = changed_records(base, inc, "id", cols)
+    assert {r["id"] for r in changed.collect()} == {1, 2, 3}
+
+    new = new_records(base, inc, "id")
+    assert [r["id"] for r in new.collect()] == [4]
+
+    final = cdc_upsert(base, inc, "id", cols).collect()
+    assert len(final) == 4  # 3 updated + 1 new, the reference's expected frame
+    by_id = {r["id"]: r for r in final}
+    assert by_id[1]["age"] == 31
+    assert by_id[2]["salary"] == 65000
+    assert by_id[3]["name"] == "Caroline" and by_id[3]["salary"] == 58000
+    assert by_id[4]["name"] == "Dan"
+
+
+def test_cdc_null_safe_change_detection(spark):
+    """The reference's `!=` misses NULL transitions; ours must not."""
+    base = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    inc = spark.createDataFrame([(1, "now-set"), (2, None)], "id int, v string")
+    got = {r["id"] for r in changed_records(base, inc, "id", ["v"]).collect()}
+    assert got == {1, 2}
+
+
+def test_asof_join_tie_and_no_match(spark):
+    t = datetime.datetime
+    right = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 10, 0), 100), (1, t(2024, 1, 1, 12, 0), 101)],
+        "k int, ts timestamp, rv int",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 9, 0), "before-any"),
+            (1, t(2024, 1, 1, 10, 0), "exact-tie"),
+            (1, t(2024, 1, 1, 11, 59), "between"),
+            (1, t(2024, 1, 1, 23, 0), "after-all"),
+            (2, t(2024, 1, 1, 12, 0), "other-key"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    rows = {r["tag"]: r for r in asof_join(left, right, key="k").collect()}
+    assert rows["before-any"]["asof_rv"] is None
+    assert rows["exact-tie"]["asof_rv"] == 100  # at-or-before includes ties
+    assert rows["between"]["asof_rv"] == 100
+    assert rows["after-all"]["asof_rv"] == 101
+    assert rows["other-key"]["asof_rv"] is None
+
+
+def test_sessionize_gap_boundary(spark):
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t(2024, 1, 1, 0, 0)),
+            (2, 10, t(2024, 1, 1, 0, 30)),       # exactly 30min -> same session
+            (3, 10, t(2024, 1, 1, 1, 0, 1)),     # 30min+1s -> new session
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    seqs = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(ev).select("event_id", "session_seq").collect()
+    }
+    assert seqs[1] == seqs[2]
+    assert seqs[3] == seqs[1] + 1
+
+
+def test_top_k_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 10, "c"), (1, 9, "d")],
+        "g int, score int, id string",
+    )
+    got = top_k_per_group(
+        df, ["g"], [F.col("score").desc(), F.col("id")], k=2
+    ).collect()
+    assert [(r["id"], r["rn"]) for r in sorted(got, key=lambda r: r["rn"])] == [
+        ("a", 1),
+        ("b", 2),
+    ]

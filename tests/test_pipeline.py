@@ -1,0 +1,90 @@
+"""End-to-end medallion pipeline + IO layer tests (SURVEY.md §5 plan items
+2-3): bronze→silver→gold writes on disk, catalog DDL round-trip, CSV
+ingest with explicit and inferred schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.pipelines.medallion import run_medallion
+from deg04_local_data_lake_spark.sources import catalog, readers, writers
+
+
+def test_medallion_end_to_end(spark, smoke_dir, tmp_path):
+    paths = run_medallion(spark, smoke_dir, str(tmp_path / "lake"))
+
+    bronze = spark.read.parquet(paths["bronze"])
+    silver = spark.read.parquet(paths["silver_asset"])
+    gold = spark.read.parquet(paths["gold"])
+
+    n_li = readers.load_table(spark, smoke_dir, "lineitem").count()
+    assert bronze.count() == n_li  # no per-ticker overwrite bug (SURVEY §7)
+    # bronze partitioned by trade_date on disk
+    assert any(p.name.startswith("trade_date=") for p in (tmp_path / "lake" / "bronze" / "stock_quotes").iterdir())
+
+    assert silver.count() == bronze.select("trade_date", "ticker").distinct().count()
+    for c in ("is_active", "version", "valid_from", "valid_to"):
+        assert c in silver.columns
+    assert gold.count() == silver.select(
+        F.year("trade_date"), F.month("trade_date"), "ticker"
+    ).distinct().count()
+    # volatility defined (non-null) whenever a month has >= 2 trading days
+    bad = gold.filter((F.col("trading_days") > 1) & F.col("volatility").isNull())
+    assert bad.count() == 0
+
+
+def test_catalog_ddl_roundtrip(spark, tmp_path):
+    catalog.create_database(spark, "t_ddl")
+    catalog.create_table(
+        spark,
+        "t_ddl.quotes",
+        {"d": "DATE", "ticker": "STRING", "px": "DOUBLE"},
+        partitioned_by=["d"],
+        location=str(tmp_path / "quotes"),
+    )
+    tables = [r["tableName"] for r in catalog.show_tables(spark, "t_ddl").collect()]
+    assert "quotes" in tables
+    catalog.drop_table(spark, "t_ddl.quotes")
+    catalog.drop_database(spark, "t_ddl")
+    dbs = [r["namespace"] for r in spark.sql("SHOW DATABASES").collect()]
+    assert "t_ddl" not in dbs
+
+
+def test_csv_roundtrip_inferred_and_explicit(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, s string, v double"
+    )
+    p = str(tmp_path / "csv")
+    src.write.option("header", "true").csv(p)
+
+    inferred = readers.read_csv(spark, p)  # S1
+    assert dict(inferred.dtypes)["id"] == "int"
+    explicit = readers.read_csv(spark, p, schema="id long, s string, v double")  # S2
+    assert dict(explicit.dtypes)["id"] == "bigint"
+    assert inferred.count() == explicit.count() == 2
+
+
+def test_partitioned_write_and_schema_merge(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "x", "2024-01-01")], "id int, v string, d string")
+    writers.write_lake_table(df1, p, partition_by=["d"])  # K6
+    df2 = spark.createDataFrame(
+        [(2, "y", 9.9, "2024-01-02")], "id int, v string, extra double, d string"
+    )
+    writers.write_lake_table(
+        df2, p, mode="append", partition_by=["d"], merge_schema=True
+    )  # K2
+    back = spark.read.option("mergeSchema", "true").parquet(p)
+    assert back.count() == 2
+    assert "extra" in back.columns
+
+
+def test_delta_format_gated(spark, tmp_path):
+    """Delta writes only when the package is importable; otherwise parquet
+    is the documented fallback (SURVEY.md §7 P0 risk)."""
+    pytest.importorskip("delta")
+    writers.write_lake_table(
+        spark.range(3), str(tmp_path / "d"), fmt="delta"
+    )

@@ -1,0 +1,65 @@
+"""Structured Streaming tests: the streaming plans must produce exactly the
+batch results the oracle checked (that equivalence is the point of
+correctness-checking streams in batch mode)."""
+
+from __future__ import annotations
+
+from deg04_local_data_lake_spark.sources.readers import load_table
+from deg04_local_data_lake_spark.streaming import ingest
+
+
+def _run_stream_to_memory(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _events_as_stream(spark, smoke_dir, tmp_path):
+    # re-write events as micros-timestamped parquet the stream can read
+    batch = load_table(spark, smoke_dir, "events")
+    src = str(tmp_path / "events_stream_src")
+    batch.write.parquet(src)
+    return batch, ingest.read_event_stream(spark, src)
+
+
+def test_stream_hourly_counts_equals_batch(spark, smoke_dir, tmp_path):
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    assert stream.isStreaming
+    _run_stream_to_memory(ingest.hourly_counts(stream), "hourly")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("hourly").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ingest.hourly_counts(batch).collect()
+    }
+    assert got == want
+
+
+def test_stream_session_agg_equals_batch(spark, smoke_dir, tmp_path):
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    _run_stream_to_memory(ingest.session_agg(stream), "sessions")
+    got = sorted(
+        tuple(r) for r in spark.table("sessions").collect()
+    )
+    want = sorted(tuple(r) for r in ingest.session_agg(batch).collect())
+    assert got == want
+
+
+def test_stream_bronze_file_sink(spark, smoke_dir, tmp_path):
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest.write_stream_to_lake(
+        stream.withWatermark("ts", "1 hour"), out, ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == batch.count()
