@@ -1,0 +1,237 @@
+"""Multi-join analytical queries over the star schema.
+
+The reference never joins more than two frames (its joins are the CDC trio,
+SURVEY.md §2.5); these queries exercise the join-heavy shapes a lakehouse
+query layer must handle — the same shapes its StarRocks attachment
+(docker-compose.yaml:17-77) exists to serve — expressed so Catalyst gets
+the right physical plan:
+
+- dimensions (region/nation/customer-filtered) are broadcast — the fact
+  table never shuffles for them;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once, and the
+  downstream aggregate reuses that partitioning where possible;
+- top-k uses sort-limit (``TakeOrderedAndProject``), never a global sort.
+
+All money arithmetic uses the exact-decimal builders (oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * (1 - dec("l_discount", "decimal(8,4)"))
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, order_date
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: segment-filtered customers (broadcast) ⋈ orders ⋈
+    lineitem, revenue per order, top-10.
+
+    The segment filter makes the customer side small enough to broadcast;
+    the date filters push into both fact scans; the final top-10 is
+    sort-limit (no global sort). Tiebreak on orderkey keeps LIMIT
+    deterministic.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: the full dimension chain region→nation→supplier
+    broadcast onto lineitem, then one fact-fact shuffle join with
+    date-filtered orders. Per-nation revenue."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    dims = (
+        supplier.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), lineitem.l_suppkey == dims.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+WITH stats AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM stats
+WHERE cust_orders >= 3 AND o_totalprice > 1.5 * cust_avg
+""",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape ("orders 50% above this customer's
+    average") decorrelated into a single window pass — one shuffle on
+    custkey instead of a per-row subquery."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    stats = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("cust_avg"),
+        F.count(F.lit(1)).over(w).alias("cust_orders"),
+    )
+    return stats.filter(
+        (F.col("cust_orders") >= 3) & (F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+    ).drop("cust_orders")
+
+
+@register(
+    "ngram_topk_global",
+    oracle="""
+WITH w AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+)
+SELECT * FROM (
+  SELECT lang, word, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rank
+  FROM w GROUP BY lang, word
+) WHERE rank <= 10
+""",
+)
+def ngram_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head per language: wordcount (partial-agg shuffle on the
+    word — the canonical map-side-combine shape) + per-language top-10."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+WITH quality AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_uniq
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_words,
+         0.5 * least(1.0, n_words / 50.0) + 0.5 * (n_uniq / n_words) AS score,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM quality
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rn
+  FROM scored
+)
+SELECT doc_id, lang, n_words, score
+FROM deduped
+WHERE dup_rn = 1 AND score >= 0.7 AND n_words >= 20
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — the LLM-data use case end-to-end:
+    quality-score → fingerprint-dedup (keep lowest doc_id) → threshold
+    filter. One scan, one narrow shuffle on the fingerprint."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        (
+            0.5 * F.least(F.lit(1.0), F.size(words) / 50.0)
+            + 0.5 * (F.size(F.array_distinct(words)) / F.size(words))
+        ).alias("score"),
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("dup_rn", F.row_number().over(w))
+        .filter((F.col("dup_rn") == 1) & (F.col("score") >= 0.7) & (F.col("n_words") >= 20))
+        .select("doc_id", "lang", "n_words", "score")
+    )

@@ -1,0 +1,100 @@
+"""Explicit scale mechanics: skew salting and bucketed co-located joins.
+
+AQE (on by default, session.py) already splits skewed *join* partitions and
+coalesces small ones; the helpers here cover the cases AQE doesn't:
+
+- ``salted_agg``: a groupBy whose key distribution is pathological (a few
+  keys own most rows) bottlenecks on the reducers owning hot keys — even
+  with map-side combine, when upstream is thousands of mappers the combine
+  ratio per mapper shrinks. Salting splits each hot key into N sub-keys,
+  aggregates partially, then merges. Only valid for algebraic aggregates
+  (sum/count/min/max — anything with an associative merge).
+- ``write_bucketed`` / co-located joins: two fact tables bucketed by the
+  same key into the same bucket count join WITHOUT any exchange — at
+  100 TB, pre-bucketing the canonical join keys (orderkey, doc_id) turns
+  every downstream join/aggregation on that key into a map-side operation.
+  Verified by plan assertion in tests/test_scale.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+DEFAULT_SALT = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salt_buckets: int = DEFAULT_SALT,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-stage skew-resistant aggregation.
+
+    ``partial_aggs`` aggregate within (keys, salt); ``final_aggs`` merge the
+    partials per key. The salt derives from a high-cardinality source
+    column when given (deterministic), else ``spark_partition_id()`` —
+    which is nondeterministic in value but the *merged* result is identical
+    because the aggregates are associative.
+    """
+    salt = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
+        if salt_source
+        else F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+@register(
+    "events_value_by_type_salted",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def events_value_by_type_salted(spark, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via salted two-stage aggregation. event_type
+    has 5 values over all rows — exactly the shape that melts a single
+    reducer at 100 TB. The decimal partial sums merge exactly, so the
+    result is bit-identical to the direct group-by (which is the oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        keys=["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec("value")).alias("_sum"),
+            F.max("value").alias("_max"),
+        ],
+        final_aggs=[
+            F.sum("_n").cast("bigint").alias("n_events"),
+            F.sum("_sum").cast("double").alias("total_value"),
+            F.max("_max").alias("max_value"),
+        ],
+        salt_source="event_id",
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Persist bucketed+sorted by the canonical join key (Spark bucketing
+    requires saveAsTable). Readers joining two tables bucketed identically
+    skip the exchange entirely."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

@@ -40,11 +40,13 @@ def load_all() -> None:
     if _LOADED:
         return
     import deg04_local_data_lake_spark.operators.aggregates  # noqa: F401
+    import deg04_local_data_lake_spark.operators.analytics  # noqa: F401
     import deg04_local_data_lake_spark.operators.asof  # noqa: F401
     import deg04_local_data_lake_spark.operators.cdc  # noqa: F401
     import deg04_local_data_lake_spark.operators.dedup  # noqa: F401
     import deg04_local_data_lake_spark.operators.multimodal  # noqa: F401
     import deg04_local_data_lake_spark.operators.relational  # noqa: F401
+    import deg04_local_data_lake_spark.operators.scale  # noqa: F401
     import deg04_local_data_lake_spark.operators.similarity  # noqa: F401
     import deg04_local_data_lake_spark.operators.text  # noqa: F401
     import deg04_local_data_lake_spark.operators.windows  # noqa: F401

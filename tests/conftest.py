@@ -10,11 +10,16 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from deg04_local_data_lake_spark.session import get_spark_session
 
     cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
     spark = get_spark_session(
-        app_name="deg04-tests", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app_name="deg04-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        warehouse=tempfile.mkdtemp(prefix="deg04-wh-"),
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

@@ -1,0 +1,65 @@
+"""Scale-mechanics tests: bucketed joins skip the exchange; salted
+aggregation matches the direct plan bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.operators.scale import write_bucketed
+from deg04_local_data_lake_spark.plans import explain
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, smoke_dir):
+    # warehouse dir is static config — the session fixture points it at a
+    # temp dir; tables here are dropped in the finally block
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    li = load_table(spark, smoke_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "bktest.li_b", "l_orderkey")
+    write_bucketed(orders, "bktest.orders_b", "o_orderkey")
+
+    # disable broadcast so the join would otherwise need a shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bktest.li_b").join(
+            spark.table("bktest.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain.formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # sanity: result is correct
+        n = joined.count()
+        assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bktest.li_b")
+        spark.sql("DROP TABLE IF EXISTS bktest.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from deg04_local_data_lake_spark.operators.scale import events_value_by_type_salted
+
+    salted = {
+        r["event_type"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in events_value_by_type_salted(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: (r["n"], r["tv"], r["mx"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("tv"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert salted == direct
