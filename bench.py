@@ -20,18 +20,22 @@ import time
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
     "silver_asset_performance",
     "silver_market_trend",
     "gold_monthly_summary",
     "cdc_upsert_customer",
     "window_topk_orders",
     "events_sessionize",
+    "rollup_revenue",
     "dedup_minhash_signatures",
     "dedup_minhash_pairs",
     "similarity_topk",
     "similarity_ivf_topk",
     "text_quality",
     "text_token_stats",
+    "corpus_curation",
     "mm_image_features",
     "asof_purchase_click",
     "range_join_error_burst",

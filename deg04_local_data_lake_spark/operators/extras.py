@@ -1,0 +1,199 @@
+"""Analytics-engine completeness operators: rollup, pivot, set ops,
+try_cast semantics, deterministic sampling, and sequence packing.
+
+None of these exist in the reference (SURVEY.md §2.6-2.8 notes: no grouping
+sets, no intersect/except, no sampling) — they round out what "a user could
+switch their queries to this engine" means, plus two LLM-data staples
+(hash-split sampling, token-budget packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (year, quarter)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, quarter): per-quarter, per-year, and grand totals in
+    one pass — Spark expands grouping sets inside a single shuffle; the
+    NULL super-aggregate rows match ANSI semantics in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("year"),
+            F.quarter("o_orderdate").alias("quarter"),
+            "o_totalprice",
+        )
+        .rollup("year", "quarter")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "pivot_daily_event_matrix",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY 1
+""",
+)
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events into a day × type count matrix. The pivot values are
+    declared explicitly — with an unspecified value list Spark runs an extra
+    distinct job to discover them; never do that at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "except_modest_customers",
+    oracle="""
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+""",
+)
+def except_modest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers who ordered, but never above 300k —
+    ``subtract`` mirrors ANSI EXCEPT (distinct); Spark plans it as an
+    aggregate + anti join under the hood."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_buyers = orders.select("o_custkey")
+    big_buyers = orders.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    return all_buyers.subtract(big_buyers)
+
+
+@register(
+    "intersect_buyer_sellers_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def intersect_buyer_sellers_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersect(supplier)
+
+
+@register(
+    "try_cast_props",
+    oracle="""
+SELECT event_id,
+       try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       try_cast(json_extract_string(props, '$.missing') AS INTEGER) AS missing_int,
+       try_cast(event_type AS DOUBLE) AS not_a_number
+FROM events WHERE event_id < 100
+""",
+)
+def try_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast semantics (NULL on failure, never error) — the engine's
+    answer to the reference's ANSI-off permissive casts
+    (financial_dl_etl.py:13): opt into safety per expression instead of
+    globally disabling ANSI."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").try_cast("int").alias("missing_int"),
+        F.col("event_type").try_cast("double").alias("not_a_number"),
+    )
+
+
+@register(
+    "sample_train_split",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
+""",
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split by content-stable hash —
+    reproducible across engines, runs, and cluster sizes (``rand(seed)`` is
+    partitioning-dependent; a hash split never is)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(tokens_before // 2048 AS BIGINT) AS bin_id
+FROM cum
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign docs (per language, in stable
+    doc_id order) to ~2048-token training bins via a cumulative-sum window.
+    The window shuffles once on lang; at 100 TB packing runs per shard with
+    a second tiny pass over shard boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = docs.select("doc_id", "lang", F.size(words).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("bin_id"),
+    )

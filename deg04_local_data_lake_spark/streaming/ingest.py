@@ -94,6 +94,42 @@ def write_stream_to_lake(
     )
 
 
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running event count and max value across microbatches — the escape
+    hatch for stateful logic the built-in windowed aggregates can't express
+    (here deliberately simple so the batch equivalence is testable).
+
+    State is one (count, max) pair per user — O(|users|) store entries;
+    emits an updated row per user per microbatch (output mode ``update``).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, vmax = state.get
+        else:
+            n, vmax = 0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = float(pdf["value"].max())
+            vmax = batch_max if vmax is None else max(vmax, batch_max)
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "max_value": [vmax]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @register(
     "events_session_agg",
     oracle="""

@@ -53,6 +53,40 @@ def test_stream_session_agg_equals_batch(spark, smoke_dir, tmp_path):
     assert got == want
 
 
+def test_stateful_running_stats_converges_to_batch(spark, smoke_dir, tmp_path):
+    """applyInPandasWithState: after draining all input, the latest emitted
+    row per user must equal the plain batch aggregate."""
+    from pyspark.sql import functions as F
+
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    q = (
+        ingest.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per user per microbatch; the final state
+    # is the row with the highest n_events per user
+    final = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in spark.table("running_stats")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "max_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.max_value")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == want
+
+
 def test_stream_bronze_file_sink(spark, smoke_dir, tmp_path):
     batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
     out = str(tmp_path / "bronze")
