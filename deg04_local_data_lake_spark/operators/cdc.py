@@ -100,6 +100,49 @@ def cdc_upsert(base: DataFrame, inc: DataFrame, key: str, cols: list[str]) -> Da
     return updated.unionByName(new_records(base, inc, key))
 
 
+_EMP_BASE = [(1, "Alice", 30, 50000), (2, "Bob", 35, 60000), (3, "Carol", 28, 55000)]
+_EMP_INC = [
+    (1, "Alice", 31, 50000),
+    (2, "Bob", 35, 65000),
+    (3, "Caroline", 29, 58000),
+    (4, "Dan", 40, 52000),
+]
+_EMP_SCHEMA = "id int, name string, age int, salary int"
+
+
+def _values_sql(rows: list[tuple]) -> str:
+    return ", ".join(
+        f"({r[0]}, '{r[1]}', {r[2]}, {r[3]})" for r in rows
+    )
+
+
+@register(
+    "cdc_upsert_employees_reference",
+    oracle=f"""
+WITH base(id, name, age, salary) AS (VALUES {_values_sql(_EMP_BASE)}),
+inc(id, name, age, salary) AS (VALUES {_values_sql(_EMP_INC)}),
+updated AS (
+  SELECT base.id,
+         coalesce(inc.name, base.name) AS name,
+         coalesce(inc.age, base.age) AS age,
+         coalesce(inc.salary, base.salary) AS salary
+  FROM base LEFT JOIN inc ON base.id = inc.id
+)
+SELECT * FROM updated
+UNION ALL
+SELECT inc.* FROM inc WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.id = inc.id)
+""",
+)
+def cdc_upsert_employees_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact employee fixture (S6 in-memory rows →
+    DataFrame, increamental_dataload.py:9-45) through the CDC upsert —
+    expected output is the reference's 4-row final frame (3 updated + 1
+    new, FIXTURES.md F4)."""
+    base = spark.createDataFrame(_EMP_BASE, _EMP_SCHEMA)
+    inc = spark.createDataFrame(_EMP_INC, _EMP_SCHEMA)
+    return cdc_upsert(base, inc, "id", ["name", "age", "salary"])
+
+
 @register(
     "cdc_changed_records",
     oracle=f"""

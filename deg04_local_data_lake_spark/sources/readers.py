@@ -85,3 +85,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def ingest_csv_directory(
+    spark: SparkSession, folder: str, **csv_kwargs
+) -> dict[str, DataFrame]:
+    """S7 (custom/delta_table_write.py:49-56): one DataFrame per ``*.csv``
+    in a directory, keyed by file stem — the reference's multi-table ingest
+    loop. The listing is driver-side (tiny); each table's read is lazy.
+
+    For *many* same-schema files prefer a single
+    ``spark.read.csv(folder)`` + ``input_file_name()`` instead — one job,
+    not one per file.
+    """
+    import os
+
+    out: dict[str, DataFrame] = {}
+    for fname in sorted(os.listdir(folder)):
+        if fname.endswith(".csv"):
+            out[fname[: -len(".csv")]] = read_csv(
+                spark, os.path.join(folder, fname), **csv_kwargs
+            )
+    return out

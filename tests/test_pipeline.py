@@ -66,6 +66,19 @@ def test_csv_roundtrip_inferred_and_explicit(spark, tmp_path):
     assert inferred.count() == explicit.count() == 2
 
 
+def test_ingest_csv_directory(spark, tmp_path):
+    """S7: per-file multi-table ingest from a folder."""
+    d = tmp_path / "csvs"
+    d.mkdir()
+    for name, rows in {"aapl": [(1, 10.0)], "msft": [(2, 20.0), (3, 30.0)]}.items():
+        spark.createDataFrame(rows, "id int, px double").write.option(
+            "header", "true"
+        ).csv(str(d / f"{name}.csv"))
+    tables = readers.ingest_csv_directory(spark, str(d))
+    assert set(tables) == {"aapl", "msft"}
+    assert tables["msft"].count() == 2
+
+
 def test_partitioned_write_and_schema_merge(spark, tmp_path):
     p = str(tmp_path / "t")
     df1 = spark.createDataFrame([(1, "x", "2024-01-01")], "id int, v string, d string")
