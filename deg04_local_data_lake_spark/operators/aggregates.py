@@ -125,11 +125,11 @@ def monthly_summary(silver: DataFrame) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,4))), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (1 - CAST(l_discount AS DECIMAL(8,4)))
-                * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+                * (1 + CAST(l_tax AS DECIMAL(8,4))), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -150,8 +150,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_price = dec("l_extendedprice")
     d_disc = dec("l_discount", "decimal(8,4)")
     d_tax = dec("l_tax", "decimal(8,4)")
-    disc_price = d_price * (1 - d_disc)
-    charge = disc_price * (1 + d_tax)
+    # re-quantize products to (18,4): a (38,12) sum has >2^53 significant
+    # units and its decimal→double conversion rounds differently across
+    # engines (DuckDB int128 cast double-rounds); a (28,4) sum stays
+    # double-exact. Spark's decimal cast rounds HALF_UP while DuckDB's
+    # truncates, so the oracle wraps the product in round(x, 4) first.
+    disc_price = (d_price * (1 - d_disc)).cast("decimal(18,4)")
+    charge = (d_price * (1 - d_disc) * (1 + d_tax)).cast("decimal(18,4)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -24,11 +24,19 @@ from deg04_local_data_lake_spark.functions.portable import dec
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
-_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+# product re-quantized to (18,4) so the SUM stays double-exact in both
+# engines; round() before the cast because DuckDB's decimal cast truncates
+# while Spark's rounds HALF_UP (see operators/aggregates.py q1 note)
+_REVENUE = (
+    "CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(8,4))), 4) AS DECIMAL(18,4))"
+)
 
 
 def _revenue() -> F.Column:
-    return dec("l_extendedprice") * (1 - dec("l_discount", "decimal(8,4)"))
+    return (
+        dec("l_extendedprice") * (1 - dec("l_discount", "decimal(8,4)"))
+    ).cast("decimal(18,4)")
 
 
 @register(
