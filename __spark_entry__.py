@@ -8,11 +8,19 @@ with a Spark callable and, where SQL-expressible, a DuckDB oracle twin).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from deg04_local_data_lake_spark import registry
+# the driver may import this module from any cwd — make the sibling
+# package importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from deg04_local_data_lake_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
