@@ -147,6 +147,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fill_missing_days",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT min(order_date) AS lo, max(order_date) AS hi FROM daily),
+calendar AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS order_date
+  FROM bounds
+)
+SELECT c.order_date,
+       coalesce(d.revenue, 0.0) AS revenue,
+       d.revenue IS NULL AS was_missing
+FROM calendar c LEFT JOIN daily d USING (order_date)
+""",
+)
+def fill_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build the full calendar between min and max
+    date with ``sequence`` + explode, left-join the observed series, zero-
+    fill gaps. The calendar generation is one row → |days| explode (tiny);
+    the join broadcasts the calendar — the observed series never shuffles.
+    The standard prelude to window features over regular time series.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    calendar = (
+        daily.agg(F.min("order_date").alias("lo"), F.max("order_date").alias("hi"))
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+                "order_date"
+            )
+        )
+    )
+    return (
+        F.broadcast(calendar)
+        .join(daily, "order_date", "left")
+        .select(
+            "order_date",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("revenue").isNull().alias("was_missing"),
+        )
+    )
+
+
+@register(
     "events_hourly_counts",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
