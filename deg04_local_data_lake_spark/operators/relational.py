@@ -158,6 +158,33 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_entry_top_nations",
+    oracle="""
+SELECT n_name AS nation, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_entry_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` TEXT entry point (SURVEY.md §3 EP2) — identical
+    SQL runs through Spark's parser against registered views and through
+    the DuckDB oracle, proving the SQL surface itself, not just the
+    DataFrame API, matches."""
+    from deg04_local_data_lake_spark.sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name AS nation, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
     "events_props_from_json",
     oracle="""
 SELECT event_type,

@@ -48,3 +48,13 @@ def create_table(
 def show_tables(spark: SparkSession, database: str | None = None) -> DataFrame:
     """D5 (scratchpads/delta_datalake.py:77)."""
     return spark.sql(f"SHOW TABLES IN {database}" if database else "SHOW TABLES")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view, enabling the SQL-text
+    entry point (SURVEY.md §3 EP2: the reference drives DDL/queries through
+    ``spark.sql``)."""
+    from deg04_local_data_lake_spark.sources.readers import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -47,3 +47,29 @@ def write_iceberg_v2(df: DataFrame, table: str) -> None:
     """K4 DataFrameWriterV2 create-or-replace
     (custom/iceberg_demo_write.py:74-75)."""
     df.writeTo(table).createOrReplace()
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Range-clustered write: ``repartitionByRange`` + ``sortWithinPartitions``
+    on the cluster keys before writing.
+
+    The format-agnostic analog of Delta ``OPTIMIZE ZORDER BY`` for a single
+    key prefix: each output file covers a narrow key range, so parquet
+    min/max stats prune whole files for range predicates on those keys —
+    at 100 TB this is the difference between scanning 3 files and 3000 for
+    a date-range query. Range partitioning samples the keys, so file sizes
+    stay balanced even for skewed distributions.
+    """
+    cols = [df[c] for c in cluster_by]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.format(fmt).mode("overwrite").save(path)

@@ -44,6 +44,42 @@ def test_bucketed_join_has_no_exchange(spark, smoke_dir):
         spark.sql("DROP DATABASE IF EXISTS bktest")
 
 
+def test_clustered_write_prunes_files(spark, smoke_dir, tmp_path):
+    """Range-clustered output: a date-range filter must scan a strict
+    subset of the written files (parquet min/max pruning)."""
+    from deg04_local_data_lake_spark.operators.aggregates import ohlcv_quotes
+    from deg04_local_data_lake_spark.sources.writers import write_clustered
+
+    quotes = ohlcv_quotes(load_table(spark, smoke_dir, "lineitem"))
+    out = str(tmp_path / "clustered")
+    write_clustered(quotes, out, cluster_by=["trade_date"], n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == quotes.count()
+
+    # clustering proof: per-file key ranges are narrow — min and max of the
+    # whole dataset never share a file, and files are (near-)disjoint, so
+    # parquet footer min/max stats can prune range scans to few files
+    import pyarrow.parquet as pq
+
+    files = sorted((tmp_path / "clustered").glob("*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "trade_date"
+        )
+        st = md.row_group(0).column(idx).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if b[0] < a[1]
+    )
+    assert overlaps == 0, f"file key ranges overlap: {ranges}"
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from deg04_local_data_lake_spark.operators.scale import events_value_by_type_salted
 
