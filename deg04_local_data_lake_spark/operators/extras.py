@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.functions.portable import dec, exact_std_sql
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -218,6 +218,92 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_value,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice), min(o_totalprice), max(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey), CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+FROM orders
+""",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling utility: per-column row/null/distinct counts and
+    min/max in long format — the quality gate run before promoting a
+    bronze table. One pass per column here for clarity; at scale fuse them
+    into a single aggregate projection (one scan for all columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_value"),
+            F.max(col).cast("double").alias("max_value"),
+        )
+
+    return prof("o_orderkey").unionByName(prof("o_totalprice")).unionByName(
+        prof("o_custkey")
+    )
+
+
+@register(
+    "anomalous_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu,
+         {exact_std_sql("revenue")} AS sigma
+  FROM daily
+)
+SELECT order_date, revenue,
+       (revenue - mu) / sigma AS z_score
+FROM daily, stats
+WHERE revenue > mu + 2.5 * sigma
+""",
+)
+def anomalous_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection over the daily revenue series: flag days
+    above mean + 2.5σ. Stats come from the exact decimal mean and the
+    cancellation-free stddev, so the flagged set is bit-deterministic —
+    a threshold comparison on engine-varying floats would flap."""
+    from deg04_local_data_lake_spark.functions.portable import exact_avg, exact_std
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    stats = daily.agg(
+        exact_avg("revenue").alias("mu"), exact_std("revenue").alias("sigma")
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .filter(F.col("revenue") > F.col("mu") + 2.5 * F.col("sigma"))
+        .select(
+            "order_date",
+            "revenue",
+            ((F.col("revenue") - F.col("mu")) / F.col("sigma")).alias("z_score"),
+        )
     )
 
 

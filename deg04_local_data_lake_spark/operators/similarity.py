@@ -33,6 +33,35 @@ TOP_K = 5
 NPROBE = 3
 
 
+def cosine_pandas_udf():
+    """Vectorized (Arrow) scalar pandas_udf computing cosine similarity
+    between two array<double> columns — the sanctioned Python escape hatch
+    when the expression form (``int_dot``/``zip_with``) can't express the
+    math (e.g. calling into numpy/BLAS for wide embeddings). ~10-100×
+    faster than a row-at-a-time Python UDF: whole Arrow batches cross the
+    JVM↔Python boundary once.
+
+    Kept as an alternative implementation (tests assert it matches the
+    expression form); the registered queries use the pure-JVM expression
+    path, which needs no Python workers at all.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no `pd.Series` type hints — `from __future__ import annotations`
+    # turns them into strings this module can't evaluate at decoration time
+    @pandas_udf("double")
+    def cos(a, b):
+        am = np.stack(a.values)
+        bm = np.stack(b.values)
+        num = (am * bm).sum(axis=1)
+        den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos
+
+
 def quantized(col: Column) -> Column:
     """float array → exact integer micro-unit array."""
     return F.transform(col, lambda x: F.round(x.cast("double") * 1000000).cast("long"))

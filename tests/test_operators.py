@@ -106,6 +106,44 @@ def test_sessionize_gap_boundary(spark):
     assert seqs[3] == seqs[1] + 1
 
 
+def test_cosine_pandas_udf_matches_expression(spark, sf_dir):
+    """The Arrow pandas_udf cosine and the JVM expression cosine must agree
+    to float precision on real embeddings."""
+    from deg04_local_data_lake_spark.operators.similarity import (
+        cosine_pandas_udf,
+        int_dot,
+        quantized,
+    )
+    from deg04_local_data_lake_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = emb.selectExpr("vec_id AS ida", "embedding AS ea")
+    b = emb.selectExpr("vec_id AS idb", "embedding AS eb")
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        "ida",
+        "idb",
+        F.col("ea").cast("array<double>").alias("da"),
+        F.col("eb").cast("array<double>").alias("db"),
+    )
+    cos = cosine_pandas_udf()
+    qa, qb = quantized(F.col("da")), quantized(F.col("db"))
+    got = pairs.select(
+        "ida",
+        "idb",
+        cos("da", "db").alias("udf_cos"),
+        (
+            int_dot(qa, qb).cast("double")
+            / (
+                F.sqrt(int_dot(qa, qa).cast("double"))
+                * F.sqrt(int_dot(qb, qb).cast("double"))
+            )
+        ).alias("expr_cos"),
+    ).collect()
+    assert got, "no pairs"
+    for r in got:
+        assert abs(r["udf_cos"] - r["expr_cos"]) < 1e-4
+
+
 def test_top_k_deterministic_on_ties(spark):
     df = spark.createDataFrame(
         [(1, 10, "a"), (1, 10, "b"), (1, 10, "c"), (1, 9, "d")],

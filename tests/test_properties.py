@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the composite operators —
+invariants that hold for ANY input, not just the fixtures:
+
+- CDC upsert: idempotent; empty increment is identity; result keys =
+  base ∪ inc keys.
+- as-of join: matches a pure-Python reference implementation.
+
+Examples are kept small and few — each example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from deg04_local_data_lake_spark.operators.asof import asof_join
+from deg04_local_data_lake_spark.operators.cdc import cdc_upsert
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 6),                      # id
+        st.one_of(st.none(), st.text("ab", max_size=2)),  # name
+        st.integers(0, 100),                    # v
+    ),
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(base=rows, inc=rows)
+@settings(**_SETTINGS)
+def test_cdc_upsert_properties(spark, base, inc):
+    schema = "id int, name string, v int"
+    bdf = spark.createDataFrame(base, schema)
+    idf = spark.createDataFrame(inc, schema)
+    cols = ["name", "v"]
+
+    once = sorted(map(tuple, cdc_upsert(bdf, idf, "id", cols).collect()))
+
+    # keys = union of key sets
+    assert {r[0] for r in once} == {r[0] for r in base} | {r[0] for r in inc}
+
+    # inc rows win wherever non-null; base fills the rest
+    base_by, inc_by = {r[0]: r for r in base}, {r[0]: r for r in inc}
+    for rid, name, v in once:
+        b, i = base_by.get(rid), inc_by.get(rid)
+        if i and b:
+            assert name == (i[1] if i[1] is not None else b[1])
+            assert v == i[2]
+        elif i:
+            assert (name, v) == (i[1], i[2])
+        else:
+            assert (name, v) == (b[1], b[2])
+
+    # idempotence: applying the same increment again changes nothing
+    merged = spark.createDataFrame([tuple(r) for r in once], schema)
+    twice = sorted(map(tuple, cdc_upsert(merged, idf, "id", cols).collect()))
+    assert twice == once
+
+    # empty increment is identity on the base
+    empty = spark.createDataFrame([], schema)
+    same = sorted(map(tuple, cdc_upsert(bdf, empty, "id", cols).collect()))
+    assert same == sorted(map(tuple, base))
+
+
+ts_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+    max_size=8,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(left=ts_rows, right=ts_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference(spark, left, right):
+    def t(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(k, t(m), v) for k, m, v in left], "k int, ts timestamp, lv int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(m), v) for k, m, v in right], "k int, ts timestamp, rv int"
+    )
+    got = {
+        (r["k"], r["ts"]): r["asof_rv"]
+        for r in asof_join(ldf, rdf, key="k").collect()
+    }
+    for k, m, _ in left:
+        candidates = [(rm, rv) for rk, rm, rv in right if rk == k and rm <= m]
+        want = max(candidates)[1] if candidates else None
+        assert got[(k, t(m))] == want, (k, m, candidates)
