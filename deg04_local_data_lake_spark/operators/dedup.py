@@ -361,6 +361,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
+_SIMHASH_SQL = f"""
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32),
+         j -> CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) > n
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, len(wd) AS n,
+         list_transform(wd, x -> {md5_long_sql('x')}) AS hashes
+  FROM (SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+        FROM documents)
+)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sig AS ({_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_key
+  FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the four 8-bit bands of the 32-bit
+    fingerprint (hamming ≤ 3 guarantees an exact band match by pigeonhole —
+    banding is the recall knob), verify with exact ``bit_count(xor)``.
+    Same shuffle economics as MinHash-LSH: volume ∝ band collisions, not
+    pairs². Threshold 1 here: 32-bit codes saturate on a narrow-vocabulary
+    corpus like the testdata (most docs share majority words); production
+    text wants 64-bit codes and a looser threshold."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        # expr form: F.shiftright only takes a literal bit count
+        "band_key", F.expr("shiftright(simhash, 8 * band) & 255")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 @register(

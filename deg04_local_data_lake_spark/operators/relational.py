@@ -25,23 +25,26 @@ def parse_listing_name(df: DataFrame, col: str = "name") -> DataFrame:
     """F1-F5 + P1-P2 (custom/delta_table_write.py:61-69): split a
     '·'-separated composite into typed columns, handling the optional
     ``★rating`` second token (tokens shift left when absent)."""
+    # F.get (not getItem): ANSI mode turns out-of-bounds getItem into an
+    # error; get returns NULL, matching the reference's ANSI-off behavior
+    # on short composites (FIXTURES.md F3 edge cases)
     tok = F.split(F.col(col), "·")
-    has_rating = F.trim(tok.getItem(1)).startswith("★")
+    has_rating = F.trim(F.get(tok, 1)).startswith("★")
     return (
-        df.withColumn("description", F.trim(tok.getItem(0)))
+        df.withColumn("description", F.trim(F.get(tok, 0)))
         .withColumn(
             "reviews",
             F.when(
-                has_rating, F.regexp_replace(F.trim(tok.getItem(1)), "★", "")
+                has_rating, F.regexp_replace(F.trim(F.get(tok, 1)), "★", "")
             ).otherwise(F.lit(None).cast("string")),
         )
         .withColumn(
             "bedrooms",
-            F.when(has_rating, F.trim(tok.getItem(2))).otherwise(F.trim(tok.getItem(1))),
+            F.when(has_rating, F.trim(F.get(tok, 2))).otherwise(F.trim(F.get(tok, 1))),
         )
         .withColumn(
             "beds",
-            F.when(has_rating, F.trim(tok.getItem(3))).otherwise(F.trim(tok.getItem(2))),
+            F.when(has_rating, F.trim(F.get(tok, 3))).otherwise(F.trim(F.get(tok, 2))),
         )
         .drop(col)
     )

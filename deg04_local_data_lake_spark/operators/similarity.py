@@ -138,6 +138,39 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "normalize_embeddings",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q)
+SELECT vec_id,
+       list_transform(qe, x -> CAST(x AS DOUBLE) / nrm) AS unit_vec,
+       nrm / 1000000.0 AS l2_norm
+FROM n
+""",
+)
+def normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (unit vectors + norms) — the standard prep
+    so cosine becomes a plain dot product downstream. Per-row expression
+    work only; deterministic through the quantized-integer norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantized(F.col("embedding")).alias("qe"))
+    n = q.select(
+        "vec_id", "qe", F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm")
+    )
+    return n.select(
+        "vec_id",
+        F.transform(F.col("qe"), lambda x: x.cast("double") / F.col("nrm")).alias(
+            "unit_vec"
+        ),
+        (F.col("nrm") / 1000000.0).alias("l2_norm"),
+    )
+
+
+@register(
     "similarity_ivf_topk",
     oracle=f"""
 WITH q AS ({_QUANT_SQL}),

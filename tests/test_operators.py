@@ -106,6 +106,27 @@ def test_sessionize_gap_boundary(spark):
     assert seqs[3] == seqs[1] + 1
 
 
+def test_parse_listing_name_edge_cases(spark):
+    """FIXTURES.md F3 edge cases: NULL name, fewer-than-4 tokens, and the
+    no-rating positional shift."""
+    from deg04_local_data_lake_spark.operators.relational import parse_listing_name
+
+    df = spark.createDataFrame(
+        [
+            (1, "Cozy loft · ★4.85 · 2 bedrooms · 2 beds"),
+            (2, "Plain room · 1 bedrooms · 1 beds"),   # no rating: shift left
+            (3, None),                                  # NULL name
+            (4, "Just a title"),                        # too few tokens
+        ],
+        "id int, name string",
+    )
+    rows = {r["id"]: r for r in parse_listing_name(df).collect()}
+    assert rows[1]["reviews"] == "4.85" and rows[1]["bedrooms"] == "2 bedrooms"
+    assert rows[2]["reviews"] is None and rows[2]["bedrooms"] == "1 bedrooms"
+    assert rows[3]["description"] is None and rows[3]["beds"] is None
+    assert rows[4]["description"] == "Just a title" and rows[4]["bedrooms"] is None
+
+
 def test_cosine_pandas_udf_matches_expression(spark, sf_dir):
     """The Arrow pandas_udf cosine and the JVM expression cosine must agree
     to float precision on real embeddings."""
