@@ -59,10 +59,11 @@ def exact_std(c: Column | str, q_scale: int = 4) -> Column:
 
         stddev = sqrt(num / (n·(n−1))) / 10^q_scale
 
-    Width budget (documented limits): |q| < 10^19, Σq² < 10^25 — i.e. group
-    sizes up to ~10^6 rows of values up to ~10^9·10^-q_scale. For larger
-    groups raise the widths (DuckDB caps decimal multiply at width 38, so
-    operand widths must be rebalanced, not just increased).
+    Width budget (documented limits): |q| < 10^19, Σq² < 10^28 — e.g.
+    10^6-row groups of values up to ~10^7, or 10^4-row groups up to ~10^8
+    (at q_scale=4). The count×powersum multiply pins the widths: DuckDB
+    requires operand widths to sum ≤ 38, so COUNT gets (10,0) and Σq² gets
+    (28,0) — rebalance, don't just widen, if a larger budget is needed.
 
     DuckDB twin: :func:`exact_std_sql`.
     """
@@ -70,7 +71,7 @@ def exact_std(c: Column | str, q_scale: int = 4) -> Column:
     qd = (dec(c, f"decimal(18,{q_scale})") * (10**q_scale)).cast("decimal(19,0)")
     n = F.count(F.lit(1))
     s1 = F.sum(qd).cast("decimal(19,0)")
-    s2 = F.sum(qd * qd).cast("decimal(25,0)")
+    s2 = F.sum(qd * qd).cast("decimal(28,0)")
     num = n.cast("decimal(10,0)") * s2 - s1 * s1
     return F.when(
         n > 1, F.sqrt(num.cast("double") / (n * (n - 1))) / scale_f
@@ -86,7 +87,7 @@ def exact_std_sql(expr: str, q_scale: int = 4) -> str:
     # correctly rounded strtod conversion, matching Java's BigInteger path.
     return (
         "CASE WHEN COUNT(*) > 1 THEN sqrt(CAST(CAST("
-        f"CAST(COUNT(*) AS DECIMAL(10,0)) * CAST(SUM({qd} * {qd}) AS DECIMAL(25,0))"
+        f"CAST(COUNT(*) AS DECIMAL(10,0)) * CAST(SUM({qd} * {qd}) AS DECIMAL(28,0))"
         f" - CAST(SUM({qd}) AS DECIMAL(19,0)) * CAST(SUM({qd}) AS DECIMAL(19,0))"
         f" AS VARCHAR) AS DOUBLE) / (COUNT(*) * (COUNT(*) - 1))) / {p}.0 ELSE NULL END"
     )

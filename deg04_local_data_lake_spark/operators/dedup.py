@@ -5,23 +5,24 @@ Five escalating strategies over ``documents`` / ``embeddings``:
 
 - exact       — hash-groupBy canonicalization (one shuffle on the hash)
 - n-gram Jaccard — exact pairwise set similarity via shingle join
-- MinHash     — per-doc signatures via higher-order functions (NO shuffle,
-                no explode: ``array_min(transform(shingles, hash))`` per
-                hash function, computed in one codegen stage per row)
-- MinHash LSH — band the signatures, join on band to get candidate pairs
-                (the 100 TB path: shuffle volume ∝ candidates, not pairs²)
-- SimHash     — 32-bit sign-sum fingerprint, again per-row higher-order
-                functions, zero shuffle
+- MinHash     — shingle rows (posexplode + window lead, all codegen) →
+                one md5 per shingle → 16 linear permutations as plain
+                ``min`` aggregates; a single doc_id exchange end to end
+- MinHash LSH — hash signature bands, bucket-collect, expand in-bucket
+                pairs (the 100 TB path: shuffle ∝ collisions, not pairs²)
+- SimHash     — 32-bit sign-sum fingerprint per row (zero shuffle) +
+                band-blocked hamming pairs
 
-Portability: every hash is the 60-bit md5 prefix (functions/portable.py
-``md5_long``) so Spark and the DuckDB oracle produce identical signatures.
+Portability: every hash derives from md5 digest prefixes
+(functions/portable.py) so Spark and the DuckDB oracle produce identical
+signatures bit for bit.
 
-Scale notes: brute-force ``ngram_jaccard_pairs`` is O(docs·shingles) join
+Scale notes: brute-force ``dedup_ngram_jaccard`` is O(docs·shingles) join
 fan-out — correct as a *verify* step on LSH candidates, never as the
-全-corpus pass; that is exactly how ``dedup_minhash_pairs`` composes
-(band-join candidates → exact verify). The per-row signature builders cost
-16 md5 calls per shingle but zero network; at 1000 executors they scale
-linearly with input bytes.
+whole-corpus pass; that is exactly how ``dedup_minhash_pairs`` composes
+(band-join candidates → exact verify). The signature build costs one md5
+per shingle and zero network beyond its single keyed exchange; at 1000
+executors it scales linearly with input bytes.
 """
 
 from __future__ import annotations

@@ -37,6 +37,25 @@ def test_no_row_python_udf_anywhere(spark, sf_dir, name):
     explain.assert_no_python_row_udf(df)
 
 
+def test_partitioned_bronze_prunes_partitions(spark, smoke_dir, tmp_path):
+    """Dynamic partition pruning contract: a date-filtered read of the
+    partitioned bronze table must carry PartitionFilters and scan a subset
+    of partition directories."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.pipelines.medallion import run_medallion
+
+    paths = run_medallion(spark, smoke_dir, str(tmp_path / "lake"))
+    bronze = spark.read.parquet(paths["bronze"])
+    some_day = bronze.select("trade_date").limit(1).collect()[0][0]
+    filtered = bronze.filter(F.col("trade_date") == F.lit(some_day))
+    plan = explain.formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "trade_date" in plan
+    n_dirs = len(list((tmp_path / "lake" / "bronze" / "stock_quotes").glob("trade_date=*")))
+    assert filtered.count() > 0
+    assert n_dirs > 1  # pruning is meaningful: many partitions exist
+
+
 def test_minhash_single_exchange(spark, sf_dir):
     """Shingle window + signature groupBy must share one doc_id exchange."""
     df = registry.queries()["dedup_minhash_signatures"](spark, sf_dir)
