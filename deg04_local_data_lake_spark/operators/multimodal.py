@@ -121,6 +121,46 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: stride-2 byte downsample — the deterministic
+    stand-in for an image resize (production: PIL thumbnail inside the same
+    loop; batch shape identical)."""
+    for pdf in it:
+        data = pdf["data"]
+        resized = data.map(lambda b: bytes(b[::2]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "resized_hex": resized.map(lambda b: b.hex()),
+                "orig_bytes": data.map(len).astype("int64"),
+                "new_bytes": resized.map(len).astype("int64"),
+            }
+        )
+
+
+@register(
+    "mm_resize",
+    oracle="""
+SELECT doc_id,
+       list_reduce(list_transform(range(0, 32),
+                   i -> substr(repeat(md5(text), 4), 4 * i + 1, 2)),
+                   (a, b) -> a || b) AS resized_hex,
+       64::BIGINT AS orig_bytes,
+       32::BIGINT AS new_bytes
+FROM documents
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: every-other-byte downsample of the packed payload via
+    mapInPandas (the resize slot in a decode→resize→encode media pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "data")
+    return media.mapInPandas(
+        resize_batches,
+        schema="doc_id long, resized_hex string, orig_bytes long, new_bytes long",
+    )
+
+
 def sample_frames_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: fixed-stride frame sampling from a packed binary
     payload (video-frame analog: production replaces the slice with an

@@ -176,6 +176,38 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_P = 9007199254740881  # largest prime < 2^53: acc*31 stays in int64
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(lower(trim(text)), ''), x -> ascii(x)::BIGINT),
+         (acc, c) -> (acc * 31 + c) % {ROLL_P}) AS rolling_hash,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (h = h·31 + c mod p) over the normalized
+    text — the incremental-update fingerprint family (Rabin-Karp style)
+    used for chunk-level dedup, computed as a higher-order fold in both
+    engines with identical int64 arithmetic (p < 2^53 keeps acc·31 exact).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.lower(F.trim(F.col("text"))), "")
+    roll = F.aggregate(
+        F.transform(chars, lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % ROLL_P,
+    )
+    return docs.select(
+        "doc_id", roll.alias("rolling_hash"), F.length("text").alias("n_chars")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""
