@@ -147,6 +147,47 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_cascade",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: minute → hour → day, each level
+    re-aggregating the previous level's partials (counts sum, decimal sums
+    sum — associativity is what makes continuous aggregates valid). The
+    oracle aggregates raw rows directly, so the test IS the proof that the
+    cascade loses nothing. At scale each level is a materialized rollup
+    table ~60× smaller than the last; queries hit the coarsest level that
+    answers them."""
+    events = load_table(spark, sf_dir, "events")
+    minute = events.groupBy(
+        F.window("ts", "1 minute").getField("start").alias("minute"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+    return (
+        hour.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "fill_missing_days",
     oracle="""
 WITH daily AS (
