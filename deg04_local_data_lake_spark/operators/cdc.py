@@ -135,8 +135,14 @@ def cdc_upsert_foreach_batch(
     merged.write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(snapshot_path)
+    # swap with the old snapshot parked aside, so a crash at any point
+    # leaves a complete copy recoverable (staged or backup) — never a
+    # window with no snapshot at all
+    bak = snapshot_path.rstrip("/") + "__bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    shutil.move(snapshot_path, bak)
     shutil.move(tmp, snapshot_path)
+    shutil.rmtree(bak)
 
 
 _EMP_BASE = [(1, "Alice", 30, 50000), (2, "Bob", 35, 60000), (3, "Carol", 28, 55000)]

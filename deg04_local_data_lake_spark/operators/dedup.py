@@ -309,26 +309,22 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- SimHash
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-WITH w AS (
-  SELECT doc_id,
-         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
-  FROM documents
-),
-h AS (
-  SELECT doc_id, len(wd) AS n,
-         list_transform(wd, x -> {md5_long_sql('x')}) AS hashes
-  FROM w
-)
+_SIMHASH_SQL = f"""
 SELECT doc_id,
        CAST(list_sum(list_transform(range(0, 32),
          j -> CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) > n
                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-FROM h
-""",
+FROM (
+  SELECT doc_id, len(wd) AS n,
+         list_transform(wd, x -> {md5_long_sql('x')}) AS hashes
+  FROM (SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+        FROM documents)
 )
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over distinct words: bit j is set when more than half
     the word hashes have bit j set. Nested higher-order functions — one
@@ -360,21 +356,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(1, 32):
         simhash = simhash + bit(j)
     return d.select("doc_id", simhash.cast("bigint").alias("simhash"))
-
-
-_SIMHASH_SQL = f"""
-SELECT doc_id,
-       CAST(list_sum(list_transform(range(0, 32),
-         j -> CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) & 1 = 1)) > n
-                   THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-FROM (
-  SELECT doc_id, len(wd) AS n,
-         list_transform(wd, x -> {md5_long_sql('x')}) AS hashes
-  FROM (SELECT doc_id,
-               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
-        FROM documents)
-)
-"""
 
 
 @register(
@@ -457,16 +438,13 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the label-block join is the generalization of LSH bucketing —
     shuffle on block key, quadratic only within blocks.
     """
+    # the determinism-critical quantization and integer dot product are
+    # shared with similarity search — one definition, one semantics
+    from deg04_local_data_lake_spark.operators.similarity import int_dot, quantized
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qe = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long")
-    )
-    dot = lambda u, v: F.aggregate(
-        F.zip_with(u, v, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    q = emb.select("vec_id", "label", qe.alias("qe"))
+    dot = int_dot
+    q = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("qe"))
     n = q.select(
         "vec_id", "label", "qe", F.sqrt(dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm")
     )

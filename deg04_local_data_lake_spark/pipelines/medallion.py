@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.operators.aggregates import (
+    _CLOSE_SQL,
+    _OHLCV_SQL,
+    _OPEN_SQL,
     asset_performance,
     market_trend,
     monthly_summary,
@@ -82,21 +85,16 @@ def run_medallion(
 
 @register(
     "silver_scd2_snapshot",
-    oracle="""
-WITH quotes AS (
-SELECT CAST(l_shipdate AS DATE) AS trade_date,
-       'T' || CAST(l_suppkey % 5 AS VARCHAR) AS ticker,
-       l_extendedprice AS price,
-       l_quantity AS volume,
-       ((l_orderkey * 8 + l_linenumber) * 65536 + l_partkey) * 65536 + l_suppkey AS seq
-FROM lineitem
-)
+    # oracle reuses the aggregates module's shared SQL fragments so the
+    # quote projection and open/close semantics cannot silently diverge
+    oracle=f"""
+WITH quotes AS ({_OHLCV_SQL})
 SELECT trade_date, ticker,
-       (min({'s': seq, 'p': price})).p AS opening_price,
-       (max({'s': seq, 'p': price})).p AS closing_price,
+       {_OPEN_SQL} AS opening_price,
+       {_CLOSE_SQL} AS closing_price,
        max(price) AS high_price,
        min(price) AS low_price,
-       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS average_volume,
+       CAST(SUM(CAST(volume AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS average_volume,
        TRUE AS is_active,
        1 AS version,
        trade_date AS valid_from,

@@ -71,6 +71,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with integer division — ``ts DIV 1000`` — to microseconds; float
     division would lose precision above 2^53 ns. DuckDB truncates
     nanos→micros the same way, so values stay oracle-identical.
+
+    The result is TIMESTAMP_NTZ (wall time), built with ``timestampadd`` on
+    an NTZ epoch — ``timestamp_micros`` would give TIMESTAMP_LTZ, whose
+    collected value depends on the machine/session timezone and breaks
+    oracle comparison off-UTC. Every other testdata timestamp is already
+    read as NTZ.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -78,7 +84,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

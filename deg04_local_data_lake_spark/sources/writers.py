@@ -25,7 +25,11 @@ def write_lake_table(
     """Unified sink covering the reference's write surface:
 
     - K1 delta/parquet overwrite by path (custom/delta_table_write.py:72-75)
-    - K2 ``mergeSchema`` evolution     (financial_dl_etl.py:66,81,99)
+    - K2 ``mergeSchema`` evolution     (financial_dl_etl.py:66,81,99).
+      NB: only Delta honors mergeSchema at WRITE time; for plain parquet
+      schema union happens at READ (``spark.read.option("mergeSchema",
+      "true")``) — the flag is passed through for format parity but parquet
+      callers must merge on read, as the pipeline tests do.
     - K3 ``overwriteSchema``           (scratchpads/delta_datalake.py:74)
     - K5 saveAsTable                   (scratchpads/iceberg_data_lake.py:65)
     - K6 partitioned write             (financial_dl_bronze.py:26)

@@ -35,6 +35,9 @@ from deg04_local_data_lake_spark.sources.readers import load_table
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
+        # LTZ: Spark watermarks/event-time require TIMESTAMP (not NTZ) —
+        # stream sources carry instants; the oracle-facing batch reader
+        # (sources/readers.py) uses NTZ wall time instead
         StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),

@@ -21,10 +21,16 @@ def _run_stream_to_memory(df, name: str):
 
 
 def _events_as_stream(spark, smoke_dir, tmp_path):
-    # re-write events as micros-timestamped parquet the stream can read
-    batch = load_table(spark, smoke_dir, "events")
+    # stream sources need LTZ event time (watermark requirement); write an
+    # LTZ copy and read the batch twin from the SAME source so stream and
+    # batch results are comparable under any timezone
+    from pyspark.sql import functions as F
+
     src = str(tmp_path / "events_stream_src")
-    batch.write.parquet(src)
+    load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
+    batch = spark.read.schema(ingest.EVENTS_SCHEMA).parquet(src)
     return batch, ingest.read_event_stream(spark, src)
 
 
