@@ -130,6 +130,137 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24.0
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: pure filter + global aggregate — every predicate
+    (date range, discount band, quantity) reaches the parquet scan as a
+    pushed filter; at scale this is a stats-only skip for most row groups.
+    Product summed exactly in the decimal domain (sum < 2^53 units)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount", "decimal(8,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) > 150.0
+)
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) > 150.0
+) q ON o_orderkey = q.l_orderkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: HAVING on an aggregated fact (orders whose total
+    quantity exceeds a threshold) joined back to the order header. The
+    aggregate's output is small (filtered groups), so Spark demotes the
+    join to broadcast under AQE — check the final plan, not the initial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", "decimal(8,4)")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+        "total_qty",
+    )
+
+
+@register(
+    "fuzzy_match_names",
+    oracle="""
+SELECT c.c_name AS customer_name, s.s_name AS supplier_name,
+       levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS edit_distance
+FROM customer c JOIN supplier s
+  ON substr(c.c_name, 10, 7) = substr(s.s_name, 10, 7)
+ AND levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 1
+""",
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution with blocking: candidate pairs share
+    the first 7 digits of the 9-digit entity id (the equi-join key — this
+    is what keeps it off the quadratic cliff), verified by exact
+    Levenshtein ≤ 1 on the full id. The entity-resolution sibling of the
+    dedup family: block → verify, shuffle ∝ block collisions."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c_id, s_id = F.expr("substr(c_name, 10)"), F.expr("substr(s_name, 10)")
+    lev = F.levenshtein(c_id, s_id)
+    return (
+        customer.join(
+            supplier,
+            (F.substring("c_name", 10, 7) == F.substring("s_name", 10, 7)) & (lev <= 1),
+        )
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("s_name").alias("supplier_name"),
+            lev.alias("edit_distance"),
+        )
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 25.0) * 25 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type — one hash aggregate over
+    (type, bin). NB the bin expression avoids a bare double→int cast,
+    which ROUNDS in DuckDB but truncates in Spark; floor semantics are
+    spelled out so both engines bin identically."""
+    events = load_table(spark, sf_dir, "events")
+    bin_lo = (F.floor(F.col("value") / 25.0) * 25).cast("bigint")
+    return events.groupBy("event_type", bin_lo.alias("bin_lo")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "orders_above_customer_avg",
     oracle="""
 WITH stats AS (
