@@ -409,6 +409,93 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ dedup cluster closure
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, node_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: each node's
+    label becomes the min of its own and its neighbors' labels until a
+    fixpoint. Converges in O(diameter) rounds — near-dup clusters are
+    shallow, so a handful of distributed joins; the driver loop only checks
+    the converged flag (a count), never the data.
+
+    Returns (node_col, cluster_id) for every node (singletons keep their
+    own id as cluster). This is the step that turns pair lists
+    (minhash/simhash/embedding) into dedup groups with one canonical
+    survivor each.
+    """
+    bi = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            bi.join(labels, bi.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.08
+),
+bi AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       UNION ALL SELECT doc_b, doc_a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM bi
+    UNION
+    SELECT r.src, bi.dst FROM r JOIN bi ON r.dst = bi.src
+  ) SELECT * FROM r
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(reach.dst), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN reach ON reach.src = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard ≥ 0.08 pairs → connected components →
+    (doc_id, cluster_id = min doc in component). The Spark side runs
+    distributed label propagation; the oracle computes the same closure via
+    a recursive CTE — two genuinely different algorithms, one fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges, docs)
+
+
 # ------------------------------------------------- embedding near-dup
 
 @register(
