@@ -307,6 +307,76 @@ def anomalous_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# keep rates per source (testdata sources are src0..src19; unlisted → 0.1)
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.9, "src2": 1.0, "src3": 0.7, "src4": 0.3}
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS.items())}
+            ELSE 0.1 END AS DOUBLE) AS keep_rate
+FROM documents
+WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      < CAST(1000 * (CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS.items())}
+                     ELSE 0.1 END) AS BIGINT)
+""",
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source keep rates applied via the
+    content-stable hash — how training mixtures reweight web vs books vs
+    code. Deterministic and partitioning-independent, unlike
+    ``df.sample`` (seeded sampling shifts when the file split changes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0.1)
+    for k, v in reversed(MIXTURE_WEIGHTS.items()):
+        rate = F.when(F.col("source") == k, F.lit(v)).otherwise(rate)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return docs.filter(h % 1000 < (1000 * rate).cast("bigint")).select(
+        "doc_id", "source", rate.alias("keep_rate")
+    )
+
+
+@register(
+    "sample_token_budget",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 2500
+""",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget quota: keep documents (stable doc_id order)
+    until each source's cumulative token count hits the budget — the
+    corpus-capping step of a mixture pipeline. One window shuffle on
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = docs.select("doc_id", "source", F.size(words).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 2500)
+    )
+
+
 @register(
     "pack_sequences",
     oracle="""

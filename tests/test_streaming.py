@@ -93,6 +93,34 @@ def test_stateful_running_stats_converges_to_batch(spark, smoke_dir, tmp_path):
     assert final == want
 
 
+def test_stream_dedup_within_watermark(spark, smoke_dir, tmp_path):
+    """Exactly-once ingestion semantics: duplicate event_ids across
+    microbatches are dropped by dropDuplicatesWithinWatermark."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dup_src")
+    base = load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).limit(200)
+    base.write.parquet(src)
+    base.write.mode("append").parquet(src)  # a full duplicate delivery
+
+    stream = ingest.read_event_stream(spark, src)
+    deduped = stream.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").count()
+    assert got == base.count()  # each event exactly once despite redelivery
+
+
 def test_foreach_batch_cdc_upsert(spark, tmp_path):
     """Streaming CDC: microbatches of changes merged onto a parquet
     snapshot via foreachBatch."""
