@@ -169,19 +169,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
 WITH big AS (
-  SELECT l_orderkey
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) > 150.0
 )
 SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
        o_totalprice, total_qty
-FROM orders
-JOIN (
-  SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) AS total_qty
-  FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))) AS DOUBLE) > 150.0
-) q ON o_orderkey = q.l_orderkey
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
 """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

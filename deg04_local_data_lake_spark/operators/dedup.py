@@ -123,11 +123,10 @@ SELECT doc_id, list_distinct(sh) AS shingles FROM (
 """
 
 
-# ------------------------------------------------------- n-gram Jaccard
+JACCARD_THRESHOLD = 0.08
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# shared CTE chain: shingle sets -> exploded rows -> pair intersections
+_JACCARD_PAIRS_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
 pairs AS (
@@ -136,10 +135,19 @@ pairs AS (
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
+"""
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+{_JACCARD_PAIRS_SQL}
 SELECT doc_a, doc_b, inter,
        inter / (n_a + n_b - inter) AS jaccard
 FROM pairs
-WHERE inter / (n_a + n_b - inter) >= 0.08
+WHERE inter / (n_a + n_b - inter) >= {JACCARD_THRESHOLD}
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +176,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return pairs.select("doc_a", "doc_b", "inter", jac.alias("jaccard")).filter(
-        jac >= 0.08
+        jac >= JACCARD_THRESHOLD
     )
 
 
@@ -425,10 +433,15 @@ def connected_components(
     (minhash/simhash/embedding) into dedup groups with one canonical
     survivor each.
     """
-    bi = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    # materialize the (possibly expensive) edge pipeline once — every round
+    # joins against it
+    bi = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             bi.join(labels, bi.dst == labels.node)
@@ -443,6 +456,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            # checkpoint BEFORE the convergence check so the plan runs once
+            # per round and lineage stays flat
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -451,25 +467,26 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter — "
+            "returning partial labels would silently split components"
+        )
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
 
 
 @register(
     "dedup_clusters",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
-ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-),
+{_JACCARD_PAIRS_SQL},
 edges AS (
-  SELECT doc_a, doc_b FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.08
+  SELECT doc_a, doc_b FROM pairs
+  WHERE inter / (n_a + n_b - inter) >= {JACCARD_THRESHOLD}
 ),
 bi AS (SELECT doc_a AS src, doc_b AS dst FROM edges
        UNION ALL SELECT doc_b, doc_a FROM edges),

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deg04_local_data_lake_spark.functions.portable import dec, exact_std_sql
+from deg04_local_data_lake_spark.functions.portable import (
+    dec,
+    exact_std_sql,
+    md5_long,
+    md5_long_sql,
+)
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -318,9 +323,9 @@ SELECT doc_id, source,
        CAST(CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS.items())}
             ELSE 0.1 END AS DOUBLE) AS keep_rate
 FROM documents
-WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
-      < CAST(1000 * (CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS.items())}
-                     ELSE 0.1 END) AS BIGINT)
+WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)", "mix")} % 1000
+      < CAST(round(1000 * (CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS.items())}
+                     ELSE 0.1 END)) AS BIGINT)
 """,
 )
 def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,12 +337,10 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(0.1)
     for k, v in reversed(MIXTURE_WEIGHTS.items()):
         rate = F.when(F.col("source") == k, F.lit(v)).otherwise(rate)
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return docs.filter(h % 1000 < (1000 * rate).cast("bigint")).select(
+    h = md5_long(F.col("doc_id").cast("string"), salt="mix")
+    # round before the cast: a bare double cast truncates in Spark but the
+    # oracle's exact-decimal cast rounds — diverges for non-exact weights
+    return docs.filter(h % 1000 < F.round(1000 * rate).cast("bigint")).select(
         "doc_id", "source", rate.alias("keep_rate")
     )
 

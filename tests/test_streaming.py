@@ -98,10 +98,16 @@ def test_stream_dedup_within_watermark(spark, smoke_dir, tmp_path):
     microbatches are dropped by dropDuplicatesWithinWatermark."""
     from pyspark.sql import functions as F
 
-    src = str(tmp_path / "dup_src")
-    base = load_table(spark, smoke_dir, "events").withColumn(
+    # stage a fixed batch first: LIMIT without ORDER BY is nondeterministic
+    # across executions, so re-running `base.write` twice could deliver two
+    # DIFFERENT subsets instead of a true duplicate
+    staged = str(tmp_path / "staged")
+    load_table(spark, smoke_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
-    ).limit(200)
+    ).limit(200).write.parquet(staged)
+    base = spark.read.parquet(staged)
+
+    src = str(tmp_path / "dup_src")
     base.write.parquet(src)
     base.write.mode("append").parquet(src)  # a full duplicate delivery
 
