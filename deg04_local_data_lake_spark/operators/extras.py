@@ -201,6 +201,42 @@ def median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_price_deciles",
+    oracle="""
+WITH d AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile,
+       COUNT(*) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM d GROUP BY decile
+""",
+)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile boundaries via NTILE over a total order (orderkey
+    tiebreak) — the distribution-profiling companion to the discrete
+    median. NB: an unpartitioned NTILE is a global sort; fine for a
+    150k-row dimension profile, but at fact scale compute quantiles from a
+    pre-aggregated value histogram instead (events_value_histogram)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
     "sample_train_split",
     oracle="""
 SELECT doc_id, lang,
