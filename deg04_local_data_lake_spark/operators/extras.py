@@ -201,6 +201,57 @@ def median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fk_integrity_audit",
+    oracle="""
+SELECT 'lineitem.l_orderkey -> orders' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+""",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each foreign key via
+    anti joins — the other half of the bronze promotion gate next to
+    ``profile_orders``. Each check is one anti join; small dimension sides
+    broadcast, and a healthy lake reports all zeros (as here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    def orphans(fact, dim_keys, cond, label):
+        return fact.join(dim_keys, cond, "left_anti").agg(
+            F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_violations")
+        )
+
+    return (
+        orphans(li, orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"),
+                "lineitem.l_orderkey -> orders")
+        .unionByName(orphans(orders, customer.select("c_custkey"),
+                             orders.o_custkey == F.col("c_custkey"),
+                             "orders.o_custkey -> customer"))
+        .unionByName(orphans(customer, nation.select("n_nationkey"),
+                             customer.c_nationkey == F.col("n_nationkey"),
+                             "customer.c_nationkey -> nation"))
+        .unionByName(orphans(li, part.select("p_partkey"),
+                             li.l_partkey == F.col("p_partkey"),
+                             "lineitem.l_partkey -> part"))
+    )
+
+
+@register(
     "order_price_deciles",
     oracle="""
 WITH d AS (

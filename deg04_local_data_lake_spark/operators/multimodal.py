@@ -33,6 +33,40 @@ FRAME_BYTES = 16  # synthetic "frame" size inside the 64-byte payload
 SAMPLED_FRAMES = (0, 2)
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executors (``addPyFile`` zip).
+
+    The mapInPandas worker functions here are module-level, so cloudpickle
+    serializes them BY REFERENCE — Python workers must import
+    ``deg04_local_data_lake_spark``. When the driving process runs from a
+    different cwd (as the external harness does), the package isn't on the
+    workers' path; distributing a zip makes the import work everywhere.
+    Idempotent: the zip is built once per process and re-adding is a no-op.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    import deg04_local_data_lake_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "deg04_local_data_lake_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "deg04_local_data_lake_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
 def decode_image(data: bytes) -> object:
     """STUB — image codecs are not available in this environment.
 
@@ -110,6 +144,7 @@ FROM bytes
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → features through a real Arrow mapInPandas stage; the
     deterministic payload gives the pandas code an exact SQL oracle."""
+    ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_columns(docs).select(
         "doc_id", "data", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
@@ -153,6 +188,7 @@ FROM documents
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage: every-other-byte downsample of the packed payload via
     mapInPandas (the resize slot in a decode→resize→encode media pipeline)."""
+    ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_columns(docs).select("doc_id", "data")
     return media.mapInPandas(
@@ -189,6 +225,7 @@ FROM documents,
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every other 16-byte frame of the 64-byte payload) —
     a row-expanding mapInPandas stage, the shape video pipelines need."""
+    ensure_workers_can_import(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_columns(docs).select("doc_id", "data")
     return media.mapInPandas(
