@@ -240,9 +240,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"), F.col("nrm").alias("q_nrm")
     )
-    # drop label: qex and cent share lineage through ex, and a duplicated
-    # label column would make the post-join groupBy reference ambiguous
-    qex = ex.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "pos", "v")
+    # explode only the query vectors (not a filter over the full corpus
+    # explode — |queries|×|dim| rows instead of |corpus|×|dim|); also keeps
+    # qex lineage-independent of cent's ex, avoiding ambiguous label refs
+    qex = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.posexplode("qe").alias("pos0", "v"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    )
     cell_score = (
         qex.join(F.broadcast(cent), "pos")
         .groupBy(F.col("vec_id").alias("query_id"), "label")

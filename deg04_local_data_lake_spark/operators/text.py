@@ -176,6 +176,41 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) u
+),
+counts AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_shingles,
+       CAST(max(c) AS BIGINT) AS max_repeat,
+       max(c) / SUM(c) AS repetition_ratio
+FROM counts GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition filter: the most frequent 3-gram's share of
+    all 3-grams per document — high values flag templated or looping text
+    (a standard pre-training quality gate alongside ``text_quality``).
+    Two aggregations over the same doc_id partitioning — one exchange."""
+    from deg04_local_data_lake_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = shingle_rows(docs).groupBy("doc_id", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.max("c").cast("bigint").alias("max_repeat"),
+        (F.max("c") / F.sum("c")).alias("repetition_ratio"),
+    )
+
+
 ROLL_P = 9007199254740881  # largest prime < 2^53: acc*31 stays in int64
 
 
