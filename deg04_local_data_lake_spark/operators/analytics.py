@@ -234,6 +234,100 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       COUNT(*) AS active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each subsequent day they return (first week). Two aggregations over the
+    user partitioning + one broadcastable first-seen join — the canonical
+    product-analytics query."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        events.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", F.col("day_offset").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+WITH stage_ts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CASE
+         WHEN t_signup IS NOT NULL AND t_view > t_signup
+              AND t_click > t_view AND t_purchase > t_click THEN 4
+         WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view THEN 3
+         WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 2
+         WHEN t_signup IS NOT NULL THEN 1
+         ELSE 0
+       END AS funnel_stage
+FROM stage_ts
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: deepest signup→view→click→purchase stage each user
+    reached in strict time order — one conditional-aggregate pass (the
+    FILTER clauses are Spark's when-inside-min), no self-joins. NULL
+    comparisons fall through the CASE naturally in both engines."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(ev):
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    stage_ts = events.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    ok1 = F.col("t_signup").isNotNull()
+    ok2 = ok1 & (F.col("t_view") > F.col("t_signup"))
+    ok3 = ok2 & (F.col("t_click") > F.col("t_view"))
+    ok4 = ok3 & (F.col("t_purchase") > F.col("t_click"))
+    return stage_ts.select(
+        "user_id",
+        F.when(ok4, 4).when(ok3, 3).when(ok2, 2).when(ok1, 1).otherwise(0).alias(
+            "funnel_stage"
+        ),
+    )
+
+
+@register(
     "events_value_histogram",
     oracle="""
 SELECT event_type,
