@@ -201,6 +201,116 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: orders with at least one lineitem shipped after the
+    order date, counted per priority — the EXISTS-correlated-subquery shape
+    expressed as a LEFT SEMI join. The semi join stops probing an order on
+    first match and emits each order at most once, so no post-join
+    distinct is needed; at scale both sides shuffle once on orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE} END) AS DOUBLE)
+            / CAST(SUM({_REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_share_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-12-01 00:00:00'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: share of revenue from promo parts in a date
+    window — conditional aggregation (SUM over a CASE) atop a broadcast
+    part join. Both sums are exact decimals; only the final division runs
+    in double, which is a single deterministic IEEE op in both engines."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-12-01 00:00:00").cast("timestamp"))
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue())
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(promo_rev).cast("double")
+                / F.sum(_revenue()).cast("double")
+            )
+            .cast("double")
+            .alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q19_banded_discounts",
+    oracle=f"""
+SELECT CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_banded_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: disjunction of per-brand (size, quantity) bands —
+    the OR-of-ANDs predicate that defeats naive pushdown. The equi-join
+    stays a broadcast hash join on partkey; Catalyst additionally extracts
+    the common quantity envelope (1..40) as a scan-level filter, so the
+    disjunction only runs on rows that survive the band union."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def band(brand: str, size_hi: int, q_lo: float, q_hi: float) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        band("Brand#13", 15, 1.0, 21.0)
+        | band("Brand#22", 25, 10.0, 30.0)
+        | band("Brand#25", 35, 20.0, 40.0)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "fuzzy_match_names",
     oracle="""
 SELECT c.c_name AS customer_name, s.s_name AS supplier_name,
