@@ -1,0 +1,406 @@
+"""Second-round LLM training-data pipeline operators
+(north star, BASELINE.json; not present in the reference — SURVEY.md §7 P3).
+
+Five curation capabilities a 100 TB text/embedding pipeline needs beyond
+the first-round dedup/similarity/quality set:
+
+- benchmark contamination detection (cross-split n-gram overlap)
+- PII detection and redaction (regex, pure codegen)
+- passage-level dedup (fixed-size chunks shared across documents)
+- corpus-rare-token scoring (integer-exact rarity threshold)
+- k-means reassignment step (one Lloyd iteration over embeddings)
+
+Determinism: counts and integer comparisons everywhere; every ratio is a
+single int/int or exact-int-derived double division; embedding math uses
+the quantized-integer dot products from ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+CONTAM_K = 5  # 5-word shingles: long enough that chance overlap is rare
+PASSAGE_WORDS = 20
+
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+# ---------------------------------------------------------------------------
+# Contamination: test-split documents sharing n-grams with the train split
+# ---------------------------------------------------------------------------
+
+_CONTAM_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) u
+"""
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH sh AS ({_CONTAM_SHINGLES}),
+train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / COUNT(*) AS overlap_ratio,
+       CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+         AS contaminated
+FROM sh LEFT JOIN train ON sh.s = train.s
+WHERE sh.doc_id % 2 = 1
+GROUP BY sh.doc_id
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for each test-split document
+    (doc_id odd), how many of its distinct 5-gram shingles also occur
+    anywhere in the train split (doc_id even).
+
+    The train shingle set is built once (distinct) and the test shingles
+    left-join it on the shingle string — at 100 TB both sides shuffle on
+    the shingle key exactly once; a bloom filter on the train set
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default)
+    prunes the probe side before the exchange. 5-grams keep chance
+    collisions near zero, so a nonzero overlap means copied text."""
+    from deg04_local_data_lake_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, k=CONTAM_K).distinct()
+    train = (
+        sh.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("s").alias("train_s"))
+        .distinct()
+    )
+    test = sh.filter(F.col("doc_id") % 2 == 1)
+    hit = F.when(F.col("train_s").isNotNull(), 1).otherwise(0)
+    return (
+        test.join(train, test.s == train.train_s, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") / F.col("n_shingles")).alias("overlap_ratio"),
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+_NOTE_SQL = (
+    "'Reach ' || c_name || ' at ' || lower(replace(c_name, '#', ''))"
+    " || '@example.com or +1-555-' ||"
+    " lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH notes AS (SELECT c_custkey, {_NOTE_SQL} AS note FROM customer)
+SELECT c_custkey,
+       regexp_extract(note, '{EMAIL_RE}') AS email,
+       regexp_extract(note, '{PHONE_RE}') AS phone,
+       len(regexp_extract_all(note, '{EMAIL_RE}'))
+         + len(regexp_extract_all(note, '{PHONE_RE}')) AS n_pii,
+       regexp_replace(regexp_replace(note, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM notes
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: find email addresses and phone numbers
+    by regex, count them, and rewrite the text with typed placeholders.
+
+    The corpus documents are synthetic word soup with no PII, so the
+    fixture text is contact notes derived from ``customer`` — the regex
+    plumbing (extract / extract_all / global replace) is what this
+    operator demonstrates. Pure per-row codegen expressions: at 100 TB it
+    runs at scan speed with zero shuffle, and the regexes are kept to
+    syntax with identical semantics in Java regex and RE2."""
+    cust = load_table(spark, sf_dir, "customer")
+    note = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    notes = cust.select("c_custkey", note.alias("note"))
+    n_pii = F.size(
+        F.regexp_extract_all(F.col("note"), F.lit(EMAIL_RE), F.lit(0))
+    ) + F.size(F.regexp_extract_all(F.col("note"), F.lit(PHONE_RE), F.lit(0)))
+    return notes.select(
+        "c_custkey",
+        F.regexp_extract("note", EMAIL_RE, 0).alias("email"),
+        F.regexp_extract("note", PHONE_RE, 0).alias("phone"),
+        n_pii.alias("n_pii"),
+        F.regexp_replace(
+            F.regexp_replace("note", EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (fixed-size word chunks shared across documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "passage_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS INT) - 1),
+           i -> array_to_string(
+                  list_slice(w, i * {PASSAGE_WORDS} + 1,
+                             i * {PASSAGE_WORDS} + {PASSAGE_WORDS}), ' ')
+         )) AS passage
+  FROM t WHERE len(w) > 0
+),
+counted AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY md5(passage)) AS occurrences
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(SUM(CASE WHEN occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / COUNT(*) AS shared_ratio
+FROM counted GROUP BY doc_id
+""",
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup: split each document into fixed 20-word chunks
+    and measure, per document, how many of its passages occur (verbatim)
+    anywhere else in the corpus — the sub-document granularity between
+    exact dedup (whole doc) and shingle dedup (every n-gram).
+
+    Chunks are built per-row with higher-order slice expressions, then the
+    only shuffle is the window partition on the passage *hash* — 32-byte
+    keys, never full text. At 100 TB the passage-hash exchange is the
+    working set; everything before it is scan-speed map work."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    ).filter(F.size("w") > 0)
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(w) / {PASSAGE_WORDS}.0)) - 1),"
+                f" i -> array_join(slice(w, i * {PASSAGE_WORDS} + 1,"
+                f" {PASSAGE_WORDS}), ' '))"
+            )
+        ).alias("passage"),
+    )
+    occurrences = F.count(F.lit(1)).over(Window.partitionBy(F.md5("passage")))
+    counted = chunks.select("doc_id", occurrences.alias("occurrences"))
+    shared = F.when(F.col("occurrences") > 1, 1).otherwise(0)
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(shared).cast("bigint").alias("n_shared"),
+        (F.sum(shared).cast("bigint") / F.count(F.lit(1))).alias("shared_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-rare-token scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rare_token_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+stats AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens, COUNT(*) AS n_vocab FROM freq
+),
+rare AS (
+  SELECT w FROM freq, stats WHERE 2 * c * n_vocab < total_tokens
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN rare.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       CAST(SUM(CASE WHEN rare.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / COUNT(*) AS rare_ratio
+FROM tok LEFT JOIN rare ON tok.w = rare.w
+GROUP BY doc_id
+""",
+)
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rarity scoring: a token is *rare* when its corpus frequency
+    is below half the mean token frequency — the integer test
+    ``2·c·|vocab| < total_tokens`` avoids any float threshold, so the rare
+    set is engine-exact. Per document: rare-token count and ratio (the
+    cheap surprise/outlier signal used for quality filtering and
+    dedup-marker detection; on this corpus it isolates the injected
+    near-duplicate marker token).
+
+    Plan: one token explode feeds both the frequency aggregate and the
+    per-doc count; the rare vocabulary is tiny → broadcast back onto the
+    token stream, so the only big shuffle is the word-frequency exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = freq.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    rare = (
+        freq.join(F.broadcast(stats))
+        .filter(2 * F.col("c") * F.col("n_vocab") < F.col("total_tokens"))
+        .select(F.col("w").alias("rare_w"))
+    )
+    hit = F.when(F.col("rare_w").isNotNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(rare), tok.w == F.col("rare_w"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd (k-means) reassignment step over embeddings
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+FROM embeddings
+"""
+
+
+@register(
+    "embedding_kmeans_step",
+    oracle=f"""
+WITH q AS ({_QUANT_SQL}),
+ex AS (SELECT vec_id, label, i AS pos, qe[i] AS v
+       FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u),
+cent AS (
+  SELECT label AS c_label, pos, CAST(SUM(v) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2
+),
+cnorm AS (
+  SELECT c_label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS c_nrm
+  FROM cent GROUP BY 1
+),
+dots AS (
+  SELECT ex.vec_id, cent.c_label, CAST(SUM(ex.v * cent.c) AS BIGINT) AS dot
+  FROM ex JOIN cent USING (pos) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY CAST(dot AS DOUBLE) / c_nrm DESC, c_label)
+           AS rn
+  FROM dots JOIN cnorm USING (c_label)
+)
+SELECT q.label AS old_label, ranked.c_label AS new_label,
+       COUNT(*) AS n_vecs
+FROM ranked JOIN q USING (vec_id)
+WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embedding table: centroids are the
+    per-label component sums (exact integers — summing instead of
+    averaging cancels the 1/n without changing the argmax), every vector
+    is reassigned to its max-cosine centroid, and the output is the
+    (old_label → new_label) movement matrix.
+
+    Cosine argmax per vector needs no vector norm (constant per vector),
+    only the centroid norm — so the ranking key dot/‖c‖ stays a single
+    double division of exact integers. Plan: the centroid table is
+    k×dim rows (tiny → broadcast); the component join fans each exploded
+    component row out k ways map-side; the per-(vector, cell) dot
+    aggregate is the one real shuffle. Iterating this query to a fixed
+    point is driver-side composition (each step is one job); the step
+    itself is what must scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+        ).alias("qe"),
+    )
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum("v").cast("bigint").alias("c")
+    )
+    cnorm = cent.groupBy("c_label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dot"))
+    )
+    ranked = (
+        dots.join(F.broadcast(cnorm), "c_label")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    (F.col("dot").cast("double") / F.col("c_nrm")).desc(),
+                    F.col("c_label"),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(q.select("vec_id", "label"), "vec_id")
+        .groupBy(
+            F.col("label").alias("old_label"),
+            F.col("c_label").alias("new_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("old_label", "new_label")
+    )
