@@ -50,6 +50,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines scan. Always pass an explicit schema in production:
+    inference is an extra full pass, and JSON carries no type metadata
+    (timestamps round-trip as ISO strings otherwise)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (PushedFilters + ReadSchema reach the scan)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan: one ``value: string`` column — the raw
+    ingest format for unstructured corpora (one document/record per line)."""
+    return spark.read.text(path)
+
+
 def read_lake_table(
     spark: SparkSession, path_or_name: str, fmt: str = "parquet"
 ) -> DataFrame:
