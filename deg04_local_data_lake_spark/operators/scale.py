@@ -98,3 +98,95 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+SKEW_SALT = 8
+
+
+@register(
+    "events_tier_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN event_type IN ('click', 'view') THEN 'high_volume'
+              ELSE 'low_volume' END AS tier
+  FROM events
+)
+SELECT tier,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events JOIN dim USING (event_type)
+GROUP BY tier
+""",
+)
+def events_tier_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Salted shuffle join for a pathologically hot join key. ``events``
+    joins its type dimension on ``event_type`` — 5 distinct values, so a
+    plain shuffle join lands ~all rows on 5 reducers no matter how many
+    executors exist. The salt replicates each dim row ``SKEW_SALT`` ways
+    and splits each big-side key by a hash of a high-cardinality column,
+    so the join key becomes (event_type, salt) with 5×SKEW_SALT uniform
+    partitions.
+
+    This is the manual fallback for when AQE's skew splitting can't help
+    (it only splits *oversized partitions* of sort-merge joins, not the
+    logical key skew of a reused exchange). The oracle is the plain join —
+    results are identical, only the partitioning differs.
+
+    (At this dim size Spark would broadcast and no salt would be needed;
+    the query force-disables broadcast via a NO_BROADCAST_HASH hint to
+    exercise the shuffle path it exists to fix.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.when(F.col("event_type").isin("click", "view"), "high_volume")
+            .otherwise("low_volume")
+            .alias("tier"),
+            F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1))).alias("_salt"),
+        )
+    )
+    salted = events.withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(SKEW_SALT))
+    )
+    joined = salted.hint("shuffle_hash").join(
+        dim.hint("no_broadcast_hash"), ["event_type", "_salt"]
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_level,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_returnflag_status(spark, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with an explicit grouping level —
+    all four grouping sets (detail, per-flag, per-status, grand total) in
+    one pass. Spark expands the sets before the shuffle, so the exchange
+    carries each input row once per set but pre-aggregated by map-side
+    combine; the ``grouping_id`` disambiguates real NULLs from
+    super-aggregate NULLs exactly as GROUPING() does in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
