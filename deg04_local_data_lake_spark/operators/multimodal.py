@@ -41,8 +41,12 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     ``deg04_local_data_lake_spark``. When the driving process runs from a
     different cwd (as the external harness does), the package isn't on the
     workers' path; distributing a zip makes the import work everywhere.
-    Idempotent: the zip is built once per process and re-adding is a no-op.
+    Idempotent: the zip name embeds a digest of the package sources, so a
+    code change produces a NEW zip (a fixed name once served a stale copy
+    from an earlier process and workers failed to resolve newly added
+    functions); re-adding the same digest is a no-op.
     """
+    import hashlib
     import os
     import tempfile
     import zipfile
@@ -50,19 +54,28 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import deg04_local_data_lake_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "deg04_local_data_lake_spark_pkg.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    digest = hashlib.md5()
+    for full in sorted(sources):
+        with open(full, "rb") as fh:
+            digest.update(full.encode())
+            digest.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"deg04_local_data_lake_spark_pkg_{digest.hexdigest()[:12]}.zip",
+    )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        tmp = f"{zpath}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "deg04_local_data_lake_spark",
-                            os.path.relpath(full, pkg_dir),
-                        )
-                        zf.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.join(
+                    "deg04_local_data_lake_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
         os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
 
@@ -230,4 +243,74 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media_columns(docs).select("doc_id", "data")
     return media.mapInPandas(
         sample_frames_batches, schema="doc_id long, frame_idx int, frame_hex string"
+    )
+
+
+N_AUDIO_WINDOWS = 4
+WINDOW_SAMPLES = 8  # 32 int16 samples in the 64-byte payload
+
+
+def audio_window_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: interpret the payload as big-endian int16 PCM
+    and emit per-window amplitude stats (production: ``decode_audio`` +
+    torchaudio features in the same loop; the windowing/batch shape is
+    identical)."""
+    import numpy as np
+
+    for pdf in it:
+        rows = {
+            "doc_id": [], "window_idx": [], "peak_abs": [],
+            "sum_abs": [], "mean_abs": [],
+        }
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            samples = np.abs(np.frombuffer(data, dtype=">i2").astype(np.int64))
+            for wdx in range(N_AUDIO_WINDOWS):
+                w = samples[wdx * WINDOW_SAMPLES : (wdx + 1) * WINDOW_SAMPLES]
+                s = int(w.sum())
+                rows["doc_id"].append(doc_id)
+                rows["window_idx"].append(wdx)
+                rows["peak_abs"].append(int(w.max()))
+                rows["sum_abs"].append(s)
+                # /8 is a power of two: the division is exact in IEEE
+                rows["mean_abs"].append(s / float(WINDOW_SAMPLES))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm_audio_windows",
+    oracle="""
+WITH payload AS (SELECT doc_id, repeat(md5(text), 4) AS m FROM documents),
+u AS (
+  SELECT doc_id, wi.window_idx,
+         ('0x' || substr(m, 4 * (8 * wi.window_idx + s.i) + 1, 4))::BIGINT AS raw
+  FROM payload,
+       LATERAL (SELECT unnest([0, 1, 2, 3]) AS window_idx) wi,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS i) s
+),
+pcm AS (
+  SELECT doc_id, window_idx,
+         abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS a
+  FROM u
+)
+SELECT doc_id, CAST(window_idx AS INTEGER) AS window_idx,
+       CAST(MAX(a) AS BIGINT) AS peak_abs,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(SUM(a) AS BIGINT) / 8.0 AS mean_abs
+FROM pcm GROUP BY doc_id, window_idx
+""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing: payload → big-endian int16 PCM → per-window
+    peak/sum/mean absolute amplitude via mapInPandas. The byte→sample→
+    window pipeline is exactly what a real torchaudio extractor needs;
+    only the decode call is stubbed (codecs absent here). Integer sums are
+    exact and the /8 mean is an exact power-of-two division, so the SQL
+    twin matches bitwise."""
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "data")
+    return media.mapInPandas(
+        audio_window_batches,
+        schema="doc_id long, window_idx int, peak_abs long, sum_abs long, "
+        "mean_abs double",
     )

@@ -97,6 +97,51 @@ def write_stream_to_lake(
     )
 
 
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static (or
+    slowly-refreshed) dimension. The static side is broadcast per
+    microbatch — no stream state at all, so no watermark is needed. This
+    is the streaming analog of the batch dimension joins in
+    operators/analytics.py; at scale the dim refresh cadence is a reload
+    of the static DataFrame, not a stream."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def stream_stream_purchase_click(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joins the clicks of the same
+    user in the preceding ``max_gap``. Both sides carry watermarks and the
+    join has an explicit event-time range — the two conditions Spark
+    requires to bound join state (clicks older than watermark+gap are
+    evicted). Batch twin: the identical join on the batch frame (tested
+    equal); the oracle-checked as-of join (operators/asof.py) pins the
+    1:1-nearest variant of the same semantics."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-user
     running event count and max value across microbatches — the escape

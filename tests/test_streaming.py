@@ -4,6 +4,8 @@ correctness-checking streams in batch mode)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from deg04_local_data_lake_spark.sources.readers import load_table
 from deg04_local_data_lake_spark.streaming import ingest
 
@@ -172,3 +174,53 @@ def test_stream_bronze_file_sink(spark, smoke_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_static_enrich_equals_batch(spark, smoke_dir, tmp_path):
+    """Stream-static broadcast join: per-microbatch enrichment must equal
+    the batch join."""
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("string"))
+    )
+    q = (
+        ingest.stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["tier"]) for r in spark.table("enriched").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["tier"])
+        for r in ingest.stream_static_enrich(batch, dim).collect()
+    )
+    assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, smoke_dir, tmp_path):
+    """Stream-stream interval join (watermarked both sides) must produce
+    exactly the batch join's pairs once all input is drained."""
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    q = (
+        ingest.stream_stream_purchase_click(stream)
+        .writeStream.format("memory")
+        .queryName("pc_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for r in spark.table("pc_pairs").collect()
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in ingest.stream_stream_purchase_click(batch).collect()
+    )
+    assert len(want) > 0 and got == want
