@@ -1,0 +1,221 @@
+"""SQL scalar/window surface parity — breadth queries locking the function
+surface a reference user would expect (the reference's own scalar usage is
+the small F1-F10 set, SURVEY.md §2.9; these queries extend parity to the
+wider everyday-SQL surface and document the cross-engine gotchas).
+
+Known engine differences encoded here (so parity is by construction):
+
+- ``dayofweek``: Spark is 1=Sunday..7; DuckDB is 0=Sunday..6 — the query
+  publishes the ISO day number via Spark ``dayofweek()-1`` vs DuckDB
+  ``dayofweek()``.
+- ``date_trunc`` returns TIMESTAMP in Spark but DATE in DuckDB for day+
+  granularities — both sides cast to DATE.
+- ``initcap`` / ``months_between`` don't exist in DuckDB — excluded.
+- Window frames: every ordering is made total (tiebreak on the key), so
+  rank/lag/first_value are deterministic; RANGE frames still see peer rows
+  by *value*, which both engines define identically.
+
+All outputs are strings/integers/dates or exact-integer-derived doubles —
+no float-sum nondeterminism anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+
+@register(
+    "string_functions_parity",
+    oracle="""
+SELECT c_custkey,
+       translate(c_name, '#Cu', '-cU') AS translated,
+       reverse(c_name) AS reversed,
+       repeat(right(c_name, 2), 3) AS repeated,
+       strpos(c_name, '#') AS hash_pos,
+       lpad(CAST(c_custkey % 1000 AS VARCHAR), 5, '0') AS padded,
+       left(c_name, 8) AS prefix,
+       right(c_name, 4) AS suffix,
+       split_part(c_name, '#', 2) AS after_hash,
+       upper(left(c_name, 3)) || lower(right(c_name, 3)) AS mixed_case,
+       length(replace(c_name, '0', '')) AS len_no_zeros,
+       ltrim(rtrim('  ' || c_name || '  ')) AS trimmed
+FROM customer
+""",
+)
+def string_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over customer names: translate / reverse /
+    repeat / strpos / pad / left / right / split_part / case folding /
+    replace / trim — all per-row codegen expressions, scan-speed at any
+    scale."""
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.translate(name, "#Cu", "-cU").alias("translated"),
+        F.reverse(name).alias("reversed"),
+        F.repeat(F.expr("right(c_name, 2)"), 3).alias("repeated"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 5, "0").alias("padded"),
+        F.expr("left(c_name, 8)").alias("prefix"),
+        F.expr("right(c_name, 4)").alias("suffix"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.concat(
+            F.upper(F.expr("left(c_name, 3)")), F.lower(F.expr("right(c_name, 3)"))
+        ).alias("mixed_case"),
+        F.length(F.replace(name, F.lit("0"), F.lit(""))).alias("len_no_zeros"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), name, F.lit("  ")))).alias("trimmed"),
+    )
+
+
+@register(
+    "datetime_functions_parity",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       dayofweek(o_orderdate) AS dow_sunday0,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+       CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 3 MONTH) AS DATE) AS plus_3_months
+FROM orders
+""",
+)
+def datetime_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface over order dates: trunc (month/week), last_day,
+    day-of-week (normalized to DuckDB's Sunday=0 convention), ISO week,
+    quarter, day-of-year, day diff, month arithmetic with end-of-month
+    clamping (both engines clamp Jan 31 + 1 month to Feb 29)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        (F.dayofweek(d) - 1).alias("dow_sunday0"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.add_months(d.cast("date"), 3).alias("plus_3_months"),
+    )
+
+
+@register(
+    "window_kitchen_sink",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       rank()         OVER w AS price_rank,
+       dense_rank()   OVER w AS price_dense_rank,
+       percent_rank() OVER w AS price_pct_rank,
+       cume_dist()    OVER w AS price_cume_dist,
+       ntile(7)       OVER w AS price_septile,
+       lag(o_orderkey, 1, -1)  OVER w AS prev_key,
+       lead(o_orderkey, 2, -2) OVER w AS next2_key,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       nth_value(o_orderkey, 3) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+       count(*) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_totalprice
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_or_below
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window surface in one pass: rank /
+    dense_rank / percent_rank / cume_dist / ntile / lag / lead (with
+    defaults) / first_value / nth_value, plus a RANGE frame whose peers
+    group by *value* (count of orders priced at or below the current one).
+    One shuffle on the partition key serves every function — Spark
+    evaluates all frames of the same (partition, order) in one Window
+    node. Ordering carries an orderkey tiebreak so navigation functions
+    are total; the RANGE frame deliberately orders on the raw price to
+    exercise peer-row semantics (identical in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wrange = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.ntile(7).over(w).alias("price_septile"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 2, -2).over(w).alias("next2_key"),
+        F.first_value("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 3)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("third_key"),
+        F.count(F.lit(1)).over(wrange).alias("n_at_or_below"),
+    )
+
+
+@register(
+    "null_semantics_parity",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_nationkey END AS nat
+  FROM customer
+)
+SELECT c_custkey,
+       coalesce(bal, -1.0) AS bal_or_default,
+       nullif(nat, 0) AS nat_nonzero,
+       ifnull(nat, -9) AS nat_or_neg9,
+       greatest(bal, 0.0) AS bal_floor0,
+       least(bal, 0.0) AS bal_cap0,
+       (bal IS NOT DISTINCT FROM NULL) AS bal_is_null,
+       (nat IS DISTINCT FROM 7) AS nat_ne7_nullsafe,
+       CASE WHEN bal IS NULL THEN 'missing'
+            WHEN bal < 0 THEN 'debtor' ELSE 'ok' END AS bal_class
+FROM t
+""",
+)
+def null_semantics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface on synthesized null-rich columns: coalesce,
+    nullif, ifnull, greatest/least (both engines skip NULLs and return
+    NULL only when all inputs are), null-safe (dis)equality (Spark `<=>`
+    ≡ IS NOT DISTINCT FROM), and CASE fall-through. Encodes the exact
+    three-valued-logic behavior both engines share."""
+    c = load_table(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nat"),
+    )
+    return t.select(
+        "c_custkey",
+        F.coalesce(F.col("bal"), F.lit(-1.0)).alias("bal_or_default"),
+        F.nullif(F.col("nat"), F.lit(0)).alias("nat_nonzero"),
+        F.ifnull(F.col("nat"), F.lit(-9)).alias("nat_or_neg9"),
+        F.greatest(F.col("bal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("bal"), F.lit(0.0)).alias("bal_cap0"),
+        F.col("bal").eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null"),
+        (~F.col("nat").eqNullSafe(F.lit(7))).alias("nat_ne7_nullsafe"),
+        F.when(F.col("bal").isNull(), "missing")
+        .when(F.col("bal") < 0, "debtor")
+        .otherwise("ok")
+        .alias("bal_class"),
+    )
