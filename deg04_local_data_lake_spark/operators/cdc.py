@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deg04_local_data_lake_spark.functions.portable import dec
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -237,3 +238,55 @@ SELECT inc.* FROM inc WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.id = inc.i
 def cdc_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, inc = _base_inc(spark, sf_dir)
     return cdc_upsert(base, inc, "id", ["name", "acctbal", "segment"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (the lakehouse "don't recompute gold"
+# pattern: merge partial aggregates from the increment into the base)
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an aggregate table: the base
+    partial aggregate (orders before 1999) is MERGED with the increment's
+    partial aggregate (orders from 1999 on) instead of recomputing over
+    the full history. Counts add, exact-decimal sums add, maxes max —
+    every aggregate this engine exposes is chosen to have an associative
+    merge (functions/portable.py), which is exactly what makes this
+    pattern valid. The oracle is the full recompute: merged == direct.
+
+    At 100 TB the base partials live as a gold table and only the
+    increment is scanned per refresh — this query IS that refresh step,
+    with both sides derived from the same source for oracle-checkability.
+    The merge shuffles |groups| rows, not |input|."""
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(28,4)").alias("revenue_dec"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    inc = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(inc)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_dec").cast("double").alias("revenue"),
+            F.max("max_price").alias("max_price"),
+        )
+    )

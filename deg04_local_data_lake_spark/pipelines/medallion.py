@@ -11,8 +11,8 @@ Deliberate divergences from the reference (SURVEY.md §7 risk register):
 - bronze appends/overwrites *partitions by date+ticker*, not a blanket
   ``mode("overwrite")`` of one path per ticker — the reference's loop
   (financial_dl_etl.py:39-42,115-117) keeps only the last ticker written;
-- SCD2 columns get deterministic values; open/close are struct-ordered
-  min/max, not unordered first/last.
+- SCD2 columns get deterministic values; open/close are min_by/max_by over
+  a unique sequence, not unordered first/last.
 
 Scale: bronze is partitioned by trade_date (dynamic partition pruning for
 date-ranged queries); silver/gold are small aggregates. The full pipeline

@@ -53,6 +53,46 @@ def write_iceberg_v2(df: DataFrame, table: str) -> None:
     df.writeTo(table).createOrReplace()
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — the table-maintenance service the no-
+    ``coalesce(1)`` ingest stance (module docstring) delegates to. Streams
+    of appends (CDC microbatches, per-trigger sink files) accumulate files
+    far below the optimal scan size; scans then pay per-file open/footer
+    costs and lose row-group-level parallelism. Compaction rewrites the
+    table into ⌈bytes / target⌉ files of ~``target_file_bytes``.
+
+    The rewrite goes to a side directory first and swaps in with two
+    renames (crash leaves either the old or the new table plus garbage to
+    sweep — never a half-written table). With Delta/Iceberg wired this is
+    ``OPTIMIZE`` / ``rewrite_data_files`` instead, which also gets
+    snapshot isolation for concurrent readers. Returns the file count.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = f"{path}__compact_tmp"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    old = f"{path}__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

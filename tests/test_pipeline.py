@@ -146,3 +146,19 @@ def test_avro_format_gated(spark, tmp_path):
         pytest.skip("spark-avro not on the classpath")
     back = spark.read.format("avro").load(str(tmp_path / "a"))
     assert back.count() == 3
+
+
+def test_compact_table(spark, smoke_dir, tmp_path):
+    """Compaction rewrites a many-small-files table into few files with
+    identical contents."""
+    src = readers.load_table(spark, smoke_dir, "orders")
+    p = str(tmp_path / "fragmented")
+    src.repartition(40).write.parquet(p)  # simulate append fragmentation
+    import glob
+
+    assert len(glob.glob(p + "/*.parquet")) == 40
+    before = sorted(map(tuple, spark.read.parquet(p).collect()))
+    n = writers.compact_table(spark, p, target_file_bytes=64 * 1024 * 1024)
+    files_after = glob.glob(p + "/*.parquet")
+    assert len(files_after) == n < 40
+    assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
