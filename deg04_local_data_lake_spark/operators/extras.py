@@ -505,3 +505,31 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+@register(
+    "approx_distinct_calibration",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= 0.1 * COUNT(DISTINCT user_id) AS approx_within_10pct
+FROM events GROUP BY event_type
+""",
+)
+def approx_distinct_calibration(spark, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, calibrated against the exact
+    count. The sketch values themselves differ across engines (different
+    HLL variants), so the published columns are the exact count plus a
+    within-10%-of-exact flag each engine computes over its OWN sketch —
+    both HLLs are hash-deterministic for fixed input, so the flag is
+    stable. At 100 TB the sketch is THE distinct-count path (mergeable,
+    fixed-size state, one narrow shuffle vs count-distinct's two-level
+    expansion); this query pins its accuracy contract."""
+    events = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
+    return events.groupBy("event_type").agg(
+        exact.alias("n_exact"),
+        (F.abs(approx - exact) <= 0.1 * exact).alias("approx_within_10pct"),
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.operators.aggregates import _OHLCV_SQL
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -258,4 +259,95 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
+    )
+
+
+BOLL_WINDOW = 5  # trading days
+
+
+@register(
+    "bollinger_bands",
+    oracle=f"""
+WITH quotes AS ({_OHLCV_SQL}),
+silver AS (
+  SELECT trade_date, ticker, arg_max(price, seq) AS closing_price
+  FROM quotes GROUP BY trade_date, ticker
+),
+q AS (
+  SELECT trade_date, ticker,
+         CAST(CAST(closing_price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qd
+  FROM silver
+),
+w AS (
+  SELECT trade_date, ticker, qd,
+         COUNT(*) OVER win AS n,
+         CAST(SUM(qd) OVER win AS BIGINT) AS s1,
+         CAST(SUM(qd * qd) OVER win AS BIGINT) AS s2
+  FROM q
+  WINDOW win AS (PARTITION BY ticker ORDER BY trade_date
+                 ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT trade_date, ticker,
+       qd / 10000.0 AS closing_price,
+       (CAST(s1 AS DOUBLE) / n) / 10000.0 AS ma,
+       CASE WHEN n > 1 THEN
+         sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(28,0))
+                   - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+              AS VARCHAR)::DOUBLE / (n * (n - 1))) / 10000.0
+       END AS sd,
+       CASE WHEN n > 1 THEN
+         (CAST(s1 AS DOUBLE) / n) / 10000.0
+         + 2.0 * (sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(s2 AS DECIMAL(28,0))
+                   - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+              AS VARCHAR)::DOUBLE / (n * (n - 1))) / 10000.0)
+       END AS upper_band
+FROM w
+""",
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the silver closing-price series: 5-day moving
+    average ± 2 sample standard deviations per ticker — the windowed form
+    of the gold volatility aggregate, and the classic finance overlay the
+    reference's OHLCV domain implies.
+
+    The stddev uses the same cancellation-free integer power sums as
+    ``exact_std`` (functions/portable.py), but composed as window sums
+    (``SUM(q) OVER``, ``SUM(q²) OVER``) so every value is exact until one
+    final sqrt/division — bitwise equal across engines. One shuffle for
+    the silver aggregate; the window reuses the ticker partitioning."""
+    from deg04_local_data_lake_spark.operators.aggregates import (
+        _open_close,
+        ohlcv_quotes,
+    )
+
+    quotes = ohlcv_quotes(load_table(spark, sf_dir, "lineitem"))
+    _, closing = _open_close()
+    silver = quotes.groupBy("trade_date", "ticker").agg(
+        closing.alias("closing_price")
+    )
+    qd = (F.col("closing_price").cast("decimal(18,4)") * 10000).cast("long")
+    q = silver.select("trade_date", "ticker", qd.alias("qd"))
+    win = (
+        Window.partitionBy("ticker")
+        .orderBy("trade_date")
+        .rowsBetween(-(BOLL_WINDOW - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(win)
+    s1 = F.sum("qd").over(win).cast("bigint")
+    s2 = F.sum(F.col("qd") * F.col("qd")).over(win).cast("bigint")
+    num = (
+        n.cast("decimal(10,0)") * s2.cast("decimal(28,0)")
+        - s1.cast("decimal(19,0)") * s1.cast("decimal(19,0)")
+    )
+    sd = F.when(
+        n > 1, F.sqrt(num.cast("double") / (n * (n - 1))) / 10000.0
+    )
+    ma = (s1.cast("double") / n) / 10000.0
+    return q.select(
+        "trade_date",
+        "ticker",
+        (F.col("qd") / 10000.0).alias("closing_price"),
+        ma.alias("ma"),
+        sd.alias("sd"),
+        F.when(n > 1, ma + 2.0 * sd).alias("upper_band"),
     )
