@@ -99,3 +99,38 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         .collect()
     }
     assert salted == direct
+
+
+def test_zorder_write_prunes_both_dimensions(spark, smoke_dir, tmp_path):
+    """A Z-ordered (value, user_id) table must give narrow per-file ranges
+    in BOTH dimensions — the one-dimensional clustered write only narrows
+    its own key. Compare the mean fraction of the global range each file
+    covers."""
+    import glob
+
+    from deg04_local_data_lake_spark.sources.readers import load_table
+    from deg04_local_data_lake_spark.sources.writers import (
+        write_clustered,
+        write_zordered,
+    )
+
+    events = load_table(spark, smoke_dir, "events").select("user_id", "value")
+    zpath = str(tmp_path / "zordered")
+    cpath = str(tmp_path / "clustered")
+    write_zordered(events, zpath, ("value", "user_id"), n_files=16, bits=8)
+    write_clustered(events, cpath, ["value"], n_files=16)
+
+    def mean_span(path: str, col: str) -> float:
+        lo, hi = events.selectExpr(f"min({col})", f"max({col})").first()
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            fl, fh = spark.read.parquet(f).selectExpr(
+                f"min({col})", f"max({col})"
+            ).first()
+            spans.append((fh - fl) / (hi - lo))
+        return sum(spans) / len(spans)
+
+    # both layouts narrow `value`; only z-order also narrows `user_id`
+    assert mean_span(cpath, "user_id") > 0.9          # stripe: full range
+    assert mean_span(zpath, "user_id") < 0.5
+    assert mean_span(zpath, "value") < 0.5
