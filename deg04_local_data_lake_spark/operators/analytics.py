@@ -792,3 +792,82 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dup_rn") == 1) & (F.col("score") >= 0.7) & (F.col("n_words") >= 20))
         .select("doc_id", "lang", "n_words", "score")
     )
+
+
+@register(
+    "pagerank_step",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+outdeg AS (
+  SELECT src, CAST(round(1e12 / count(*)) AS BIGINT) AS w
+  FROM edges GROUP BY src
+),
+n AS (SELECT count(*) AS n_nodes FROM (SELECT DISTINCT src FROM edges)),
+contrib AS (
+  SELECT dst, CAST(SUM(w) AS BIGINT) AS in_contrib
+  FROM edges JOIN outdeg USING (src) GROUP BY dst
+)
+SELECT dst AS partkey, in_contrib,
+       0.15::DOUBLE / n_nodes
+         + (0.85::DOUBLE * (CAST(in_contrib AS DOUBLE) / 1e12)) / n_nodes
+         AS pr_rank
+FROM contrib, n
+""",
+)
+def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration (d=0.85, uniform init 1/N) over the part
+    co-purchase graph: parts are nodes, an edge links two parts that share
+    an order. The iterative-algorithm companion to
+    ``embedding_kmeans_step`` — at 100 TB you persist the (src-partitioned)
+    edge list once and loop this step, so its plan is what matters:
+
+    - the edge build self-joins lineitem on ``l_orderkey`` — both sides
+      share the shuffle key, one co-partitioned exchange, never a
+      cartesian;
+    - per-edge contributions are quantized to exact integers
+      (``round(1e12/outdeg)``) so the big SUM-over-in-edges is a plain
+      map-side-combinable BIGINT aggregate — bitwise deterministic under
+      any partitioning, where a double sum's value would depend on
+      addition order (same trick as functions/portable.py's decimal sums);
+    - the final rank is ONE double expression over those exact integers
+      (identical association both engines), not a floating aggregate;
+    - N (node count) rides a broadcast one-row frame, no driver collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    weights = edges.groupBy("src").agg(
+        F.round(F.lit(1e12) / F.count(F.lit(1))).cast("long").alias("w")
+    )
+    contrib = (
+        edges.join(weights, "src")
+        .groupBy("dst")
+        .agg(F.sum("w").alias("in_contrib"))
+    )
+    n = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return contrib.crossJoin(F.broadcast(n)).select(
+        F.col("dst").alias("partkey"),
+        "in_contrib",
+        (
+            F.lit(0.15) / F.col("n_nodes")
+            + (
+                F.lit(0.85)
+                * (F.col("in_contrib").cast("double") / F.lit(1e12))
+            )
+            / F.col("n_nodes")
+        ).alias("pr_rank"),
+    )

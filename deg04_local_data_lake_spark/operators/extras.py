@@ -533,3 +533,69 @@ def approx_distinct_calibration(spark, sf_dir: str) -> DataFrame:
         exact.alias("n_exact"),
         (F.abs(approx - exact) <= 0.1 * exact).alias("approx_within_10pct"),
     )
+
+
+@register(
+    "approx_quantile_calibration",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*)     OVER (PARTITION BY event_type) AS n
+  FROM events
+), ex AS (
+  SELECT event_type,
+         max(n) AS n_rows,
+         max(CASE WHEN rn = CAST(ceil(n * 0.5)  AS BIGINT) THEN value END) AS p50_exact,
+         max(CASE WHEN rn = CAST(ceil(n * 0.48) AS BIGINT) THEN value END) AS lo,
+         max(CASE WHEN rn = CAST(ceil(n * 0.52) AS BIGINT) THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+), ap AS (
+  SELECT event_type, approx_quantile(value, 0.5) AS p50_approx
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, n_rows, p50_exact,
+       p50_approx BETWEEN lo AND hi AS approx_within_band
+FROM ex JOIN ap USING (event_type)
+""",
+)
+def approx_quantile_calibration(spark, sf_dir: str) -> DataFrame:
+    """Quantile sketch calibrated against the exact discrete median, the
+    same contract pattern as :func:`approx_distinct_calibration`: sketch
+    internals differ per engine (Spark: Greenwald-Khanna via
+    ``percentile_approx``; DuckDB: t-digest), so the published columns are
+    the exact value plus a flag each engine computes over its OWN sketch —
+    "approx p50 lies inside the exact p48..p52 rank band" (GK with
+    accuracy=1000 guarantees rank error <= 0.1%, well inside the 2% band,
+    at ANY scale factor — a rank-error contract, unlike value-space
+    tolerances, is distribution-free). The exact quantiles are *discrete*
+    (the value AT a rank, no interpolation arithmetic) so the doubles
+    hash-match bitwise. At 100 TB the sketch is the only sane quantile
+    path: fixed-size mergeable state, one narrow shuffle, vs the exact
+    path's full sort per group."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wp = Window.partitionBy("event_type")
+    ranked = events.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    at = lambda p: F.max(  # noqa: E731 — value at discrete rank ceil(n*p)
+        F.when(F.col("rn") == F.ceil(F.col("n") * p), F.col("value"))
+    )
+    ex = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        at(0.5).alias("p50_exact"),
+        at(0.48).alias("lo"),
+        at(0.52).alias("hi"),
+    )
+    ap = events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx")
+    )
+    return ex.join(ap, "event_type").select(
+        "event_type",
+        "n_rows",
+        "p50_exact",
+        F.col("p50_approx").between(F.col("lo"), F.col("hi")).alias(
+            "approx_within_band"
+        ),
+    )
