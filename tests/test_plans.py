@@ -62,3 +62,48 @@ def test_minhash_single_exchange(spark, sf_dir):
     plan = explain.formatted_plan(df)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, f"expected <=1 hash exchange, plan:\n{plan}"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """At 100 TB a selective dim-side predicate must reach the fact scan
+    even when the dim is too big to broadcast: Spark's runtime bloom
+    filter builds a sketch of the filtered build-side keys and injects a
+    ``might_contain`` predicate on the probe side, cutting the shuffled
+    fact volume to ~the selectivity. The thresholds that gate it are
+    sized for clusters, so the test lowers the application-side floor to
+    observe the mechanism at test scale."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.sources.readers import load_table
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # the rewrite is a pure pruning optimization — results unchanged
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
