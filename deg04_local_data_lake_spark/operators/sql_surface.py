@@ -219,3 +219,76 @@ def null_semantics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("bal_class"),
     )
+
+
+@register(
+    "collection_functions_parity",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       list_slice(list_sort(embedding), 1, 3) AS low3,
+       list_aggregate(embedding, 'max') AS max_val,
+       CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+            AS BIGINT) AS pos_of_max,
+       embedding[-1] AS last_val,
+       list_contains(embedding, embedding[1]) AS has_first,
+       flatten([[vec_id], [vec_id + 1]]) AS flat_pair,
+       CAST(list_sum(list_transform(range(1, CAST(vec_id % 5 AS BIGINT) + 2),
+                                    x -> x * x)) AS BIGINT) AS sum_squares,
+       list_sort(list_distinct([vec_id % 3, vec_id % 3, vec_id % 2])) AS dedup_mods,
+       map_extract(map(['a', 'b'], [vec_id, vec_id + 1]), 'b')[1] AS map_b,
+       map_keys(map(['a', 'b'], [vec_id, vec_id + 1])) AS mkeys
+FROM embeddings
+WHERE vec_id < 200
+""",
+)
+def collection_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map function surface over a REAL array column (embeddings),
+    the collections companion to the string/datetime/window/null parity
+    quartet. Cross-engine gotchas encoded here:
+
+    - Spark ``slice(arr, start, length)`` vs DuckDB ``list_slice(arr, lo,
+      hi)`` — length-vs-inclusive-bound;
+    - Spark ``array_position`` returns 0 when absent, DuckDB NULL — the
+      probed element always exists here, so both sides agree;
+    - ``sequence(1, n)`` (inclusive) vs ``range(1, n+1)`` (exclusive);
+    - DuckDB ``map_extract`` returns a LIST of matches — ``[1]`` unwraps;
+    - ``array_distinct`` keeps first-occurrence order but DuckDB's
+      ``list_distinct`` does NOT (set semantics) — both sides sort the
+      deduped array to a canonical order.
+
+    Everything stays in column expressions (codegen'd or HOF-interpreted,
+    never Python) and the scan reads only the two needed columns — at
+    100 TB the ``vec_id`` predicate and the column pruning both reach
+    parquet."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = F.col("embedding")
+    seq = F.sequence(F.lit(1).cast("long"), F.col("vec_id") % 5 + 1)
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("vec_id"), F.col("vec_id") + 1),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.slice(F.sort_array(e), 1, 3).alias("low3"),
+        F.array_max(e).alias("max_val"),
+        F.array_position(e, F.array_max(e)).alias("pos_of_max"),
+        F.element_at(e, -1).alias("last_val"),
+        F.array_contains(e, F.element_at(e, 1)).alias("has_first"),
+        F.flatten(
+            F.array(F.array(F.col("vec_id")), F.array(F.col("vec_id") + 1))
+        ).alias("flat_pair"),
+        F.aggregate(
+            seq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sum_squares"),
+        F.sort_array(
+            F.array_distinct(
+                F.array(
+                    F.col("vec_id") % 3, F.col("vec_id") % 3, F.col("vec_id") % 2
+                )
+            )
+        ).alias("dedup_mods"),
+        F.element_at(m, "b").alias("map_b"),
+        F.map_keys(m).alias("mkeys"),
+    )
