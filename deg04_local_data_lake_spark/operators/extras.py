@@ -599,3 +599,37 @@ def approx_quantile_calibration(spark, sf_dir: str) -> DataFrame:
             "approx_within_band"
         ),
     )
+
+
+@register(
+    "unpivot_event_matrix",
+    oracle="""
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+         CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, cnt
+FROM (UNPIVOT wide ON click, view, purchase, signup, error
+      INTO NAME event_type VALUE cnt)
+""",
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivoted day × type matrix back to long form with native
+    ``unpivot`` (Spark ≥3.4) — the wide→long inverse of
+    :func:`pivot_daily_event_matrix`. Unpivot is a zero-shuffle,
+    per-row expansion (a generator, not an aggregate): the only exchange
+    in the plan belongs to the upstream pivot. Columns-to-rows at 100 TB
+    beats the union-of-selects rewrite, which would scan the input once
+    per measure column."""
+    wide = pivot_daily_event_matrix(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=["click", "view", "purchase", "signup", "error"],
+        variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
