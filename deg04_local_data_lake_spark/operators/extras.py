@@ -633,3 +633,65 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="cnt",
     )
+
+
+@register(
+    "expectations_audit",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(count(*) FILTER (o_custkey IS NULL)        AS BIGINT) AS null_custkey,
+         CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL) AS BIGINT) AS bad_status,
+         CAST(count(*) FILTER (o_totalprice <= 0
+                               OR o_totalprice IS NULL)  AS BIGINT) AS bad_price,
+         CAST(count(*) - count(DISTINCT o_orderkey)      AS BIGINT) AS dup_orderkey,
+         CAST(count(*) FILTER (o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '1998-12-31'
+                               OR o_orderdate IS NULL)   AS BIGINT) AS date_out_of_range
+  FROM orders
+)
+SELECT rule, n_violations
+FROM (UNPIVOT agg ON null_custkey, bad_status, bad_price, dup_orderkey,
+                     date_out_of_range
+      INTO NAME rule VALUE n_violations)
+""",
+)
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the not-null / enum / range /
+    unique / bounds rule set a Delta-constraints or dbt-tests user writes),
+    evaluated in ONE scan: every rule compiles to a conditional count in a
+    single aggregate — no per-rule pass, no shuffle beyond the one global
+    agg (uniqueness is the exception that earns its count-distinct) — then
+    unpivots to a (rule, n_violations) report. At 100 TB this is the
+    bronze-gate pattern: rules are column expressions, so adding a rule
+    adds zero scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    agg = orders.agg(
+        cnt(F.col("o_custkey").isNull()).alias("null_custkey"),
+        cnt(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull()
+        ).alias("bad_status"),
+        cnt(
+            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull()
+        ).alias("bad_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        cnt(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+            | F.col("o_orderdate").isNull()
+        ).alias("date_out_of_range"),
+    )
+    return agg.unpivot(
+        ids=[],
+        values=[
+            "null_custkey",
+            "bad_status",
+            "bad_price",
+            "dup_orderkey",
+            "date_out_of_range",
+        ],
+        variableColumnName="rule",
+        valueColumnName="n_violations",
+    )
