@@ -179,3 +179,105 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+# ------------------------------------------------- snapshot versioning
+#
+# Poor-man's time travel on plain parquet, for environments without the
+# Delta/Iceberg jars (this container): each write lands in a fresh
+# ``_v=N`` directory and a tiny ``_LATEST`` JSON manifest flips to it via
+# atomic rename. Readers resolve the manifest first, so a reader never
+# sees a half-written snapshot (single-writer; multi-writer commit races
+# need a real table format's log — documented limit, same recovery
+# guarantees as Delta's last-checkpoint pointer otherwise). Old snapshots
+# stay readable until vacuumed.
+
+_MANIFEST = "_LATEST"
+
+
+def _manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, _MANIFEST)
+
+
+def write_versioned(df, path: str, fmt: str = "parquet") -> int:
+    """Write ``df`` as the next snapshot of the table at ``path`` and
+    atomically publish it; returns the new version number."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("_v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    df.write.format(fmt).mode("errorifexists").save(
+        os.path.join(path, f"_v={version}")
+    )
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "fmt": fmt}, f)
+    os.replace(tmp, _manifest_path(path))  # atomic publish
+    return version
+
+
+def read_versioned(spark, path: str, version: int | None = None):
+    """Read a snapshot table: latest per the manifest, or ``version`` for
+    time travel to any unvacuumed snapshot."""
+    import json
+    import os
+
+    if version is None:
+        with open(_manifest_path(path)) as f:
+            version = json.load(f)["version"]
+    snap = os.path.join(path, f"_v={version}")
+    if not os.path.isdir(snap):
+        raise FileNotFoundError(f"no snapshot _v={version} under {path}")
+    with open(_manifest_path(path)) as f:
+        fmt = json.load(f).get("fmt", "parquet")
+    return spark.read.format(fmt).load(snap)
+
+
+def table_versions(path: str) -> list[int]:
+    """All unvacuumed snapshot versions, ascending."""
+    import os
+
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("_v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def rollback_versioned(path: str, version: int) -> None:
+    """Point the manifest back at an older snapshot (Delta RESTORE)."""
+    import json
+    import os
+
+    if not os.path.isdir(os.path.join(path, f"_v={version}")):
+        raise FileNotFoundError(f"no snapshot _v={version} under {path}")
+    with open(_manifest_path(path)) as f:
+        fmt = json.load(f).get("fmt", "parquet")
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "fmt": fmt}, f)
+    os.replace(tmp, _manifest_path(path))
+
+
+def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (never the one the
+    manifest points at); returns the versions removed."""
+    import json
+    import os
+    import shutil
+
+    with open(_manifest_path(path)) as f:
+        current = json.load(f)["version"]
+    versions = table_versions(path)
+    doomed = [v for v in versions[:-keep_last] if v != current]
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"_v={v}"))
+    return doomed

@@ -162,3 +162,40 @@ def test_compact_table(spark, smoke_dir, tmp_path):
     files_after = glob.glob(p + "/*.parquet")
     assert len(files_after) == n < 40
     assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
+
+
+def test_versioned_table_time_travel(spark, smoke_dir, tmp_path):
+    """Snapshot versioning contract: overwrites create new versions, old
+    versions stay readable (time travel), rollback flips latest, vacuum
+    drops history but never the published snapshot."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.sources.readers import load_table
+    from deg04_local_data_lake_spark.sources.writers import (
+        read_versioned,
+        rollback_versioned,
+        table_versions,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "versioned")
+    nation = load_table(spark, smoke_dir, "nation")
+    assert write_versioned(nation, path) == 1
+    assert write_versioned(nation.filter(F.col("n_nationkey") < 10), path) == 2
+    assert write_versioned(nation.filter(F.col("n_nationkey") < 5), path) == 3
+
+    n_all = nation.count()
+    assert read_versioned(spark, path).count() == nation.filter(
+        F.col("n_nationkey") < 5
+    ).count()
+    assert read_versioned(spark, path, version=1).count() == n_all  # time travel
+    assert table_versions(path) == [1, 2, 3]
+
+    rollback_versioned(path, 1)
+    assert read_versioned(spark, path).count() == n_all
+
+    # keeps the published v1 even though it is oldest
+    doomed = vacuum_versioned(path, keep_last=1)
+    assert 1 not in doomed
+    assert read_versioned(spark, path).count() == n_all
