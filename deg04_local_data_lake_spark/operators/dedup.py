@@ -480,9 +480,7 @@ def connected_components(
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+_CLUSTERS_SQL = f"""
 {_JACCARD_PAIRS_SQL},
 edges AS (
   SELECT doc_a, doc_b FROM pairs
@@ -501,8 +499,10 @@ SELECT d.doc_id,
        CAST(least(d.doc_id, coalesce(min(reach.dst), d.doc_id)) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN reach ON reach.src = d.doc_id
 GROUP BY d.doc_id
-""",
-)
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_SQL)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: Jaccard ≥ 0.08 pairs → connected components →
     (doc_id, cluster_id = min doc in component). The Spark side runs
@@ -511,6 +511,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(edges, docs)
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+WITH clusters AS ({_CLUSTERS_SQL})
+SELECT c.cluster_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       max(CASE WHEN d.doc_id = c.cluster_id THEN d.lang END) AS lang
+FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY c.cluster_id
+""",
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup story's last mile: collapse each near-dup cluster to its
+    canonical document (min doc_id = the cluster label, so survivor
+    selection is free — no extra ranking pass) and report how many members
+    it absorbed. One groupBy on cluster_id after label propagation, then a
+    broadcast-size join back to documents for the survivor's attributes.
+    At 100 TB this is the emit stage of MinHash→LSH→components: the
+    canonical set is what ships to training."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        per_cluster.join(
+            docs, per_cluster.cluster_id == docs.doc_id
+        ).select(
+            F.col("cluster_id").alias("doc_id"), "n_members", "lang"
+        )
+    )
 
 
 # ------------------------------------------------- embedding near-dup
