@@ -134,3 +134,37 @@ def test_zorder_write_prunes_both_dimensions(spark, smoke_dir, tmp_path):
     assert mean_span(cpath, "user_id") > 0.9          # stripe: full range
     assert mean_span(zpath, "user_id") < 0.5
     assert mean_span(zpath, "value") < 0.5
+
+
+def test_analyze_table_feeds_cbo_stats(spark, smoke_dir):
+    """Cost-based optimization contract: ANALYZE TABLE materializes
+    row-count/size statistics into the catalog, and Catalyst's estimates
+    pick them up — at 100 TB those stats are what drive join reordering
+    and broadcast decisions for catalog tables (file listing alone only
+    yields sizeInBytes)."""
+    from deg04_local_data_lake_spark.sources.readers import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS statstest")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        nation = load_table(spark, smoke_dir, "nation")
+        nation.write.mode("overwrite").saveAsTable("statstest.nation_s")
+
+        def row_count_stat():
+            stats = (
+                spark.table("statstest.nation_s")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            rc = stats.rowCount()
+            return rc.get() if rc.isDefined() else None
+
+        assert row_count_stat() is None  # no stats before ANALYZE
+        spark.sql("ANALYZE TABLE statstest.nation_s COMPUTE STATISTICS")
+        assert row_count_stat() == nation.count()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS statstest.nation_s")
+        spark.sql("DROP DATABASE IF EXISTS statstest")
