@@ -695,3 +695,46 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="rule",
         valueColumnName="n_violations",
     )
+
+
+@register(
+    "full_outer_wealth_by_nation",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1
+)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_rich_customers, 0) AS n_rich_customers,
+       coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM c FULL JOIN s ON c.nk = s.nk
+""",
+)
+def full_outer_wealth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the rest of the suite didn't
+    exercise): high-balance customer vs supplier counts per nation, where
+    either side can be absent — keys coalesce across sides, counts 0-fill.
+    Both inputs are pre-aggregated to |nations| rows BEFORE the join, so
+    the full-outer itself is dimension-sized (broadcastable) — never
+    full-outer-join fact tables and aggregate after."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.filter(F.col("c_acctbal") > 9000.0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    s = (
+        supplier.filter(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce(F.col("n_rich_customers"), F.lit(0)).alias("n_rich_customers"),
+        F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).alias("n_rich_suppliers"),
+    )
