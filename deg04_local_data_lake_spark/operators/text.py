@@ -13,7 +13,7 @@ divisions (exact inputs → identical IEEE doubles in the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.registry import register
@@ -265,4 +265,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer division on both sides — a double-division + int cast
         # would round in DuckDB but truncate in Spark
         F.expr("(length(text) DIV 100) * 100").alias("length_bucket"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+           / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf-idf with a RATIONAL
+    idf (``tf · N/df``): the textbook ``ln(N/df)`` is a libm call whose
+    last ulp differs across engines, which would break bitwise parity and
+    can even flip near-tie rankings — the rational form is two IEEE ops in
+    a fixed association over exact integers, bitwise identical everywhere,
+    and induces the same ranking as log-idf within a document whenever df
+    differs (both are strictly decreasing in df; ties broken by term).
+
+    Plan at 100 TB: tf is one (doc,term) shuffle; df is one term-keyed
+    aggregate REUSED from tf's output (aggregate of an aggregate — never
+    re-scan the corpus); the df join is vocabulary-sized (usually
+    broadcastable after the Zipf head, and head terms have high df → low
+    score anyway, so a frequency-capped broadcast dictionary is the skew
+    fix); the final top-k is a per-doc window over ≤|terms-per-doc| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
     )
