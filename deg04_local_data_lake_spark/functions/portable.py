@@ -109,3 +109,71 @@ def md5_long_sql(expr: str, salt: str | None = None) -> str:
     """DuckDB-side twin of :func:`md5_long` (string-template form)."""
     inner = f"'{salt}:' || {expr}" if salt is not None else expr
     return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+def exact_corr(
+    x: Column | str, y: Column | str, q_scale: int = 4
+) -> Column:
+    """Pearson correlation, bitwise-reproducible across engines; NULL for
+    n<2 or a zero-variance side.
+
+    Same construction as :func:`exact_std`, extended to cross-moments:
+    quantize both inputs to integers, accumulate Σqx, Σqy, Σqx², Σqy²,
+    Σqx·qy in exact decimal, form the three cancellation-free numerators
+
+        num_xy = n·Σqxqy − Σqx·Σqy
+        num_x  = n·Σqx²  − (Σqx)²
+        num_y  = n·Σqy²  − (Σqy)²
+
+    exactly, and convert each ONCE to double for the final
+    ``num_xy / sqrt(num_x · num_y)`` (the 10^q_scale factors cancel).
+    Width budget matches exact_std: |q| < 10^19, Σq² and Σqxqy < 10^28 —
+    at q_scale=4 that is ~10^9 rows of values up to ~10^5 per group.
+    DuckDB twin: :func:`exact_corr_sql`.
+    """
+
+    def q(c: Column | str) -> Column:
+        return (dec(c, f"decimal(18,{q_scale})") * (10**q_scale)).cast(
+            "decimal(19,0)"
+        )
+
+    qx, qy = q(x), q(y)
+    n = F.count(F.lit(1))
+    nd = n.cast("decimal(10,0)")
+    sx = F.sum(qx).cast("decimal(19,0)")
+    sy = F.sum(qy).cast("decimal(19,0)")
+    sxx = F.sum(qx * qx).cast("decimal(28,0)")
+    syy = F.sum(qy * qy).cast("decimal(28,0)")
+    sxy = F.sum(qx * qy).cast("decimal(28,0)")
+    num_xy = (nd * sxy - sx * sy).cast("double")
+    num_x = (nd * sxx - sx * sx).cast("double")
+    num_y = (nd * syy - sy * sy).cast("double")
+    return F.when(
+        (n > 1) & (num_x > 0) & (num_y > 0),
+        num_xy / F.sqrt(num_x * num_y),
+    ).otherwise(F.lit(None))
+
+
+def exact_corr_sql(ex: str, ey: str, q_scale: int = 4) -> str:
+    """DuckDB-side twin of :func:`exact_corr` (string-template form)."""
+    p = 10**q_scale
+
+    def q(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(18,{q_scale})) * {p} AS DECIMAL(19,0))"
+
+    qx, qy = q(ex), q(ey)
+    nd = "CAST(COUNT(*) AS DECIMAL(10,0))"
+    sx = f"CAST(SUM({qx}) AS DECIMAL(19,0))"
+    sy = f"CAST(SUM({qy}) AS DECIMAL(19,0))"
+    sxx = f"CAST(SUM({qx} * {qx}) AS DECIMAL(28,0))"
+    syy = f"CAST(SUM({qy} * {qy}) AS DECIMAL(28,0))"
+    sxy = f"CAST(SUM({qx} * {qy}) AS DECIMAL(28,0))"
+    # int128 → VARCHAR → double: single correctly-rounded conversion
+    # (see exact_std_sql)
+    num_xy = f"CAST(CAST({nd} * {sxy} - {sx} * {sy} AS VARCHAR) AS DOUBLE)"
+    num_x = f"CAST(CAST({nd} * {sxx} - {sx} * {sx} AS VARCHAR) AS DOUBLE)"
+    num_y = f"CAST(CAST({nd} * {syy} - {sy} * {sy} AS VARCHAR) AS DOUBLE)"
+    return (
+        f"CASE WHEN COUNT(*) > 1 AND {num_x} > 0 AND {num_y} > 0 "
+        f"THEN {num_xy} / sqrt({num_x} * {num_y}) ELSE NULL END"
+    )

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.functions.portable import (
     dec,
+    exact_corr,
+    exact_corr_sql,
     exact_std_sql,
     md5_long,
     md5_long_sql,
@@ -737,4 +739,30 @@ def full_outer_wealth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(c.nk, s.nk).alias("nationkey"),
         F.coalesce(F.col("n_rich_customers"), F.lit(0)).alias("n_rich_customers"),
         F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).alias("n_rich_suppliers"),
+    )
+
+
+@register(
+    "corr_price_quantity",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {exact_corr_sql('l_extendedprice', 'l_quantity')} AS corr_price_qty,
+       {exact_corr_sql('l_extendedprice', 'l_discount')} AS corr_price_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation per return flag — ``F.corr`` (and SQL
+    CORR) streams doubles and is order-dependent, so this engine's
+    correlation rides the cancellation-free integer power/cross sums in
+    ``functions/portable.exact_corr``: one hash aggregate with map-side
+    combine (all five moment sums are associative decimals), identical
+    plan shape to a plain SUM, bitwise equal across engines and
+    partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_corr("l_extendedprice", "l_quantity").alias("corr_price_qty"),
+        exact_corr("l_extendedprice", "l_discount").alias("corr_price_disc"),
     )
