@@ -766,3 +766,78 @@ def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_corr("l_extendedprice", "l_quantity").alias("corr_price_qty"),
         exact_corr("l_extendedprice", "l_discount").alias("corr_price_disc"),
     )
+
+
+def _ols_num_sql(ex: str, ey: str, q_scale: int = 4):
+    """DuckDB OLS helper: exact numerators + single-conversion sums."""
+    p = 10**q_scale
+
+    def q(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(18,{q_scale})) * {p} AS DECIMAL(19,0))"
+
+    qx, qy = q(ex), q(ey)
+    nd = "CAST(COUNT(*) AS DECIMAL(10,0))"
+    sx = f"CAST(SUM({qx}) AS DECIMAL(19,0))"
+    sy = f"CAST(SUM({qy}) AS DECIMAL(19,0))"
+    sxx = f"CAST(SUM({qx} * {qx}) AS DECIMAL(28,0))"
+    sxy = f"CAST(SUM({qx} * {qy}) AS DECIMAL(28,0))"
+    v = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    num_xy = v(f"{nd} * {sxy} - {sx} * {sy}")
+    num_x = v(f"{nd} * {sxx} - {sx} * {sx}")
+    return num_xy, num_x, v(sx), v(sy)
+
+
+_OLS_XY, _OLS_XX, _OLS_SX, _OLS_SY = _ols_num_sql("l_quantity", "l_extendedprice")
+
+
+@register(
+    "ols_price_on_quantity",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CASE WHEN COUNT(*) > 1 AND {_OLS_XX} > 0
+            THEN {_OLS_XY} / {_OLS_XX} ELSE NULL END AS slope,
+       CASE WHEN COUNT(*) > 1 AND {_OLS_XX} > 0
+            THEN ({_OLS_SY} - ({_OLS_XY} / {_OLS_XX}) * {_OLS_SX})
+                 / COUNT(*) / 10000.0
+            ELSE NULL END AS intercept
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression (price ~ quantity) per return flag —
+    ``REGR_SLOPE``'s deterministic replacement, from the same exact
+    decimal cross-moments as :func:`corr_price_quantity`:
+
+        slope     = num_xy / num_x            (quantization cancels)
+        intercept = (Σqy − slope·Σqx) / n / 10^s
+
+    Each exact integer converts to double exactly once, then the finish
+    is a fixed chain of IEEE ops written identically in both engines.
+    One hash aggregate, map-side combinable — a distributed OLS fit whose
+    cost is a SUM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = 10**4
+
+    def q(c):  # quantized integer column
+        return (dec(c, "decimal(18,4)") * p).cast("decimal(19,0)")
+
+    qx, qy = q("l_quantity"), q("l_extendedprice")
+    n = F.count(F.lit(1))
+    nd = n.cast("decimal(10,0)")
+    sx = F.sum(qx).cast("decimal(19,0)")
+    sy = F.sum(qy).cast("decimal(19,0)")
+    sxx = F.sum(qx * qx).cast("decimal(28,0)")
+    sxy = F.sum(qx * qy).cast("decimal(28,0)")
+    num_xy = (nd * sxy - sx * sy).cast("double")
+    num_x = (nd * sxx - sx * sx).cast("double")
+    slope = num_xy / num_x
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n / F.lit(
+        float(p)
+    )
+    ok = (n > 1) & (num_x > 0)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n_rows"),
+        F.when(ok, slope).otherwise(F.lit(None)).alias("slope"),
+        F.when(ok, intercept).otherwise(F.lit(None)).alias("intercept"),
+    )
