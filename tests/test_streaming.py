@@ -224,3 +224,39 @@ def test_stream_stream_join_equals_batch(spark, smoke_dir, tmp_path):
         for r in ingest.stream_stream_purchase_click(batch).collect()
     )
     assert len(want) > 0 and got == want
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, smoke_dir, tmp_path):
+    """Fault-tolerance contract: a second query started on the SAME
+    checkpoint must process only files that arrived after the first run —
+    every input row lands in the sink exactly once across the restart
+    (checkpointed file-source offsets + idempotent file sink)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    def run_once():
+        q = (
+            ingest.read_event_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first.write.mode("append").parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == first.count()
+
+    second.write.mode("append").parquet(src)
+    run_once()  # same checkpoint: resumes, reprocesses nothing
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == events.count()
+    assert sunk.select("event_id").distinct().count() == events.count()
