@@ -168,3 +168,52 @@ def test_analyze_table_feeds_cbo_stats(spark, smoke_dir):
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql("DROP TABLE IF EXISTS statstest.nation_s")
         spark.sql("DROP DATABASE IF EXISTS statstest")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join contract: when one join key dominates, the runtime
+    re-plan must split the oversized shuffle partition (SortMergeJoin
+    gains ``skew=true`` and the shuffle read reports skewed splits)
+    instead of letting one task carry 90% of the rows — the no-manual-salt
+    skew path; `events_tier_salted_join` is the explicit-salt one. The
+    byte thresholds are cluster-sized, so the test lowers them to observe
+    the mechanism at test scale."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    keep = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        n_rows = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        # the split is a pure partitioning change — row count must match
+        # the logical join size: 180k rows on key 0 + 20k distinct-key
+        # rows that land inside right's [0, 50000) range
+        assert n_rows == 180000 + 5000
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
