@@ -98,3 +98,45 @@ def test_asof_join_matches_reference(spark, left, right):
         candidates = [(rm, rv) for rk, rm, rv in right if rk == k and rm <= m]
         want = max(candidates)[1] if candidates else None
         assert got[(k, t(m))] == want, (k, m, candidates)
+
+
+corr_rows = st.lists(
+    st.tuples(
+        st.floats(-1e4, 1e4, allow_nan=False, width=32),
+        st.floats(-1e4, 1e4, allow_nan=False, width=32),
+    ),
+    min_size=3,
+    max_size=40,
+)
+
+
+@given(data=corr_rows, n_parts=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_exact_corr_partition_invariant_and_close_to_numpy(
+    spark, data, n_parts
+):
+    """exact_corr must (a) return the SAME bits under any partitioning —
+    the property SQL CORR lacks — and (b) agree with numpy's float64
+    corrcoef up to quantization error (inputs are quantized at 1e-4)."""
+    import math
+
+    import numpy as np
+
+    from deg04_local_data_lake_spark.functions.portable import exact_corr
+
+    df = spark.createDataFrame(data, "x double, y double")
+    vals = [
+        df.repartition(p).agg(exact_corr("x", "y").alias("c")).first()["c"]
+        for p in (1, n_parts)
+    ]
+    assert repr(vals[0]) == repr(vals[1])  # bitwise partition invariance
+
+    qx = np.round(np.array([r[0] for r in data]) * 1e4)
+    qy = np.round(np.array([r[1] for r in data]) * 1e4)
+    if np.std(qx) == 0 or np.std(qy) == 0:
+        assert vals[0] is None
+    else:
+        want = float(np.corrcoef(qx, qy)[0, 1])
+        assert vals[0] is not None and math.isclose(
+            vals[0], want, rel_tol=1e-9, abs_tol=1e-12
+        )
