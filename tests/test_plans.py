@@ -107,3 +107,29 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# deliberate nested-loop joins: one-row scalar broadcasts (global aggregate
+# crossed back onto the data) or the documented brute-force verify baseline
+_BNLJ_ALLOWED = {
+    "anomalous_daily_revenue",   # 1-row (mean, std) broadcast
+    "pagerank_step",             # 1-row node-count broadcast
+    "q11_value_concentration",   # 1-row global-threshold broadcast
+    "q22_idle_balances",         # 1-row average-balance broadcast
+    "similarity_topk",           # brute-force baseline (verify stage; IVF is the scale path)
+    "text_rare_token_score",     # 1-row corpus-size broadcast
+    "tfidf_top_terms",           # 1-row doc-count broadcast
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_no_accidental_quadratic_join(spark, sf_dir, name):
+    """No registered query may plan a CartesianProduct, and nested-loop
+    joins are allowed only where deliberate (one-row scalar broadcasts /
+    the documented brute-force baseline) — the guard against a dropped
+    join predicate silently going quadratic at 100 TB."""
+    df = registry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name
