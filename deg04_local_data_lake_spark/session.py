@@ -57,6 +57,9 @@ def get_spark_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # custom Python data sources (sources/pyds.py) implement
+        # pushFilters — the capability is opt-in in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # generous driver memory for local[32] testing; on a real cluster
         # these come from spark-submit / cluster conf instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

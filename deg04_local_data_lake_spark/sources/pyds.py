@@ -1,0 +1,94 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource``).
+
+The reference ingests OHLCV ticker feeds from CSV drops
+(mage_demo/scratchpads/financial_dl_etl.py:102-108); this source shows the
+engine-extensibility answer: a first-class ``spark.read.format(...)``
+connector written in Python that Spark plans like any other scan —
+
+- **partitioned parallel reads**: one :class:`InputPartition` per trading
+  day, so a 10-year backfill fans out across the cluster instead of
+  serializing through the driver;
+- **filter pushdown** (``pushFilters``): ``day = N`` / ``day IN (...)`` /
+  ``ticker = 'X'`` predicates prune partitions and generated rows at the
+  source, before any data exists — the same contract parquet scans get
+  from row-group stats;
+- **deterministic generation**: every tick derives from md5 of
+  (ticker, day, seq), so reads are reproducible across retries and
+  speculative tasks — the property every restartable source needs.
+
+At 100 TB the same shape wraps a real external system (an HTTP tick API, a
+market-data vendor SDK): partitions = request shards, pushFilters = query
+parameters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+TICKS_SCHEMA = "day int, ticker string, seq int, price double, volume bigint"
+
+
+class DayPartition(InputPartition):
+    def __init__(self, day: int):
+        self.day = day
+
+
+def _tick(ticker: str, day: int, seq: int) -> tuple:
+    h = hashlib.md5(f"{ticker}:{day}:{seq}".encode()).hexdigest()
+    price = 100.0 + (int(h[:8], 16) % 10_000) / 100.0
+    volume = 1_000 + int(h[8:16], 16) % 100_000
+    return (day, ticker, seq, price, volume)
+
+
+class TicksReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_days = int(options.get("days", 5))
+        self.tickers = [
+            t for t in options.get("tickers", "AAPL,MSFT,GOOG").split(",") if t
+        ]
+        self.rows = int(options.get("rowsperday", 10))
+        self.days = list(range(self.n_days))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("day",):
+                self.days = [d for d in self.days if d == f.value]
+            elif isinstance(f, In) and f.attribute == ("day",):
+                self.days = [d for d in self.days if d in f.values]
+            elif isinstance(f, EqualTo) and f.attribute == ("ticker",):
+                self.tickers = [t for t in self.tickers if t == f.value]
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def partitions(self) -> list[InputPartition]:
+        return [DayPartition(d) for d in self.days]
+
+    def read(self, partition: DayPartition) -> Iterator[tuple]:
+        for ticker in self.tickers:
+            for seq in range(self.rows):
+                yield _tick(ticker, partition.day, seq)
+
+
+class TicksDataSource(DataSource):
+    """``spark.read.format("deg04_ticks")`` after
+    ``spark.dataSource.register(TicksDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deg04_ticks"
+
+    def schema(self) -> str:
+        return TICKS_SCHEMA
+
+    def reader(self, schema) -> TicksReader:
+        return TicksReader(self.options)

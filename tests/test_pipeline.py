@@ -199,3 +199,43 @@ def test_versioned_table_time_travel(spark, smoke_dir, tmp_path):
     doomed = vacuum_versioned(path, keep_last=1)
     assert 1 not in doomed
     assert read_versioned(spark, path).count() == n_all
+
+
+def test_python_datasource_partitions_and_pushdown(spark):
+    """Custom Python data source contract: registered format reads through
+    the normal scan path, one task per day partition, and day/ticker
+    equality filters prune at the SOURCE (pushFilters), not post-scan."""
+    from pyspark.sql.datasource import EqualTo
+
+    from deg04_local_data_lake_spark.sources.pyds import (
+        TicksDataSource,
+        TicksReader,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TicksDataSource)
+    df = (
+        spark.read.format("deg04_ticks")
+        .option("days", 4)
+        .option("tickers", "AA,BB")
+        .option("rowsPerDay", 5)
+        .load()
+    )
+    assert df.count() == 4 * 2 * 5
+    assert df.rdd.getNumPartitions() == 4  # one per day
+
+    # end-to-end: filtered read equals in-Spark filtering of the full read
+    got = sorted(map(tuple, df.filter("day = 2 AND ticker = 'AA'").collect()))
+    want = sorted(
+        tuple(r) for r in df.collect() if r["day"] == 2 and r["ticker"] == "AA"
+    )
+    assert got == want and len(got) == 5
+
+    # unit: the pushdown itself prunes partitions and accepts the filters
+    reader = TicksReader({"days": "4", "tickers": "AA,BB", "rowsperday": "5"})
+    leftover = list(
+        reader.pushFilters([EqualTo(("day",), 2), EqualTo(("ticker",), "AA")])
+    )
+    assert leftover == []  # both handled at the source
+    assert len(reader.partitions()) == 1
+    assert reader.tickers == ["AA"]
