@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 TICKS_SCHEMA = "day int, ticker string, seq int, price double, volume bigint"
@@ -92,3 +93,45 @@ class TicksDataSource(DataSource):
 
     def reader(self, schema) -> TicksReader:
         return TicksReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "TicksStreamReader":
+        return TicksStreamReader(self.options)
+
+
+class TicksStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming variant: each microbatch advances the
+    day offset by ``daysPerBatch``. Offsets are plain dicts checkpointed
+    by Spark, and generation is a pure function of (ticker, day, seq) —
+    so ``readBetweenOffsets`` replays EXACTLY the same rows after a
+    failure, which is the whole exactly-once contract a custom streaming
+    source must honor. A real feed would map offsets to vendor sequence
+    numbers / Kafka-style cursors the same way."""
+
+    def __init__(self, options):
+        self.tickers = [
+            t for t in options.get("tickers", "AAPL,MSFT,GOOG").split(",") if t
+        ]
+        self.rows = int(options.get("rowsperday", 10))
+        self.per_batch = int(options.get("daysperbatch", 1))
+        self.max_days = int(options.get("days", 5))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict):
+        lo = start["day"]
+        hi = min(lo + self.per_batch, self.max_days)
+        return self._rows(lo, hi), {"day": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["day"], end["day"])  # deterministic replay
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # a concrete list, not a generator — the prefetch path pickles
+        # the returned rows alongside the offset
+        return [
+            _tick(ticker, day, seq)
+            for day in range(lo, hi)
+            for ticker in self.tickers
+            for seq in range(self.rows)
+        ]

@@ -260,3 +260,31 @@ def test_stream_restart_resumes_from_checkpoint(spark, smoke_dir, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == events.count()
     assert sunk.select("event_id").distinct().count() == events.count()
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    """Custom Python STREAMING source: each drain advances the
+    checkpointed day offset; across successive runs on the SAME
+    checkpoint the union of microbatches must equal the batch read of the
+    same source, each row exactly once (offsets are plain dicts,
+    generation is a pure function of them = exactly-once replay)."""
+    from deg04_local_data_lake_spark.sources.pyds import TicksDataSource
+
+    spark.dataSource.register(TicksDataSource)
+    opts = {"days": "4", "tickers": "AA,BB", "rowsPerDay": "3",
+            "daysPerBatch": "2"}
+    out = str(tmp_path / "ticks_out")
+    for _ in range(2):  # each availableNow run drains one read() window
+        q = (
+            spark.readStream.format("deg04_ticks").options(**opts).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = spark.read.format("deg04_ticks").options(**opts).load()
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) == 4 * 2 * 3
