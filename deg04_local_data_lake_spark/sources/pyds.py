@@ -24,6 +24,7 @@ parameters.
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -32,8 +33,10 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     In,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 TICKS_SCHEMA = "day int, ticker string, seq int, price double, volume bigint"
@@ -135,3 +138,70 @@ class TicksStreamReader(SimpleDataSourceStreamReader):
             for ticker in self.tickers
             for seq in range(self.rows)
         ]
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    """Executor-side task writer with the two-phase commit protocol every
+    exactly-once sink needs: each task writes to a uuid-named temp file
+    and reports it in its commit message; only the DRIVER's ``commit``
+    publishes (atomic rename + ``_SUCCESS`` manifest), and ``abort``
+    removes temps — so readers keyed on the manifest never observe
+    partial output from failed/speculative tasks. Same protocol Spark's
+    FileOutputCommitter v2 / Delta's log commit implement."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("deg04_jsonl requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(file=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            pub = m.file.replace("_tmp-", "part-")
+            os.replace(m.file, pub)
+            final.append({"file": os.path.basename(pub), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(final, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class JsonlDataSource(DataSource):
+    """``df.write.format("deg04_jsonl").option("path", p).save()`` after
+    ``spark.dataSource.register(JsonlDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deg04_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)

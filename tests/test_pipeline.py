@@ -239,3 +239,33 @@ def test_python_datasource_partitions_and_pushdown(spark):
     assert leftover == []  # both handled at the source
     assert len(reader.partitions()) == 1
     assert reader.tickers == ["AA"]
+
+
+def test_python_datasource_jsonl_sink_commit_protocol(spark, smoke_dir, tmp_path):
+    """Custom Python sink: task temp files publish only via the driver's
+    commit (atomic rename + _SUCCESS manifest) and the round-trip
+    preserves every row."""
+    import json
+    import os
+
+    from deg04_local_data_lake_spark.sources.pyds import JsonlDataSource
+    from deg04_local_data_lake_spark.sources.readers import load_table
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "jsonl_out")
+    nation = load_table(spark, smoke_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    nation.write.format("deg04_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(m["rows"] for m in manifest) == nation.count()
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    got = sorted((r["n_nationkey"], r["n_name"]) for r in back.collect())
+    want = sorted((r["n_nationkey"], r["n_name"]) for r in nation.collect())
+    assert got == want
