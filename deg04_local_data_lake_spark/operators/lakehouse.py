@@ -1,0 +1,341 @@
+"""Lakehouse change-management operators.
+
+The reference's data model carries SCD2-style validity columns
+(``IsActive/Version/ValidFrom/ValidTo``, financial_dl_silver.py:22-25) but
+only ever fills them with constants (financial_dl_etl.py:59-62) — it never
+*builds* history from a change stream. Its CDC flow
+(increamental_dataload.py:49-85) detects changed + new rows but has no
+delete handling and no validity intervals. This module completes both
+stories the way a production lakehouse needs them:
+
+- :func:`scd2_build_user_state` — full SCD2 history (versioned validity
+  intervals, current-row flag) derived from an event stream with window
+  functions; consecutive same-state rows are compacted.
+- :func:`cdc_snapshot_diff` — symmetric snapshot diff emitting
+  insert/update/delete ops (the reference's J1+J2 pattern plus the delete
+  leg it lacks); this is the change-data-feed a downstream MERGE consumes.
+- :func:`event_transitions` — first-order Markov transition counts over
+  the event stream (lag/lead window, zero joins).
+- :func:`rfm_segments` — recency/frequency/monetary quartile segmentation,
+  the classic activation query over the orders fact.
+- :func:`latest_event_per_user` — keep-latest-per-key dedup, the standard
+  "compact a CDC tail into current state" primitive.
+
+Scale notes: every query here is one or two window passes partitioned by a
+high-cardinality key (user_id / custkey) plus hash aggregates — shuffles
+are keyed, partial-aggregated, and skew-neutral. The one exception is
+``rfm_segments``'s global NTILE (a total order): at 100 TB replace it with
+approx-quantile cutpoints broadcast to a map-side bucket lookup — noted in
+the docstring; the quartile *semantics* stay identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+SCD2_SENTINEL = "2099-01-01 00:00:00"
+
+# (ts, event_id) is a total order per user: event_id is unique, so window
+# ordering — and therefore every result below — is deterministic.
+_EVENT_ORDER = ("ts", "event_id")
+
+
+@register(
+    "scd2_user_state",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       ts AS valid_from,
+       coalesce(lead(ts) OVER w, TIMESTAMP '{SCD2_SENTINEL}') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build SCD2 history from an event stream: one row per *state change*
+    (consecutive duplicates compacted), versioned, with [valid_from,
+    valid_to) intervals and the reference's sentinel end-date
+    (financial_dl_etl.py:62: ``to_date(lit('2099-01-01'))``).
+
+    Two window passes over the same (user_id → ts) partitioning: lag() to
+    detect changes, then lead()/row_number() on the compacted rows. Both
+    reuse one hash exchange on user_id; at 100 TB this shuffles each event
+    row once, and the compacted output is what lands in the silver table —
+    the reference's IsActive/Version/ValidFrom/ValidTo columns
+    (financial_dl_silver.py:22-25), now actually derived from data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(*_EVENT_ORDER)
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit(SCD2_SENTINEL).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# Deterministic "new snapshot" of customer, derived in-query so the diff is
+# oracle-checkable: delete every 97th key, bump acctbal +100 and retag the
+# segment on every 13th, and insert a shifted copy of every 89th.
+_NEW_SNAPSHOT_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+         AS c_acctbal,
+       CASE WHEN c_custkey % 13 = 0 THEN 'MIGRATED' ELSE c_mktsegment END
+         AS c_mktsegment
+FROM customer WHERE c_custkey % 97 <> 0
+UNION ALL
+SELECT c_custkey + 10000000, 'NEW-' || c_name, c_nationkey, 0.0, 'ONBOARD'
+FROM customer WHERE c_custkey % 89 = 0
+"""
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Symmetric snapshot diff → change data feed.
+
+    Full outer join on the key; op is 'I' (key only in new), 'D' (key only
+    in old), 'U' (both sides, any non-key column differs null-safely).
+    Unchanged rows are dropped. This is the reference's changed/new
+    detection (increamental_dataload.py:49-60) completed with the delete
+    leg its left-outer formulation cannot express.
+
+    One shuffle on the key for the join (or zero with both snapshots
+    bucketed by key — sources/writers.write_bucketed); the op column is
+    pure row-local expression work. The emitted feed is exactly what a
+    Delta ``MERGE INTO`` (or cdc.cdc_upsert) applies downstream.
+    """
+    cols = [c for c in old.columns if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    ok, nk = F.col(f"o.{key}"), F.col(f"n.{key}")
+    differs = None
+    for c in cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        differs = d if differs is None else (differs | d)
+    op = (
+        F.when(ok.isNull(), F.lit("I"))
+        .when(nk.isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    return (
+        o.join(n, ok == nk, "full_outer")
+        .withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            F.coalesce(ok, nk).alias(key),
+            "op",
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in cols],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in cols],
+        )
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH new_snap AS ({_NEW_SNAPSHOT_SQL}),
+diff AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN n.c_custkey IS NULL THEN 'D'
+              WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name)
+                OR NOT (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey)
+                OR NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+                OR NOT (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+              THEN 'U' END AS op,
+         o.c_name AS old_c_name, o.c_nationkey AS old_c_nationkey,
+         o.c_acctbal AS old_c_acctbal, o.c_mktsegment AS old_c_mktsegment,
+         n.c_name AS new_c_name, n.c_nationkey AS new_c_nationkey,
+         n.c_acctbal AS new_c_acctbal, n.c_mktsegment AS new_c_mktsegment
+  FROM customer o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+)
+SELECT * FROM diff WHERE op IS NOT NULL
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation between two table snapshots (the new
+    snapshot is derived deterministically in-query — see
+    ``_NEW_SNAPSHOT_SQL``). Emits I/U/D ops with old/new column pairs."""
+    cust = load_table(spark, sf_dir, "customer")
+    is_upd = F.col("c_custkey") % 13 == 0
+    new_snap = cust.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(is_upd, F.col("c_acctbal") + 100.0).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.when(is_upd, F.lit("MIGRATED")).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 89 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("ONBOARD").alias("c_mktsegment"),
+        )
+    )
+    return snapshot_diff(cust, new_snap, "c_custkey")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH nxt AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for each
+    (event_type → next event_type) pair, how many transitions and how many
+    distinct users made them. One window pass (lead) on the user_id
+    exchange, then a low-cardinality hash aggregate — the standard
+    product-analytics "what do users do next" query."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(*_EVENT_ORDER)
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary_dec
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(date_diff('day', last_order, anchor_day) AS INTEGER) AS recency_days,
+       frequency,
+       CAST(monetary_dec AS DOUBLE) AS monetary,
+       CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, anchor_day), o_custkey) AS INTEGER) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary_dec DESC, o_custkey) AS INTEGER) AS m_score,
+       CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, anchor_day), o_custkey) AS VARCHAR)
+         || '-' || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+         || '-' || CAST(ntile(4) OVER (ORDER BY monetary_dec DESC, o_custkey) AS VARCHAR)
+         AS segment
+FROM per_cust CROSS JOIN anchor
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation: per customer, days since last order
+    (relative to the corpus max date so the query is reproducible),
+    order count, exact-decimal revenue; each scored into NTILE(4) quartiles
+    (best = 1) with custkey tie-breaks so bucket edges are deterministic.
+
+    The per-customer aggregate is one keyed hash agg. The NTILE is a global
+    total order — fine for |customers| outputs, but at 100 TB swap it for
+    approx-quantile cutpoints (computed once, broadcast) and a map-side
+    CASE bucket: same quartile semantics, no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_day")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary_dec"),
+    )
+    rec = F.datediff("anchor_day", "last_order")
+    w_r = Window.orderBy(rec.asc(), "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary_dec").desc(), "o_custkey")
+    r, f_, m = F.ntile(4).over(w_r), F.ntile(4).over(w_f), F.ntile(4).over(w_m)
+    return per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        rec.alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+        F.concat_ws("-", r.cast("string"), f_.cast("string"), m.cast("string")).alias(
+            "segment"
+        ),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value,
+       n_events
+FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+) WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key: compact an append-only event tail into current
+    state per user — the standard last-mile of a CDC/merge pipeline (and
+    the deterministic version of ``dropDuplicates`` on a keyed stream).
+    Single window pass; at scale this is the same one-exchange shape as
+    the SCD2 build, and AQE handles any hot-key skew."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "n_events",
+        )
+    )
