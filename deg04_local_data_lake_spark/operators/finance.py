@@ -1,0 +1,267 @@
+"""Financial technical indicators over the OHLCV quote stream.
+
+The reference's entire workload is daily OHLCV stock data (5 ticker CSVs,
+financial_dl_etl.py:102-108) aggregated into per-day bars
+(financial_dl_etl.py:53-58) and monthly summaries — but it stops at
+min/max/avg. This module adds the indicator layer an actual quant/analyst
+user of that lakehouse would run next, all expressed as window passes over
+the same daily-bar frame the silver table holds:
+
+- :func:`vwap_daily` — volume-weighted average price per (day, ticker).
+- :func:`sma_crossover` — 5-day vs 20-day simple moving average with a
+  golden/dead-cross signal.
+- :func:`rsi_14` — 14-day relative strength index (Cutler's simple-average
+  form — a pure frame aggregate; Wilder's recursive EMA smoothing is not
+  window-expressible and is deliberately not emulated).
+- :func:`price_momentum` — 10-day rate-of-change.
+- :func:`max_drawdown` — per-ticker maximum peak-to-trough drawdown via a
+  running-max window.
+
+Determinism: every aggregate/window sum runs in exact decimal (see
+functions/portable.py); the only double arithmetic is a fixed sequence of
+IEEE ops applied identically in the DuckDB oracle, so results are bitwise
+reproducible across engines, partitionings, and runs.
+
+Scale notes: all windows partition by ticker and order by trade_date. The
+sf testdata has 5 synthetic tickers, but a real equities universe is
+~10⁴-10⁵ symbols × ~10⁴ daily bars each — the per-symbol window state is
+tiny and the partition count is large, so these plans parallelize cleanly
+at 100 TB (the expensive part is the upstream bar aggregation, which is a
+keyed partial+final hash agg on (trade_date, ticker)). Nothing here adds a
+shuffle beyond the one hash exchange on ticker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.operators.aggregates import (
+    _OHLCV_SQL,
+    ohlcv_quotes,
+)
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+# Shared daily-bar fragment: exact-decimal close / price*volume / volume per
+# (trade_date, ticker). `seq` is unique per quote row (aggregates._OHLCV_SQL)
+# so arg_max is deterministic.
+_BARS_SQL = f"""
+WITH quotes AS ({_OHLCV_SQL}),
+bars AS (
+  SELECT trade_date, ticker,
+         CAST(arg_max(price, seq) AS DECIMAL(18,4)) AS close_dec,
+         SUM(CAST(price AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(8,4)))
+           AS pv_dec,
+         SUM(CAST(volume AS DECIMAL(8,4))) AS vol_dec
+  FROM quotes GROUP BY trade_date, ticker
+)
+"""
+
+
+def daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → one exact-decimal bar per (trade_date, ticker):
+    deterministic close plus price*volume and volume sums (the inputs every
+    indicator below needs). One keyed hash aggregate."""
+    quotes = ohlcv_quotes(load_table(spark, sf_dir, "lineitem"))
+    price_d = F.col("price").cast("decimal(18,4)")
+    vol_d = F.col("volume").cast("decimal(8,4)")
+    return quotes.groupBy("trade_date", "ticker").agg(
+        F.max_by("price", "seq").cast("decimal(18,4)").alias("close_dec"),
+        F.sum(price_d * vol_d).alias("pv_dec"),
+        F.sum(vol_d).alias("vol_dec"),
+    )
+
+
+_W = "PARTITION BY ticker ORDER BY trade_date"
+
+
+def _w() -> Window:
+    return Window.partitionBy("ticker").orderBy("trade_date")
+
+
+@register(
+    "vwap_daily",
+    oracle=f"""
+{_BARS_SQL}
+SELECT trade_date, ticker,
+       CAST(close_dec AS DOUBLE) AS close,
+       CAST(pv_dec AS DOUBLE) / CAST(vol_dec AS DOUBLE) AS vwap,
+       CAST(vol_dec AS DOUBLE) AS total_volume
+FROM bars
+""",
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-per-ticker VWAP — the execution-quality benchmark price.
+    Numerator and denominator are exact decimal sums; the single IEEE
+    division is the only double op, so the value is bitwise stable."""
+    return daily_bars(spark, sf_dir).select(
+        "trade_date",
+        "ticker",
+        F.col("close_dec").cast("double").alias("close"),
+        (F.col("pv_dec").cast("double") / F.col("vol_dec").cast("double")).alias(
+            "vwap"
+        ),
+        F.col("vol_dec").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "sma_crossover",
+    oracle=f"""
+{_BARS_SQL}
+SELECT trade_date, ticker, CAST(close_dec AS DOUBLE) AS close,
+       CAST(SUM(close_dec) OVER w5 AS DOUBLE) / COUNT(*) OVER w5 AS sma5,
+       CAST(SUM(close_dec) OVER w20 AS DOUBLE) / COUNT(*) OVER w20 AS sma20,
+       CASE
+         WHEN CAST(SUM(close_dec) OVER w5 AS DOUBLE) / COUNT(*) OVER w5
+            > CAST(SUM(close_dec) OVER w20 AS DOUBLE) / COUNT(*) OVER w20
+           THEN 'golden'
+         WHEN CAST(SUM(close_dec) OVER w5 AS DOUBLE) / COUNT(*) OVER w5
+            < CAST(SUM(close_dec) OVER w20 AS DOUBLE) / COUNT(*) OVER w20
+           THEN 'dead'
+         ELSE 'flat'
+       END AS signal
+FROM bars
+WINDOW w5 AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w20 AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-day vs 20-day simple-moving-average crossover signal. Both SMAs
+    are exact-decimal frame sums divided once in doubles; the golden/dead
+    comparison therefore compares bitwise-identical values in both
+    engines. Warm-up rows average over the shorter available frame (the
+    conventional expanding start)."""
+    bars = daily_bars(spark, sf_dir)
+    w5 = _w().rowsBetween(-4, 0)
+    w20 = _w().rowsBetween(-19, 0)
+    sma5 = F.sum("close_dec").over(w5).cast("double") / F.count(F.lit(1)).over(w5)
+    sma20 = F.sum("close_dec").over(w20).cast("double") / F.count(F.lit(1)).over(w20)
+    return bars.select(
+        "trade_date",
+        "ticker",
+        F.col("close_dec").cast("double").alias("close"),
+        sma5.alias("sma5"),
+        sma20.alias("sma20"),
+        F.when(sma5 > sma20, F.lit("golden"))
+        .when(sma5 < sma20, F.lit("dead"))
+        .otherwise(F.lit("flat"))
+        .alias("signal"),
+    )
+
+
+@register(
+    "rsi_14",
+    oracle=f"""
+{_BARS_SQL},
+deltas AS (
+  SELECT trade_date, ticker, close_dec,
+         close_dec - lag(close_dec) OVER ({_W}) AS delta
+  FROM bars
+),
+sums AS (
+  SELECT trade_date, ticker, close_dec,
+         SUM(CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(18,4)) END)
+           OVER w AS gain_dec,
+         SUM(CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DECIMAL(18,4)) END)
+           OVER w AS loss_dec,
+         COUNT(delta) OVER w AS n_deltas
+  FROM deltas
+  WINDOW w AS ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT trade_date, ticker, CAST(close_dec AS DOUBLE) AS close,
+       CASE
+         WHEN n_deltas < 14 THEN NULL
+         WHEN loss_dec = 0 THEN 100.0
+         ELSE 100.0 - 100.0 / (1.0 + CAST(gain_dec AS DOUBLE)
+                                     / CAST(loss_dec AS DOUBLE))
+       END AS rsi14
+FROM sums
+""",
+)
+def rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Cutler's form: simple averages of gains/losses over the
+    trailing 14 day-over-day moves). NULL until a full 14-delta history
+    exists; 100 when the frame has no losses. Gain/loss sums stay in exact
+    decimal; RS and the final 100−100/(1+RS) are a fixed IEEE sequence."""
+    bars = daily_bars(spark, sf_dir)
+    w = _w()
+    wf = w.rowsBetween(-13, 0)
+    zero = F.lit(0).cast("decimal(18,4)")
+    deltas = bars.withColumn("delta", F.col("close_dec") - F.lag("close_dec").over(w))
+    gain = F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(zero)).over(wf)
+    loss = F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(zero)).over(wf)
+    n = F.count("delta").over(wf)
+    return deltas.select(
+        "trade_date",
+        "ticker",
+        F.col("close_dec").cast("double").alias("close"),
+        F.when(n < 14, F.lit(None).cast("double"))
+        .when(loss == 0, F.lit(100.0))
+        .otherwise(
+            100.0 - 100.0 / (1.0 + gain.cast("double") / loss.cast("double"))
+        )
+        .alias("rsi14"),
+    )
+
+
+@register(
+    "price_momentum",
+    oracle=f"""
+{_BARS_SQL}
+SELECT trade_date, ticker, CAST(close_dec AS DOUBLE) AS close,
+       CAST(close_dec - lag(close_dec, 10) OVER ({_W}) AS DOUBLE)
+         / CAST(lag(close_dec, 10) OVER ({_W}) AS DOUBLE) AS roc10
+FROM bars
+""",
+)
+def price_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-day rate of change ((close − close₋₁₀)/close₋₁₀); NULL during
+    warm-up (lag propagates NULL). The subtraction happens in exact decimal,
+    then one conversion and one division in doubles."""
+    bars = daily_bars(spark, sf_dir)
+    prev = F.lag("close_dec", 10).over(_w())
+    return bars.select(
+        "trade_date",
+        "ticker",
+        F.col("close_dec").cast("double").alias("close"),
+        ((F.col("close_dec") - prev).cast("double") / prev.cast("double")).alias(
+            "roc10"
+        ),
+    )
+
+
+@register(
+    "max_drawdown",
+    oracle=f"""
+{_BARS_SQL},
+dd AS (
+  SELECT ticker,
+         CAST(max(close_dec) OVER w - close_dec AS DOUBLE)
+           / CAST(max(close_dec) OVER w AS DOUBLE) AS drawdown
+  FROM bars
+  WINDOW w AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, max(drawdown) AS max_drawdown,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM dd GROUP BY ticker
+""",
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker maximum peak-to-trough drawdown: running max of close
+    (exact decimal), per-row drawdown ratio in doubles, then MAX — which is
+    order-insensitive, so the aggregate stays bitwise stable. One window
+    pass + one tiny hash agg, both on the ticker exchange."""
+    bars = daily_bars(spark, sf_dir)
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("close_dec").over(w)
+    dd = (peak - F.col("close_dec")).cast("double") / peak.cast("double")
+    return (
+        bars.select("ticker", dd.alias("drawdown"))
+        .groupBy("ticker")
+        .agg(
+            F.max("drawdown").alias("max_drawdown"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
     import deg04_local_data_lake_spark.operators.cdc  # noqa: F401
     import deg04_local_data_lake_spark.operators.dedup  # noqa: F401
     import deg04_local_data_lake_spark.operators.extras  # noqa: F401
+    import deg04_local_data_lake_spark.operators.finance  # noqa: F401
     import deg04_local_data_lake_spark.operators.lakehouse  # noqa: F401
     import deg04_local_data_lake_spark.operators.llm_extras  # noqa: F401
     import deg04_local_data_lake_spark.operators.multimodal  # noqa: F401
