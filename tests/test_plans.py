@@ -115,6 +115,7 @@ _BNLJ_ALLOWED = {
     "anomalous_daily_revenue",   # 1-row (mean, std) broadcast
     "pagerank_step",             # 1-row node-count broadcast
     "q11_value_concentration",   # 1-row global-threshold broadcast
+    "rfm_segments",              # 1-row anchor-date broadcast
     "q22_idle_balances",         # 1-row average-balance broadcast
     "similarity_topk",           # brute-force baseline (verify stage; IVF is the scale path)
     "text_rare_token_score",     # 1-row corpus-size broadcast
