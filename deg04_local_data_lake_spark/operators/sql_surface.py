@@ -292,3 +292,48 @@ def collection_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "b").alias("map_b"),
         F.map_keys(m).alias("mkeys"),
     )
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS min_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_no_field
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` shreds the
+    ``props`` JSON once into the binary VARIANT encoding; typed reads use
+    ``try_variant_get`` with a JSON path (returning NULL, not an error, for
+    absent fields — asserted by ``n_no_field`` covering every row). This is
+    the third semi-structured strategy next to per-field
+    ``get_json_object`` (events_json_extract) and schema-first ``from_json``
+    (events_props_from_json): at 100 TB, VARIANT wins when the shape is
+    open-ended — one parse, binary-encoded storage, pushdown-friendly typed
+    gets — while ``from_json`` wins when the schema is closed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_field"),
+        )
+    )
