@@ -52,6 +52,7 @@ def load_all() -> None:
     import deg04_local_data_lake_spark.operators.relational  # noqa: F401
     import deg04_local_data_lake_spark.operators.scale  # noqa: F401
     import deg04_local_data_lake_spark.operators.similarity  # noqa: F401
+    import deg04_local_data_lake_spark.operators.sql_modern  # noqa: F401
     import deg04_local_data_lake_spark.operators.sql_surface  # noqa: F401
     import deg04_local_data_lake_spark.operators.table_functions  # noqa: F401
     import deg04_local_data_lake_spark.operators.text  # noqa: F401
