@@ -76,8 +76,8 @@ FROM idx
 def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window document chunking via a Python UDTF in a LATERAL
     correlate (every 7th doc keeps the expansion bounded). The plan is a
-    scan → BatchEvalPython/ArrowEvalPython expansion — no shuffle; chunk
-    count per doc is ⌈(n−CHUNK)/STRIDE⌉+1."""
+    scan → ArrowEvalPythonUDTF expansion — no shuffle; chunk count per doc
+    is ⌈(n−CHUNK)/STRIDE⌉+1."""
     spark.udtf.register("chunk_words", ChunkWords)
     docs = load_table(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
     docs.createOrReplaceTempView("_chunk_docs")
