@@ -281,3 +281,33 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"_v={v}"))
     return doomed
+
+
+def write_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "Column"],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, object]:
+    """Write with in-flight quality metrics (``df.observe``): the named
+    aggregate expressions are accumulated on the executors WHILE the rows
+    stream to the sink — zero extra scans, zero extra shuffles — and
+    returned once the write commits.
+
+    This is the 100 TB answer to "audit the load you just wrote": the
+    post-hoc alternative re-reads the entire output (a second full scan),
+    and the pre-write ``df.agg`` alternative computes the pipeline twice.
+    Metrics must be aggregate expressions (count/sum/min/max/...); use the
+    exact-decimal builders from functions/portable.py for sums so the
+    audit numbers are as reproducible as the queries themselves.
+
+    Batch twin of the streaming path's progress metrics; tested equal to
+    separately computed aggregates in tests/test_pipeline.py.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[expr.alias(name) for name, expr in metrics.items()])
+    observed.write.format(fmt).mode(mode).save(path)
+    return obs.get

@@ -269,3 +269,33 @@ def test_python_datasource_jsonl_sink_commit_protocol(spark, smoke_dir, tmp_path
     got = sorted((r["n_nationkey"], r["n_name"]) for r in back.collect())
     want = sorted((r["n_nationkey"], r["n_name"]) for r in nation.collect())
     assert got == want
+
+
+def test_write_observed_matches_direct_aggregates(spark, smoke_dir, tmp_path):
+    """write_observed's in-flight metrics equal a separate aggregation of
+    the same frame, and the write itself is intact."""
+    from deg04_local_data_lake_spark.functions.portable import dec
+
+    ev = readers.load_table(spark, smoke_dir, "events")
+    out = str(tmp_path / "observed")
+    got = writers.write_observed(
+        ev,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_props": F.sum(F.col("props").isNull().cast("long")),
+            "total_value": F.sum(dec("value")).cast("double"),
+            "max_ts": F.max("ts"),
+        },
+    )
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.max("ts").alias("max_ts"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["n_null_props"] == direct["n_null_props"]
+    assert got["total_value"] == direct["total_value"]
+    assert got["max_ts"] == direct["max_ts"]
+    assert spark.read.parquet(out).count() == got["n_rows"]
