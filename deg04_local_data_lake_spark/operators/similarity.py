@@ -277,3 +277,142 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+# --- random-hyperplane LSH (data-independent near-dup blocking) ----------
+#
+# 16 hyperplanes → 4 bands of 4 sign bits. Hyperplane components are
+# pseudo-random integers in [-1000, 1000] derived from md5("hp<plane>_<pos>")
+# — both engines compute the identical grid, so bucketing (and therefore
+# the candidate set) is bitwise reproducible with no RNG state anywhere.
+N_PLANES = 16
+BAND_BITS = 4
+LSH_COS_THRESHOLD = 0.3
+
+
+@register(
+    "dedup_lsh_cosine",
+    oracle=f"""
+WITH q AS ({_QUANT_SQL}),
+comp AS (SELECT vec_id, u.i AS pos, qe[u.i] AS v FROM q,
+         LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u),
+planes AS (
+  SELECT p.plane, d.pos,
+         (('0x' || substr(md5('hp' || CAST(p.plane AS VARCHAR) || '_'
+                               || CAST(d.pos AS VARCHAR)), 1, 8))::BIGINT
+          % 2001) - 1000 AS coef
+  FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p,
+       (SELECT DISTINCT u.i AS pos FROM q,
+        LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u) d
+),
+dots AS (SELECT c.vec_id, p.plane, SUM(c.v * p.coef) AS s
+         FROM comp c JOIN planes p ON c.pos = p.pos GROUP BY 1, 2),
+bands AS (SELECT vec_id, plane // {BAND_BITS} AS band,
+                 CAST(SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END
+                          * (1 << (plane % {BAND_BITS}))) AS BIGINT) AS band_key
+          FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.vec_id < b.vec_id),
+n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q)
+SELECT c.vec_a, c.vec_b,
+       list_dot_product(x.qe, y.qe) / (x.nrm * y.nrm) AS cosine
+FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
+WHERE list_dot_product(x.qe, y.qe) / (x.nrm * y.nrm) >= {LSH_COS_THRESHOLD}
+""",
+)
+def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH: sign-bit
+    sketches over {N_PLANES} deterministic integer hyperplanes, banded
+    {BAND_BITS} bits at a time; vectors sharing any band bucket become
+    candidates; candidates are verified with the exact integer-quantized
+    cosine. Unlike ``dedup_embedding_pairs`` (which blocks on the given
+    ``label``), this needs NO pre-clustering key — the blocking is
+    data-independent, which is the realistic 100 TB posture.
+
+    Plan shape at scale: the hyperplane grid is tiny (N_PLANES×dim rows,
+    broadcast); sketching is one keyed aggregate per (vec, plane); the
+    candidate join shuffles only (band, band_key, vec_id) tuples — pair
+    expansion is quadratic within buckets only, and band width tunes the
+    recall/cost trade-off. Verification touches candidates, not n².
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantized(F.col("embedding")).alias("qe"))
+    dim = q.select(F.size("qe")).first()[0]  # metadata-sized driver lookup
+
+    comp = q.select("vec_id", F.posexplode("qe").alias("pos0", "v")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    # one flat range → (plane, pos) grid; no join in the grid construction
+    planes = spark.range(N_PLANES * dim).select(
+        (F.col("id") / dim).cast("int").alias("plane"),
+        (F.col("id") % dim + 1).cast("int").alias("pos"),
+    )
+    coef = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hp"),
+                        F.col("plane").cast("string"),
+                        F.lit("_"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    planes = planes.select("plane", "pos", coef.alias("coef"))
+
+    dots = (
+        comp.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("v") * F.col("coef")).alias("s"))
+    )
+    bands = (
+        dots.select(
+            "vec_id",
+            F.floor(F.col("plane") / BAND_BITS).cast("int").alias("band"),
+            (
+                (F.col("s") >= 0).cast("long")
+                * F.pow(F.lit(2.0), (F.col("plane") % BAND_BITS).cast("double")).cast(
+                    "long"
+                )
+            ).alias("bitval"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bitval").alias("band_key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    n = q.select(
+        "vec_id",
+        "qe",
+        F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm"),
+    )
+    x, y = n.alias("x"), n.alias("y")
+    cos = int_dot(F.col("x.qe"), F.col("y.qe")).cast("double") / (
+        F.col("x.nrm") * F.col("y.nrm")
+    )
+    return (
+        cand.join(x, F.col("vec_a") == F.col("x.vec_id"))
+        .join(y, F.col("vec_b") == F.col("y.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= LSH_COS_THRESHOLD)
+    )
