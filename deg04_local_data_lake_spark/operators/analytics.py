@@ -871,3 +871,93 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_nodes")
         ).alias("pr_rank"),
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE 3.0 * n_triangles / n_wedges END AS global_clustering
+FROM stats, ne, tri
+""",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over the part
+    co-purchase graph (same graph as ``pagerank_step``; edges canonical
+    u<v, so each triangle matches exactly one (e1,e2,e3) orientation).
+
+    The multi-way-self-join graph workload: build canonical edges once
+    (orderkey-keyed self-join, co-partitioned), then edges⋈edges⋈edges —
+    each hop an equi-join whose shuffle key is a vertex id. Work is
+    Σ deg(v)² (wedge enumeration); at 100 TB the standard mitigations —
+    orient edges from low to high degree before the wedge join, cap
+    super-node degrees — drop in at the ``edges`` CTE without touching the
+    counting joins. Wedge count derives from exact integer degree sums;
+    the clustering coefficient is one double division at the end. The
+    three 1-row aggregates meet in broadcast nested loops (allowlisted:
+    1-row frames, constant cost)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .alias("global_clustering"),
+        )
+    )

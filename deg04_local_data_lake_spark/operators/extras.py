@@ -841,3 +841,63 @@ def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, slope).otherwise(F.lit(None)).alias("slope"),
         F.when(ok, intercept).otherwise(F.lit(None)).alias("intercept"),
     )
+
+
+# --- order-insensitive table fingerprints (replica / snapshot audit) -----
+#
+# Per table: hash a canonical pipe-joined row string (doubles first pinned
+# to DECIMAL(18,4) so both engines render identical digits), take 48 bits
+# of the md5 as an integer, SUM exactly. Addition is commutative, so the
+# fingerprint is independent of row order, partitioning, and engine — equal
+# fingerprints+counts ⇒ equal tables (up to 48-bit collision odds).
+_FP_TABLES: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": [
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS STRING)",
+    ],
+}
+
+
+def _fp_oracle() -> str:
+    parts = []
+    for t, cols in _FP_TABLES.items():
+        dk_cols = [c.replace(" AS STRING", " AS VARCHAR") for c in cols]
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" if "CAST" not in c else c
+                                 for c in dk_cols)
+        parts.append(f"""
+SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(('0x' || substr(md5({key}), 1, 12))::BIGINT)
+                 AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+FROM {t}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("table_fingerprint", oracle=_fp_oracle())
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (n_rows, fingerprint) row per audited table — the cheap answer
+    to "are these two copies of a 100 TB table identical?" (replica sync,
+    post-migration audit, snapshot equality): each side computes its
+    fingerprint locally in one scan + a 1-row aggregate; only the
+    fingerprints travel. The same construction per-partition gives
+    file/partition-level diffs (restrict the scan, compare sums).
+    """
+    fps = []
+    for t, cols in _FP_TABLES.items():
+        df = load_table(spark, sf_dir, t)
+        key = F.concat_ws("|", *[F.expr(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+        fps.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).cast("decimal(38,0)").cast("string").alias("fingerprint"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "fingerprint")
+        )
+    out = fps[0]
+    for other in fps[1:]:
+        out = out.unionByName(other)
+    return out

@@ -119,6 +119,7 @@ _BNLJ_ALLOWED = {
     "q22_idle_balances",         # 1-row average-balance broadcast
     "similarity_topk",           # brute-force baseline (verify stage; IVF is the scale path)
     "text_rare_token_score",     # 1-row corpus-size broadcast
+    "triangle_count",            # three 1-row aggregates combined
     "tfidf_top_terms",           # 1-row doc-count broadcast
 }
 
