@@ -351,3 +351,50 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd.alias("sd"),
         F.when(n > 1, ma + 2.0 * sd).alias("upper_band"),
     )
+
+
+@register(
+    "forward_fill_values",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(18,4)) END AS pv
+  FROM events
+)
+SELECT user_id, ts, event_id, event_type,
+       CAST(last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS last_purchase_value,
+       CAST(count(pv) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_purchases_so_far
+FROM sparse
+""",
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): every event
+    row carries the most recent purchase value of the same user (NULL until
+    the first purchase). The sparse "observation" column is synthesized by
+    nulling non-purchase rows, then ``last_value(..., ignorenulls=True)``
+    over the running frame repairs the gaps — the canonical time-series
+    sensor-gap / slowly-changing-attribute repair, one window pass on the
+    user exchange (same shape as the SCD2 build). Values ride exact
+    decimal; the fill chooses an existing value, so no arithmetic at all."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pv = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(18,4)")
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(pv, ignorenulls=True).over(w).cast("double").alias("last_purchase_value"),
+        F.count(pv).over(w).alias("n_purchases_so_far"),
+    )
