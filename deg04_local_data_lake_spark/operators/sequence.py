@@ -1,0 +1,217 @@
+"""Ordered-sequence analytics: streaks, interval algebra, attribution.
+
+The reference has no ordering anywhere (SURVEY.md §2.7); these are the
+event-sequence operators its `events`-shaped workloads would need next.
+All three are single-window-pass shapes: one shuffle on `user_id`, then
+per-partition sorted scans — at 100 TB the fact table shuffles ONCE on the
+entity key and every derived sequence statistic (islands, merged
+intervals, carried-forward attribution state) is computed inside that
+partitioning with no further exchange. Window ordering is always
+`(ts, event_id)` so ties cannot flap the result across runs/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+         min(day) AS streak_start, max(day) AS streak_end
+  FROM islands GROUP BY user_id, anchor
+)
+SELECT user_id, streak_days, streak_start, streak_end
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC, streak_start) AS rn
+      FROM streaks)
+WHERE rn = 1
+""",
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands).
+
+    The classic trick: within a user, consecutive days all share the same
+    ``day - row_number()`` anchor, so one window pass + one aggregate finds
+    every island — no self-join, no iteration. Plan: distinct is a partial
+    aggregate pushed before the shuffle (days-per-user ≪ events-per-user),
+    then everything stays inside the `user_id` partitioning. Earliest
+    streak wins length ties, keeping the answer deterministic.
+    """
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("anchor", F.date_sub("day", F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start", "streak_end")
+    )
+
+
+@register(
+    "merge_event_intervals",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s
+              THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, min(s) AS m_start, max(e) AS m_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(date_diff('microsecond', m_start, m_end)) AS BIGINT) AS covered_us,
+       CAST(max(n_events) AS BIGINT) AS busiest_interval_events
+FROM merged GROUP BY user_id
+""",
+)
+def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping activity intervals (each event opens a 30-minute
+    window) per user; report merged-interval count, exact covered
+    microseconds, and the busiest merged interval. (Microsecond granularity
+    because cross-engine second-diff semantics differ: DuckDB `date_diff`
+    counts boundary crossings, Spark `timestampdiff` floors elapsed time —
+    at the native precision both are the exact integer difference.)
+
+    Interval union via the running-max-end sweep: an interval starts a new
+    merged island iff its start exceeds the max end seen so far — one
+    window pass, no self-join (the naive overlap join is O(n²) per user and
+    unbounded at 100 TB). Coverage is integer seconds (exact in both
+    engines). The two stacked windows share one `(user_id, s)` sort: Spark
+    plans a single Sort + two Window nodes, still one shuffle total.
+    """
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    sweep = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(sweep) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
+    )
+    acc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(acc))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, m_start, m_end)")).alias(
+            "covered_us"
+        ),
+        F.max("n_events").alias("busiest_interval_events"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         last_value(CASE WHEN event_type IN ('click','view','signup')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    most recent prior click/view/signup by the same user ('direct' when
+    none), with exact-decimal value sums per channel.
+
+    Carried-forward state via ``last(..., ignorenulls=True)`` over the
+    user's timeline — the declarative form of "remember the last marketing
+    event"; no per-user loop, no as-of self-join. The purchase filter CANNOT
+    be pushed below the window (earlier marketing rows feed the state), so
+    the plan is scan → one user_id shuffle → window → filter → tiny
+    channel aggregate; the final groupBy is over ≤5 channels and collapses
+    map-side.
+    """
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum(dec("value")).cast("double").alias("attributed_value"),
+        )
+    )

@@ -51,6 +51,7 @@ def load_all() -> None:
     import deg04_local_data_lake_spark.operators.multimodal  # noqa: F401
     import deg04_local_data_lake_spark.operators.relational  # noqa: F401
     import deg04_local_data_lake_spark.operators.scale  # noqa: F401
+    import deg04_local_data_lake_spark.operators.sequence  # noqa: F401
     import deg04_local_data_lake_spark.operators.similarity  # noqa: F401
     import deg04_local_data_lake_spark.operators.sql_modern  # noqa: F401
     import deg04_local_data_lake_spark.operators.sql_surface  # noqa: F401
