@@ -901,3 +901,91 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for other in fps[1:]:
         out = out.unionByName(other)
     return out
+
+
+# log10(1 + 1/d) for d = 1..9, as exact double literals: the same decimal
+# text parses to the same IEEE double in Spark and DuckDB, so no libm call
+# (whose last-ulp behavior differs across runtimes) appears in either plan.
+_BENFORD = {
+    "1": "0.3010299956639812",
+    "2": "0.17609125905568124",
+    "3": "0.12493873660829992",
+    "4": "0.09691001300805642",
+    "5": "0.07918124604762482",
+    "6": "0.06694678963061322",
+    "7": "0.05799194697768673",
+    "8": "0.05115252244738129",
+    "9": "0.04575749056067514",
+}
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS VARCHAR), 1, 1) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(count(*) AS BIGINT)) OVER () AS total
+  FROM digits GROUP BY 1
+)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_rate,
+       expected_rate,
+       ((CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - expected_rate)
+        * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - expected_rate)
+        / expected_rate) * CAST(total AS DOUBLE) AS chi_term
+FROM counts,
+     LATERAL (SELECT CAST(CASE digit
+       {" ".join(f"WHEN '{d}' THEN {v}" for d, v in _BENFORD.items())}
+       END AS DOUBLE) AS expected_rate)
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order amounts: leading-digit distribution vs
+    the log10(1+1/d) expectation, with per-digit chi-square contributions —
+    the classic fabricated-data / ingest-corruption detector for financial
+    columns.
+
+    The leading digit is extracted in exact integer space (decimal cents →
+    string head), never via float log10. One scan, 9-group hash aggregate
+    (collapses map-side at any scale), window total over 9 rows. Expected
+    rates are embedded as decimal literals so both engines parse identical
+    doubles; the chi term is the same IEEE expression tree on both sides —
+    bitwise reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).alias("digit")
+    counts = orders.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, v in _BENFORD.items() for x in (d, float(v))]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    dev = obs - F.col("expected_rate")
+    return (
+        counts.withColumn("total", total)
+        .withColumn("expected_rate", expected)
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_rate"),
+            "expected_rate",
+            (dev * dev / F.col("expected_rate") * F.col("total").cast("double")).alias(
+                "chi_term"
+            ),
+        )
+    )

@@ -215,3 +215,179 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("attributed_value"),
         )
     )
+
+
+@register(
+    "sessionized_conversion",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM gaps
+),
+ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sessions
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS conversion_rate,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_session GROUP BY 1
+""",
+)
+def sessionized_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion funnel: gap-sessionize (30 min), credit each
+    session to its entry event type, and measure what fraction of sessions
+    reach a purchase — the product-analytics "which landing behavior
+    converts" question.
+
+    Builds on the shared ``sessionize`` window program: the session tag,
+    the per-session entry pick (row_number = 1), and the converted flag all
+    run inside the single ``user_id`` exchange (the per-session groupBy
+    keys are a superset prefix-hash of the window partitioning at 100 TB —
+    AQE keeps it local); the final channel aggregate is ≤ |event types|
+    rows and collapses map-side. The conversion ratio is a single IEEE
+    division of two exact counts, so it is bitwise identical cross-engine.
+    """
+    from deg04_local_data_lake_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev)
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    per_session = (
+        s.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (
+            F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )
+
+
+@register(
+    "interpolate_linear_gaps",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,4))) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.day, d.spend
+  FROM grid g LEFT JOIN daily d USING (user_id, day)
+),
+state AS (
+  SELECT user_id, day, spend,
+    last_value(spend IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN spend IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+    first_value(spend IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN spend IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id, day,
+       CAST(date_diff('day', pd, nd) AS BIGINT) AS gap_days,
+       CAST(pv AS DOUBLE)
+         + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+           * (CAST(date_diff('day', pd, day) AS DOUBLE)
+              / CAST(date_diff('day', pd, nd) AS DOUBLE)) AS interp_spend
+FROM state WHERE spend IS NULL
+""",
+)
+def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap repair: each user's daily purchase spend is
+    densified to a full per-user calendar, and missing days get the
+    straight-line value between the surrounding observations — the
+    numeric-series complement of LOCF (``forward_fill_values``), e.g. for
+    sensor series or balance curves.
+
+    Shape: exact-decimal daily aggregate → per-user calendar via
+    ``sequence``+``explode`` (rows ∝ user span, not events) → one
+    ``user_id`` window pass carrying (prev value, prev day, next value,
+    next day) via ignorenulls last/first over mirrored frames. At 100 TB
+    the grid join and all four window columns share the same ``user_id``
+    hash partitioning — one shuffle of the *daily* (already ~1000× reduced)
+    series. Interpolation arithmetic is the identical IEEE expression tree
+    in both engines over exact-decimal endpoints and integer day offsets,
+    so results are bitwise reproducible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(dec("value")).alias("spend"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    wp = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("spend").isNotNull(), F.col("day"))
+    state = j.select(
+        "user_id",
+        "day",
+        "spend",
+        F.last("spend", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("spend", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    pvd = F.col("pv").cast("double")
+    nvd = F.col("nv").cast("double")
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    return state.filter(F.col("spend").isNull()).select(
+        "user_id",
+        "day",
+        F.datediff("nd", "pd").cast("bigint").alias("gap_days"),
+        (pvd + (nvd - pvd) * frac).alias("interp_spend"),
+    )

@@ -335,3 +335,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+  FROM documents
+),
+agg AS (
+  SELECT token,
+         list_sort(list(DISTINCT doc_id)) AS postings,
+         CAST(count(*) AS BIGINT) AS tf_total
+  FROM toks GROUP BY 1
+)
+SELECT token,
+       CAST(len(postings) AS BIGINT) AS df,
+       tf_total,
+       postings[1:8] AS postings_head
+FROM agg WHERE len(postings) >= 25
+""",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency, total term
+    frequency, and the head of the sorted posting list — the core batch
+    job behind corpus search / contamination lookup / tf-idf serving.
+
+    Explode-then-aggregate: the token exchange is the only shuffle, with
+    map-side partial aggregation collapsing each token's in-partition
+    duplicates before the wire. Posting lists are sorted for determinism
+    and clipped to a fixed head — at 100 TB full postings for stopword-like
+    tokens are the classic straggler, so the full list would be written as
+    a bucketed table keyed on token instead of collected into one row
+    (the df/tf statistics here stay exact either way). The df ≥ 25 floor
+    keeps the long tail out of the result without changing the statistics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("tf_total"),
+    )
+    return agg.select(
+        "token",
+        F.size("postings").cast("bigint").alias("df"),
+        "tf_total",
+        F.slice("postings", 1, 8).alias("postings_head"),
+    ).filter(F.col("df") >= 25)

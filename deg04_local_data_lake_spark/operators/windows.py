@@ -398,3 +398,42 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(pv, ignorenulls=True).over(w).cast("double").alias("last_purchase_value"),
         F.count(pv).over(w).alias("n_purchases_so_far"),
     )
+
+
+@register(
+    "events_hopping_counts",
+    oracle="""
+WITH slotted AS (
+  SELECT epoch_us(ts) // 900000000 AS slot, event_type, value FROM events
+),
+expanded AS (
+  SELECT make_timestamp((s.slot - k.k) * 900000000) AS window_start,
+         s.event_type, s.value
+  FROM slotted s
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM expanded GROUP BY 1, 2
+""",
+)
+def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 1-hour windows advancing every
+    15 minutes, so each event contributes to exactly 4 overlapping windows.
+    ``F.window(ts, "1 hour", "15 minutes")`` expands the row 4× *before*
+    the shuffle — the write amplification is the slide ratio, which is why
+    production rollups keep window/slide small (4× here) and derive longer
+    horizons by re-aggregating stored 15-minute panes (see
+    ``events_rollup_cascade``) instead of sliding a wide window directly.
+    The oracle reconstructs Spark's epoch-aligned window semantics
+    explicitly: an event in 15-minute slot s belongs to windows starting at
+    slots s-3..s. Batch twin of the streaming hopping-window rollup."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.window("ts", "1 hour", "15 minutes").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
