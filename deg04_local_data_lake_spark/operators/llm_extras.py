@@ -404,3 +404,90 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("old_label", "new_label")
     )
+
+
+@register(
+    "embedding_pca_power_iter",
+    oracle=f"""
+WITH q AS ({_QUANT_SQL}),
+ex AS (SELECT vec_id, i AS pos, qe[i] AS v,
+              CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END AS v0
+       FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u),
+dotted AS (
+  SELECT pos, v,
+         SUM(v * v0) OVER (PARTITION BY vec_id) AS dot
+  FROM ex
+),
+y AS (
+  SELECT pos, CAST(SUM(v * dot) AS DOUBLE) AS y_component
+  FROM dotted GROUP BY pos
+),
+nrm AS (SELECT sqrt(list_reduce(
+          list_prepend(CAST(0 AS DOUBLE), list(y_component ORDER BY pos)),
+          (a, b) -> a + b * b)) AS y_nrm
+        FROM y)
+SELECT pos, y_component, y_component / y_nrm AS y_unit
+FROM y, nrm
+""",
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top principal direction of the
+    embedding Gram matrix: y = Aᵀ(A·v₀) with a fixed alternating-sign start
+    vector — the distributed kernel inside PCA / spectral initialization
+    (iterating + re-normalizing is driver-side composition, as with
+    ``embedding_kmeans_step``).
+
+    Never materializes the d×d Gram matrix: A·v₀ is a per-vector window sum
+    over the exploded components (one ``vec_id`` shuffle), and Aᵀ·(A v₀) is
+    a per-dimension aggregate (one ``pos`` shuffle over d=64 groups) — both
+    sides are row-linear passes, so the step scales with nnz(A), not d².
+    All products stay in quantized-integer space (components ≤ 1e6, so
+    v·dot ≤ 6.4e13 per row — exact in int64; the cross-row sum rides
+    exact decimal for unbounded n). Only the final component and its
+    normalization are converted to double — one correctly-rounded
+    conversion + identical IEEE sqrt/division per engine, so the result is
+    bitwise reproducible. The norm is accumulated over the 64 per-dimension
+    doubles in explicit ``pos`` order to pin the summation tree.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+        ).alias("qe"),
+    )
+    ex = q.select("vec_id", F.posexplode("qe").alias("pos0", "v")).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "v",
+        F.when((F.col("pos0") + 1) % 2 == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("v0"),
+    )
+    dotted = ex.select(
+        "pos",
+        "v",
+        F.sum(F.col("v") * F.col("v0"))
+        .over(Window.partitionBy("vec_id"))
+        .alias("dot"),
+    )
+    y = dotted.groupBy("pos").agg(
+        F.sum((F.col("v") * F.col("dot")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("y_component")
+    )
+    # 64 rows: fold the norm in pos order so both engines add identically
+    nrm = (
+        y.sort("pos")
+        .agg(F.collect_list("y_component").alias("ys"))
+        .select(
+            F.sqrt(
+                F.aggregate(
+                    "ys", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("y_nrm")
+        )
+    )
+    return y.crossJoin(F.broadcast(nrm)).select(
+        "pos", "y_component", (F.col("y_component") / F.col("y_nrm")).alias("y_unit")
+    )

@@ -117,6 +117,7 @@ _BNLJ_ALLOWED = {
     "q11_value_concentration",   # 1-row global-threshold broadcast
     "rfm_segments",              # 1-row anchor-date broadcast
     "q22_idle_balances",         # 1-row average-balance broadcast
+    "embedding_pca_power_iter",  # 1-row norm broadcast
     "similarity_topk",           # brute-force baseline (verify stage; IVF is the scale path)
     "text_rare_token_score",     # 1-row corpus-size broadcast
     "triangle_count",            # three 1-row aggregates combined
