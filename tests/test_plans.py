@@ -136,3 +136,34 @@ def test_no_accidental_quadratic_join(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
     if name not in _BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, smoke_dir, tmp_path):
+    """True runtime DPP — the 100 TB star-join contract: when a partitioned
+    fact joins a dim whose *filter* (not the fact's) selects few partitions,
+    Catalyst must inject a ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters so only the matching partition directories are read.
+    Static PartitionFilters (covered by the medallion test above) don't help
+    here because the selective predicate lives on the dim side."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.sources.readers import load_table
+
+    ev = load_table(spark, smoke_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    path = str(tmp_path / "fact_by_day")
+    ev.write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+
+    days = sorted(r[0] for r in fact.select("day").distinct().collect())
+    assert len(days) > 2  # pruning is meaningful
+    dim = spark.createDataFrame(
+        [(d, "keep" if i == 0 else "drop") for i, d in enumerate(days)],
+        "day date, tag string",
+    )
+    j = fact.join(dim.filter(F.col("tag") == "keep"), "day")
+
+    plan = explain.formatted_plan(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert j.count() == fact.filter(F.col("day") == days[0]).count()
