@@ -600,3 +600,62 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+def _minhash_estimate_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES)
+    )
+    return f"""
+{_BANDS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS BIGINT) AS sig_agree,
+       CAST({agree} AS DOUBLE) / {N_HASHES}.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register("dedup_minhash_estimate", oracle=_minhash_estimate_sql())
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard estimation from MinHash signature agreement: for every LSH
+    candidate pair, the fraction of the 16 permutations whose minima agree
+    is an unbiased estimate of the true Jaccard — the cheap score that
+    decides which candidates go to exact verification
+    (``dedup_ngram_jaccard``) and which are dropped on the spot.
+
+    The estimate is a ratio of an integer agreement count over a
+    power-of-two constant: exact in IEEE, bitwise cross-engine. Pair rows
+    join the signature table twice on doc_id — at 100 TB the signatures
+    are persisted once (16 longs/doc, ~3 orders smaller than the corpus)
+    and both probes are shuffle joins on that compact table; nothing
+    touches raw text in this stage."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("sig_agree"),
+            (agree.cast("double") / float(N_HASHES)).alias("est_jaccard"),
+        )
+    )

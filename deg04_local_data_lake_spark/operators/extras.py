@@ -989,3 +989,125 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "feature_minmax_scale",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       (value - lo) / (hi - lo) AS value_scaled
+FROM events e JOIN stats USING (event_type)
+""",
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] — the everyday ML
+    feature-engineering normalizer, grouped by event type.
+
+    min/max are *selection* aggregates (no arithmetic), so the group stats
+    are exact; the scale expression is two IEEE ops applied row-wise,
+    bitwise identical cross-engine. Plan: tiny stats aggregate →
+    broadcast back onto the fact scan — the fact table itself never
+    shuffles, which is the property that matters when the fact is 100 TB
+    (a window-function formulation would shuffle everything for the same
+    five numbers)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+            "value_scaled"
+        ),
+    )
+
+
+MAD_K = 5  # outlier threshold: |x - median| > K * MAD
+
+
+@register(
+    "robust_outliers_mad",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+ranked2 AS (
+  SELECT event_type, adev, med,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, med, adev AS mad FROM ranked2 WHERE rn = (n + 1) // 2)
+SELECT d.event_type, min(m.med) AS median_value, min(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) instead of mean / stddev, so a few extreme values
+    cannot mask themselves by inflating the spread — the robust sibling of
+    ``anomalous_daily_revenue``.
+
+    Both medians are *discrete rank selections* (lower median, ties broken
+    by event_id) — actual data elements, no interpolation arithmetic — so
+    every derived comparison is IEEE-deterministic. Two rank passes + two
+    tiny broadcasts back onto the fact. At 100 TB the per-group row_number
+    over a 5-key partitioning is the skew point: swap the rank selection
+    for a distributed selection (binary search on value against exact
+    counts) while keeping this query's contract — the oracle pins the
+    semantics either way."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    ranked2 = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w.orderBy("adev", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mad = ranked2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > MAD_K * F.col("mad")).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
