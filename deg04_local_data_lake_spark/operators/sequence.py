@@ -76,6 +76,42 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_intervals(
+    iv: DataFrame,
+    user_col: str = "user_id",
+    s_col: str = "s",
+    e_col: str = "e",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(entity, start, end, id) intervals → merged islands per entity:
+    (entity, island, m_start, m_end, n_events). Running-max-end sweep; one
+    shuffle on the entity key, two stacked windows over one sort."""
+    sweep = (
+        Window.partitionBy(user_col)
+        .orderBy(s_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        user_col,
+        s_col,
+        e_col,
+        F.when(F.max(e_col).over(sweep) >= F.col(s_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
+    )
+    acc = (
+        Window.partitionBy(user_col)
+        .orderBy(s_col, e_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(acc))
+    return islands.groupBy(user_col, "island").agg(
+        F.min(s_col).alias("m_start"),
+        F.max(e_col).alias("m_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register(
     "merge_event_intervals",
     oracle="""
@@ -129,31 +165,7 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
     )
-    sweep = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.select(
-        "user_id",
-        "s",
-        "e",
-        F.when(F.max("e").over(sweep) >= F.col("s"), F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("is_new"),
-    )
-    acc = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = flagged.withColumn("island", F.sum("is_new").over(acc))
-    merged = islands.groupBy("user_id", "island").agg(
-        F.min("s").alias("m_start"),
-        F.max("e").alias("m_end"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    return merged.groupBy("user_id").agg(
+    return merge_intervals(iv).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.expr("timestampdiff(MICROSECOND, m_start, m_end)")).alias(
             "covered_us"
@@ -390,4 +402,59 @@ def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.datediff("nd", "pd").cast("bigint").alias("gap_days"),
         (pvd + (nvd - pvd) * frac).alias("interp_spend"),
+    )
+
+
+@register(
+    "open_orders_per_day",
+    oracle="""
+WITH span AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         max(CAST(l_shipdate AS DATE)) AS e
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  HAVING max(CAST(l_shipdate AS DATE)) > CAST(o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT s AS day, CAST(1 AS BIGINT) AS delta FROM span
+  UNION ALL
+  SELECT e AS day, CAST(-1 AS BIGINT) AS delta FROM span
+),
+daily AS (SELECT day, SUM(delta) AS net FROM deltas GROUP BY 1)
+SELECT day, CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS open_orders
+FROM daily
+""",
+)
+def open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep: how many orders are open — placed but
+    not yet fully shipped — on each day. The classic
+    max-concurrent-intervals / work-in-progress query, over intervals
+    derived from a fact join (order date → last lineitem ship date).
+
+    Each interval becomes a +1 at its start and a −1 at its end; a
+    pre-aggregate collapses the deltas to one net number per day (the step
+    that makes the scan side distribute — billions of intervals reduce to
+    ~|distinct days| rows before any ordered work), and a running sum over
+    that tiny daily series yields the concurrency curve. Only the final
+    window runs on a single partition, and it sees thousands of rows at
+    any corpus size, by construction. Zero-length intervals are excluded
+    up front so every +1 has a later −1."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("s"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
+        .filter(F.col("e") > F.col("s"))
+    )
+    deltas = span.select(
+        F.col("s").alias("day"), F.lit(1).cast("bigint").alias("delta")
+    ).unionByName(
+        span.select(F.col("e").alias("day"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    acc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("net").over(acc).cast("bigint").alias("open_orders")
     )

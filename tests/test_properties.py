@@ -140,3 +140,58 @@ def test_exact_corr_partition_invariant_and_close_to_numpy(
         assert vals[0] is not None and math.isclose(
             vals[0], want, rel_tol=1e-9, abs_tol=1e-12
         )
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # user
+        st.integers(0, 50),   # start offset, minutes
+        st.integers(1, 10),   # length, minutes
+    ),
+    max_size=8,
+)
+
+
+@given(iv=intervals)
+@settings(**_SETTINGS)
+def test_merge_intervals_matches_reference(spark, iv):
+    """The window-sweep interval union equals the obvious sequential merge
+    for ANY interval set — including touching endpoints (which merge: the
+    sweep condition is >=), duplicates, and fully-nested intervals."""
+    from deg04_local_data_lake_spark.operators.sequence import merge_intervals
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            u,
+            i,
+            base + datetime.timedelta(minutes=s),
+            base + datetime.timedelta(minutes=s + ln),
+        )
+        for i, (u, s, ln) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, s timestamp, e timestamp"
+    )
+    got = {
+        (r.user_id, r.m_start, r.m_end, r.n_events)
+        for r in merge_intervals(df).collect()
+    }
+
+    expect = set()
+    by_user: dict[int, list[tuple]] = {}
+    for u, i, s, e in rows:
+        by_user.setdefault(u, []).append((s, i, e))
+    for u, ivs in by_user.items():
+        cur = None
+        for s, _, e in sorted(ivs):
+            if cur is None or s > cur[1]:
+                if cur is not None:
+                    expect.add((u, cur[0], cur[1], cur[2]))
+                cur = [s, e, 1]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+        if cur is not None:
+            expect.add((u, cur[0], cur[1], cur[2]))
+    assert got == expect
