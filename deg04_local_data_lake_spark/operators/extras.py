@@ -1111,3 +1111,56 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+                THEN value END) AS p50,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+                THEN value END) AS p90,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                THEN value END) AS p99,
+       CAST(min(n) AS BIGINT) AS n_rows
+FROM ranked GROUP BY 1
+""",
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per event type in ONE rank pass — the latency-SLO
+    query shape. ``percentile_disc`` picks the lowest value whose cumulative
+    rank reaches p, i.e. the element at rank ⌈p·n⌉ — computed here
+    explicitly so both engines select the identical data element (no
+    interpolation arithmetic, ties pinned by event_id). All three
+    percentiles ride the same window sort: one shuffle, one ordered scan,
+    then a 5-row aggregate. At 100 TB swap the per-group row_number for
+    the same binary-search selection noted on ``robust_outliers_mad`` —
+    the contract (exact discrete element) is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def at(p: float):
+        rank = F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        )
+        return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        at(0.50).alias("p50"),
+        at(0.90).alias("p90"),
+        at(0.99).alias("p99"),
+        F.min("n").cast("bigint").alias("n_rows"),
+    )

@@ -71,6 +71,21 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def hopping_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Hopping 1h/15m windowed counts — streaming twin of the
+    oracle-checked batch query ``events_hopping_counts``. Same 4× pre-
+    shuffle expansion as batch; state size is windows-per-slide × groups,
+    bounded by the watermark horizon."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", "1 hour", "15 minutes").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Native session-window aggregation (gap-merged), usable in batch and
     streaming. Batch semantics are pinned by the ``events_session_agg``

@@ -288,3 +288,20 @@ def test_python_datasource_stream_equals_batch(spark, tmp_path):
     batch = spark.read.format("deg04_ticks").options(**opts).load()
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) == 4 * 2 * 3
+
+
+def test_stream_hopping_counts_equals_batch(spark, smoke_dir, tmp_path):
+    """The sliding-window rollup must agree with its batch twin (which the
+    DuckDB oracle pins via explicit slot arithmetic) — including events
+    that fall into 4 overlapping windows each."""
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    _run_stream_to_memory(ingest.hopping_counts(stream), "hopping")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("hopping").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ingest.hopping_counts(batch).collect()
+    }
+    assert got == want
