@@ -1164,3 +1164,114 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.99).alias("p99"),
         F.min("n").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+cur AS (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prefix,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         SUM(rev) OVER () AS s
+  FROM daily
+),
+stat AS (
+  SELECT day, n * prefix - k * s AS cusum
+  FROM cur
+)
+SELECT day,
+       CAST(cusum AS DOUBLE) AS cusum_stat,
+       CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1 ELSE 0 END AS direction
+FROM (SELECT *, row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rn FROM stat)
+WHERE rn = 1
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the day
+    k maximizing |n·prefix_k − k·S| — the integer-rescaled form of the
+    classic max-|cumulative deviation from mean| statistic (multiplying
+    through by n removes the mean division, so the argmax is computed over
+    EXACT integers; only the winning statistic is converted to double).
+
+    Scale shape: the fact scan collapses to ~|days| rows in a distributed
+    pre-aggregate (revenue as exact integer cents); every window after
+    that runs on the tiny daily series — the single-partition ordered pass
+    is over thousands of rows by construction, same posture as
+    ``open_orders_per_day``. Direction says which way the mean shifted."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).cast("decimal(38,0)").alias("rev")
+    )
+    wseq = Window.orderBy("day")
+    wall = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy()
+    cur = daily.select(
+        "day",
+        F.row_number().over(wseq).cast("bigint").alias("k"),
+        F.sum("rev").over(wall).alias("prefix"),
+        F.count(F.lit(1)).over(wtot).cast("bigint").alias("n"),
+        F.sum("rev").over(wtot).alias("s"),
+    )
+    cusum = (
+        F.col("n").cast("decimal(38,0)") * F.col("prefix")
+        - F.col("k").cast("decimal(38,0)") * F.col("s")
+    ).alias("cusum")
+    stat = cur.select("day", cusum)
+    pick = Window.orderBy(F.abs(F.col("cusum")).desc(), "day")
+    return (
+        stat.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day",
+            F.col("cusum").cast("double").alias("cusum_stat"),
+            F.signum(F.col("cusum").cast("double")).cast("int").alias("direction"),
+        )
+    )
+
+
+STRATUM_K = 20
+
+
+@register(
+    "sample_stratified_fixed_k",
+    oracle=f"""
+SELECT lang, doc_id, rn
+FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS BIGINT) AS rn
+  FROM documents
+)
+WHERE rn <= {STRATUM_K}
+""",
+)
+def sample_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: the first K=20 documents of each
+    language in md5(doc_id) order — a deterministic, reproducible
+    "uniform k per group" draw (the hash order is uniform and fixed, so
+    reruns and engines agree; complements the proportional
+    ``sample_domain_mixture`` and the rate-based ``sample_train_split``).
+
+    One rank pass per stratum; at 100 TB the window input is (lang, id) —
+    two thin columns, not the documents — and the K winners join back by
+    id if payloads are needed. Hash-order selection is also the standard
+    trick for consistent eval-set carve-outs: adding documents never
+    evicts more than the hash order implies."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= STRATUM_K)
+    )

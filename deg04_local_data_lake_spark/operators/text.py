@@ -363,26 +363,37 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, and the head of the sorted posting list — the core batch
     job behind corpus search / contamination lookup / tf-idf serving.
 
-    Explode-then-aggregate: the token exchange is the only shuffle, with
-    map-side partial aggregation collapsing each token's in-partition
-    duplicates before the wire. Posting lists are sorted for determinism
-    and clipped to a fixed head — at 100 TB full postings for stopword-like
-    tokens are the classic straggler, so the full list would be written as
-    a bucketed table keyed on token instead of collected into one row
-    (the df/tf statistics here stay exact either way). The df ≥ 25 floor
+    Bounded-memory build: tokens explode into (token, doc) postings that
+    aggregate to per-posting term frequencies — never into one giant
+    per-token array (a stopword's full posting list collected into a
+    single row is the classic 100 TB OOM). df/tf come from a plain
+    re-aggregate of those postings; the fixed-size head is rank-selected
+    (row_number ≤ 8) BEFORE any collect, so no operator ever holds more
+    than 8 doc ids per token. The posting aggregate, the stats aggregate,
+    the head window, and the final join all hash on ``token``, so Spark
+    reuses one exchange layout throughout. At full scale the complete
+    posting table would be *written* bucketed-by-token rather than
+    returned; the statistics here are exact either way. The df ≥ 25 floor
     keeps the long tail out of the result without changing the statistics.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("token")
     )
-    agg = toks.groupBy("token").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
-        F.count(F.lit(1)).alias("tf_total"),
+    postings = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
     )
-    return agg.select(
-        "token",
-        F.size("postings").cast("bigint").alias("df"),
-        "tf_total",
-        F.slice("postings", 1, 8).alias("postings_head"),
-    ).filter(F.col("df") >= 25)
+    w = Window.partitionBy("token").orderBy("doc_id")
+    head = (
+        postings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+    )
+    return (
+        stats.filter(F.col("df") >= 25)
+        .join(head, "token")
+        .select("token", "df", "tf_total", "postings_head")
+    )
