@@ -961,3 +961,65 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+@register(
+    "pareto_revenue_share",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rn,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         SUM(cents) OVER () AS total
+  FROM per_cust
+)
+SELECT n AS n_customers,
+       rn AS top_customers,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS revenue_share
+FROM ranked
+WHERE rn = greatest(1, CAST(ceil(0.20 * n) AS BIGINT))
+""",
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what fraction of total revenue the top 20% of
+    customers hold — the 80/20 health check every revenue team runs.
+
+    Customer revenue reduces in a distributed exact-integer-cents
+    aggregate; ranking and the cumulative sum then run over one row per
+    customer. The share is one IEEE division of two exact integers.
+    The global ordered pass is the documented single-partition tail — at
+    100 TB replace it with the same two-level selection noted on
+    ``robust_outliers_mad`` (per-partition partial ranks + merge), keeping
+    this oracle contract."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    wseq = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(wseq).cast("bigint").alias("rn"),
+        F.sum("cents")
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    pick = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.lit(0.20) * F.col("n")).cast("bigint")
+    )
+    return ranked.filter(F.col("rn") == pick).select(
+        F.col("n").alias("n_customers"),
+        F.col("rn").alias("top_customers"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "revenue_share"
+        ),
+    )

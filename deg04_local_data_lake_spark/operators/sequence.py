@@ -458,3 +458,162 @@ def open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("net").over(acc).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "time_to_conversion",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_signup
+  FROM events
+),
+conv AS (
+  SELECT user_id,
+         min(first_signup) AS first_signup,
+         min(ts) AS first_purchase
+  FROM fs
+  WHERE event_type = 'purchase' AND first_signup IS NOT NULL
+        AND ts >= first_signup
+  GROUP BY user_id
+),
+deltas AS (
+  SELECT user_id,
+         epoch_us(first_purchase) - epoch_us(first_signup) AS delta_us
+  FROM conv
+),
+ranked AS (
+  SELECT delta_us,
+         row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM deltas
+)
+SELECT n AS n_converted,
+       max(CASE WHEN rn = (n + 1) // 2 THEN delta_us END) AS median_us,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+                THEN delta_us END) AS p90_us
+FROM ranked GROUP BY n
+""",
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → first-purchase latency: for every user whose first purchase
+    follows their first signup, the exact microsecond delta; reported as
+    converted-user count with discrete median and p90 — the activation
+    metric of product analytics.
+
+    One ``user_id`` window pins each user's first signup on every row, the
+    purchase filter + min-aggregate reuse that partitioning (no second
+    exchange), and deltas are integer microseconds — no float time math.
+    The final rank selection runs over one row per *converted user* —
+    a ~10⁵× reduction from events — in a single ordered pass (same
+    documented posture as ``value_percentiles_by_type``)."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = Window.partitionBy("user_id")
+    fs = ev.withColumn(
+        "first_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(ws),
+    )
+    conv = (
+        fs.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_signup").isNotNull()
+            & (F.col("ts") >= F.col("first_signup"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("first_signup").alias("first_signup"),
+            F.min("ts").alias("first_purchase"),
+        )
+    )
+    deltas = conv.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_signup").cast("timestamp"))
+        ).alias("delta_us"),
+    )
+    ranked = deltas.select(
+        "delta_us",
+        F.row_number().over(Window.orderBy("delta_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    p90_rank = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.lit(0.90) * F.col("n")).cast("bigint")
+    )
+    return ranked.groupBy(F.col("n").alias("n_converted")).agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("delta_us"))
+        ).alias("median_us"),
+        F.max(F.when(F.col("rn") == p90_rank, F.col("delta_us"))).alias("p90_us"),
+    )
+
+
+@register(
+    "session_duration_histogram",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM gaps
+),
+durs AS (
+  SELECT user_id, session_seq,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM sessions GROUP BY 1, 2
+)
+SELECT CASE WHEN dur_us = 0 THEN 'single_event'
+            WHEN dur_us < 60000000 THEN 'lt_1m'
+            WHEN dur_us < 300000000 THEN 'lt_5m'
+            WHEN dur_us < 900000000 THEN 'lt_15m'
+            WHEN dur_us < 3600000000 THEN 'lt_1h'
+            ELSE 'ge_1h' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS mean_duration_us
+FROM durs GROUP BY 1
+""",
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution over gap-sessionized events, in fixed
+    integer-microsecond buckets — the engagement-shape panel.
+
+    Composition proof for the shared ``sessionize`` program: session tag,
+    per-session min/max, and bucketing all live inside the one ``user_id``
+    exchange; the bucket aggregate is 6 rows. Durations are integer
+    microseconds end-to-end; the mean is exact-integer sum over count, one
+    IEEE division — bitwise cross-engine. (Bucket edges are closed-open,
+    pinned by integer comparisons, so no value can straddle engines.)"""
+    from deg04_local_data_lake_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    durs = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("dur_us")
+        )
+    )
+    bucket = (
+        F.when(F.col("dur_us") == 0, "single_event")
+        .when(F.col("dur_us") < 60_000_000, "lt_1m")
+        .when(F.col("dur_us") < 300_000_000, "lt_5m")
+        .when(F.col("dur_us") < 900_000_000, "lt_15m")
+        .when(F.col("dur_us") < 3_600_000_000, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return durs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (F.sum("dur_us").cast("double") / F.count(F.lit(1))).alias(
+            "mean_duration_us"
+        ),
+    )
