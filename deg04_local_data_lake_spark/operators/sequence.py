@@ -617,3 +617,188 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_duration_us"
         ),
     )
+
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM gaps
+)
+"""
+
+
+@register(
+    "session_path_topk",
+    oracle=f"""
+{_SESSION_SQL},
+ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 12 GROUP BY 1, 2
+),
+counted AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY 1)
+SELECT path, n_sessions
+FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rn
+      FROM counted)
+WHERE rn <= 10
+""",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths: the ordered event-type sequence of each
+    session (head-capped at 12 steps), counted corpus-wide — the
+    clickstream-mining query behind "what do users actually do".
+
+    The path string is an ordered aggregate (Spark 4 ``listagg WITHIN
+    GROUP`` ≡ DuckDB ``string_agg ORDER BY``) over a total order
+    (rank tie-broken on event_id), so identical across engines and runs.
+    The 12-step cap bounds string size BEFORE aggregation — unbounded
+    session concatenation is the memory hazard at scale, same reasoning
+    as the inverted-index head. Path counting is an ordinary hash
+    aggregate; only the 10-row final rank runs single-partition."""
+    from deg04_local_data_lake_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessionize(ev).createOrReplaceTempView("_sp_sessions")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT user_id, session_seq, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_seq
+                                    ORDER BY ts, event_id) AS rn
+          FROM _sp_sessions
+        ),
+        paths AS (
+          SELECT user_id, session_seq,
+                 listagg(event_type, '>') WITHIN GROUP (ORDER BY rn) AS path
+          FROM ranked WHERE rn <= 12 GROUP BY 1, 2
+        ),
+        counted AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                    FROM paths GROUP BY 1)
+        SELECT path, n_sessions
+        FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rn
+              FROM counted)
+        WHERE rn <= 10
+        """
+    )
+
+
+@register(
+    "attribution_linear_integer",
+    oracle="""
+WITH counted AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS units,
+         count(CASE WHEN event_type = 'click' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_click,
+         count(CASE WHEN event_type = 'view' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_view,
+         count(CASE WHEN event_type = 'signup' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_signup
+  FROM events
+),
+purchases AS (
+  SELECT units, n_click, n_view, n_signup,
+         n_click + n_view + n_signup AS k
+  FROM counted WHERE event_type = 'purchase'
+),
+split AS (
+  SELECT CASE WHEN k > 0 THEN (units * n_click) // k ELSE 0 END AS c_click,
+         CASE WHEN k > 0 THEN (units * n_view) // k ELSE 0 END AS c_view,
+         CASE WHEN k > 0 THEN (units * n_signup) // k ELSE 0 END AS c_signup,
+         CASE WHEN k = 0 THEN units ELSE 0 END AS c_direct,
+         units, k
+  FROM purchases
+)
+SELECT CAST(SUM(c_click) AS BIGINT) AS click_units,
+       CAST(SUM(c_view) AS BIGINT) AS view_units,
+       CAST(SUM(c_signup) AS BIGINT) AS signup_units,
+       CAST(SUM(c_direct) AS BIGINT) AS direct_units,
+       CAST(SUM(units - c_click - c_view - c_signup - c_direct) AS BIGINT)
+         AS residual_units,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM split
+""",
+)
+def attribution_linear_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution with money-safe integer splitting:
+    each purchase's value — in exact 0.1-milli units — is divided across
+    all prior click/view/signup touches proportionally to their counts,
+    using floor division; the sub-unit remainder is reported explicitly
+    instead of leaking into float dust. Purchases with no prior touches
+    credit 'direct'. Complements ``attribution_last_touch``.
+
+    Per-channel touch counts are three conditional running counts over ONE
+    user-timeline window (one shuffle, one sort — Spark plans a single
+    Window node); the split is pure integer arithmetic, so the books
+    balance to the unit: click+view+signup+direct+residual == total, and
+    every engine agrees bitwise. The final aggregate is a 1-row global sum
+    with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def prior(t: str):
+        return F.count(F.when(F.col("event_type") == t, F.lit(1))).over(w)
+
+    counted = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("units"),
+        prior("click").alias("n_click"),
+        prior("view").alias("n_view"),
+        prior("signup").alias("n_signup"),
+    )
+    p = counted.filter(F.col("event_type") == "purchase").withColumn(
+        "k", F.col("n_click") + F.col("n_view") + F.col("n_signup")
+    )
+
+    def share(c: str):
+        return F.when(
+            F.col("k") > 0, F.expr(f"(units * {c}) DIV k")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    split = p.select(
+        share("n_click").alias("c_click"),
+        share("n_view").alias("c_view"),
+        share("n_signup").alias("c_signup"),
+        F.when(F.col("k") == 0, F.col("units"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("c_direct"),
+        "units",
+    )
+    return split.agg(
+        F.sum("c_click").cast("bigint").alias("click_units"),
+        F.sum("c_view").cast("bigint").alias("view_units"),
+        F.sum("c_signup").cast("bigint").alias("signup_units"),
+        F.sum("c_direct").cast("bigint").alias("direct_units"),
+        F.sum(
+            F.col("units")
+            - F.col("c_click")
+            - F.col("c_view")
+            - F.col("c_signup")
+            - F.col("c_direct")
+        )
+        .cast("bigint")
+        .alias("residual_units"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
