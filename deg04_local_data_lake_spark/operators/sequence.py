@@ -2,12 +2,16 @@
 
 The reference has no ordering anywhere (SURVEY.md §2.7); these are the
 event-sequence operators its `events`-shaped workloads would need next.
-All three are single-window-pass shapes: one shuffle on `user_id`, then
-per-partition sorted scans — at 100 TB the fact table shuffles ONCE on the
-entity key and every derived sequence statistic (islands, merged
-intervals, carried-forward attribution state) is computed inside that
-partitioning with no further exchange. Window ordering is always
-`(ts, event_id)` so ties cannot flap the result across runs/engines.
+All are single-window-pass shapes: the FACT table shuffles once on
+`user_id`, then per-partition sorted scans compute every derived sequence
+statistic (islands, merged intervals, carried-forward attribution state)
+inside that partitioning — hashpartitioning(user_id) satisfies any
+(user_id, ...) grouping, so windows and island aggregates stack
+exchange-free. Where a final cross-entity rollup exists (channel totals,
+duration buckets), it re-shuffles only the already-reduced rows; the
+per-query budget is pinned in tests/test_plans.py
+(`_SEQUENCE_SHUFFLE_BUDGET`). Window ordering is always `(ts, event_id)`
+so ties cannot flap the result across runs/engines.
 """
 
 from __future__ import annotations

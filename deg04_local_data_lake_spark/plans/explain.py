@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -50,6 +51,17 @@ def assert_broadcast_join(df: DataFrame) -> None:
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
         "expected a broadcast join in plan"
     )
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Shuffle (hash/range) exchanges in the pre-AQE physical plan.
+    Spark 4's formatted output lists nodes as ``(N) Exchange`` with the
+    partitioning in the details block — node-name counting is the reliable
+    form (``Exchange hashpartitioning`` only appears in toString plans).
+    BroadcastExchange is deliberately excluded: broadcasts are the cheap
+    alternative this count exists to encourage."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
 
 
 def assert_no_python_row_udf(df: DataFrame) -> None:

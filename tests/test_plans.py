@@ -59,9 +59,40 @@ def test_partitioned_bronze_prunes_partitions(spark, smoke_dir, tmp_path):
 def test_minhash_single_exchange(spark, sf_dir):
     """Shingle window + signature groupBy must share one doc_id exchange."""
     df = registry.queries()["dedup_minhash_signatures"](spark, sf_dir)
-    plan = explain.formatted_plan(df)
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 1, f"expected <=1 hash exchange, plan:\n{plan}"
+    n = explain.count_shuffle_exchanges(df)
+    assert n <= 1, f"expected <=1 shuffle exchange, found {n}"
+
+
+# The user-timeline family's shuffle budget, pinned per query. The FACT
+# table shuffles at most once (onto user_id); where a second exchange
+# appears it carries already-reduced rows (a ≤5-key channel/bucket
+# aggregate, a 1-row global sum, or deduplicated user-days), never the
+# fact again. hashpartitioning(user_id) satisfies the clustered-
+# distribution requirement of any (user_id, ...) grouping, which is why
+# the windows + island aggregates stack exchange-free.
+_SEQUENCE_SHUFFLE_BUDGET = {
+    "merge_event_intervals": 1,      # windows + both aggs inside user_id
+    "events_sessionize": 1,
+    "forward_fill_values": 1,
+    "attribution_last_touch": 2,     # + ≤5-row channel aggregate
+    "attribution_linear_integer": 2, # + 1-row global sum
+    "sessionized_conversion": 2,     # + ≤5-row entry-channel aggregate
+    "session_duration_histogram": 2, # + 6-row bucket aggregate
+    "activity_streaks": 2,           # distinct days first (map-side combine
+                                     # shrinks BOTH shuffles below the fact)
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SEQUENCE_SHUFFLE_BUDGET))
+def test_sequence_family_shuffle_budget(spark, sf_dir, name):
+    """The user-timeline operators' scale claim, checked mechanically: the
+    fact shuffles ONCE; any further exchange moves reduced data only. A
+    regression that re-shuffles the fact (e.g. a window repartitioned on a
+    non-prefix key) breaks the pinned budget."""
+    df = registry.queries()[name](spark, sf_dir)
+    n = explain.count_shuffle_exchanges(df)
+    budget = _SEQUENCE_SHUFFLE_BUDGET[name]
+    assert n <= budget, f"{name}: expected <={budget} shuffle exchanges, found {n}"
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
