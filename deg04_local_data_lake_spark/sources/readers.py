@@ -143,3 +143,29 @@ def ingest_csv_directory(
                 spark, os.path.join(folder, fname), **csv_kwargs
             )
     return out
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content) — the front door
+    for image/audio/video corpora feeding the multimodal operators
+    (operators/multimodal.py decodes/resizes/frame-samples the ``content``
+    bytes downstream).
+
+    Scale notes: ``pathGlobFilter`` prunes at the LISTING, before any read;
+    file listing itself is distributed for large directory trees. Each
+    file must fit in one row (~2 GB hard ceiling; large media should be
+    chunked or referenced by path + byte-range instead). A projection that
+    drops ``content`` never reads file bodies at all — metadata-only
+    audits stay I/O-free."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)

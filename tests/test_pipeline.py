@@ -299,3 +299,23 @@ def test_write_observed_matches_direct_aggregates(spark, smoke_dir, tmp_path):
     assert got["total_value"] == direct["total_value"]
     assert got["max_ts"] == direct["max_ts"]
     assert spark.read.parquet(out).count() == got["n_rows"]
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    """binaryFile source: exact bytes round-trip, glob pruning at listing
+    time, and a metadata-only projection that never touches file bodies."""
+    from deg04_local_data_lake_spark.sources.readers import read_binary_dir
+
+    blobs = {"a.img": b"\x89fake-image-bytes\x00\x01", "b.img": b"\xffother\x10",
+             "skip.txt": b"not media"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {k: v for k, v in blobs.items() if k.endswith(".img")}
+
+    meta = df.select("path", "length").collect()
+    assert sorted(r["length"] for r in meta) == sorted(
+        len(v) for k, v in blobs.items() if k.endswith(".img")
+    )
