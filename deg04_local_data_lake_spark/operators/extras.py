@@ -1275,3 +1275,50 @@ def sample_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= STRATUM_K)
     )
+
+
+@register(
+    "sample_sqrt_temperature",
+    oracle="""
+WITH sized AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM documents
+)
+SELECT lang, doc_id, rn,
+       CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS k_lang
+FROM sized
+WHERE rn <= CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT)
+""",
+)
+def sample_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling: each language contributes
+    ⌊√n⌋ documents instead of n — the α=0.5 upweighting of low-resource
+    strata that multilingual training mixtures use, realized as a
+    deterministic hash-order draw (same machinery as
+    ``sample_stratified_fixed_k``, but the per-stratum quota derives from
+    the stratum size).
+
+    √n is IEEE-exact on perfect squares and correctly rounded elsewhere,
+    and the floor pins the quota to an integer both engines agree on —
+    no round-half ambiguity. One rank pass over (lang, id); the stratum
+    size rides the same window partitioning as the rank, so there is one
+    shuffle total."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    sized = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_lang"),
+    )
+    k = F.floor(F.sqrt(F.col("n_lang").cast("double"))).cast("bigint")
+    return sized.filter(F.col("rn") <= k).select(
+        "lang", "doc_id", "rn", k.alias("k_lang")
+    )

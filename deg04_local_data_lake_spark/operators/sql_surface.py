@@ -337,3 +337,36 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_no_field"),
         )
     )
+
+
+@register(
+    "bitwise_functions_parity",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS band,
+       event_id | 4096 AS bor,
+       xor(event_id, 1365) AS bxor,
+       event_id << 3 AS shl,
+       event_id >> 2 AS shr,
+       CAST(bit_count(event_id) AS INTEGER) AS popcount,
+       ~event_id AS bnot
+FROM events WHERE event_id < 200
+""",
+)
+def bitwise_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface — AND/OR/XOR, shifts, popcount, complement —
+    pinned cross-engine on int64 (two's complement in both). These are the
+    primitives under every hash-partitioning, bitmap, and bloom trick in
+    the engine (LSH band keys, simhash bits, salting), so their semantics
+    get their own parity lock. All row-local: codegen'd, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("band"),
+        F.expr("event_id | 4096").alias("bor"),
+        F.expr("event_id ^ 1365").alias("bxor"),
+        F.expr("shiftleft(event_id, 3)").alias("shl"),
+        F.expr("shiftright(event_id, 2)").alias("shr"),
+        F.expr("bit_count(event_id)").alias("popcount"),
+        F.expr("~event_id").alias("bnot"),
+    )

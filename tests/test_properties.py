@@ -195,3 +195,45 @@ def test_merge_intervals_matches_reference(spark, iv):
         if cur is not None:
             expect.add((u, cur[0], cur[1], cur[2]))
     assert got == expect
+
+
+event_seqs = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # user
+        st.integers(0, 200),    # minute offset
+    ),
+    max_size=10,
+)
+
+
+@given(ev=event_seqs)
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference(spark, ev):
+    """The window-program sessionizer equals the obvious sequential scan
+    for ANY event sequence: a session breaks exactly when the gap to the
+    previous event of the same user exceeds 30 minutes (boundary: a gap of
+    exactly 30 minutes does NOT break)."""
+    from deg04_local_data_lake_spark.operators.windows import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + datetime.timedelta(minutes=m)) for i, (u, m) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(df).select("user_id", "event_id", "session_seq").collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list[tuple]] = {}
+    for u, i, ts in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        seq, prev = 0, None
+        for ts, i in sorted(evs):
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                seq += 1
+            expect[(u, i)] = seq
+            prev = ts
+    assert got == expect
