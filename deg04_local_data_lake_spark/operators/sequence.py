@@ -806,3 +806,74 @@ def attribution_linear_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("residual_units"),
         F.count(F.lit(1)).alias("n_purchases"),
     )
+
+
+THROTTLE_NS = 300_000_000_000  # 5 minutes
+
+
+def _throttle_scan(pdf):
+    """Per-user linear scan (runs inside an Arrow batch on the executor):
+    keep an event iff it is ≥ THROTTLE time after the last KEPT event.
+    Integer-nanosecond arithmetic — no float time."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+    eids = pdf["event_id"].to_numpy()
+    uids = pdf["user_id"].to_numpy()
+    keep_u, keep_e, last = [], [], None
+    for u, e, t in zip(uids, eids, ns):
+        if last is None or t - last >= THROTTLE_NS:
+            keep_u.append(u)
+            keep_e.append(e)
+            last = t
+    return pd.DataFrame({"user_id": keep_u, "event_id": keep_e})
+
+
+@register(
+    "throttle_events",
+    oracle="""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, event_id, us, rn, TRUE AS kept, us AS last_kept
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.us, o.rn,
+         o.us - w.last_kept >= 300000000 AS kept,
+         CASE WHEN o.us - w.last_kept >= 300000000
+              THEN o.us ELSE w.last_kept END
+  FROM walk w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, event_id FROM walk WHERE kept
+""",
+)
+def throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttle / rate-limit: keep an event only if ≥5 minutes have passed
+    since the last KEPT event of the same user — the alert-dedup /
+    notification-cap primitive. This is a genuinely iterative recurrence
+    (whether an event survives depends on which earlier events survived),
+    NOT expressible as a window program — sessionize-and-take-first gives
+    a different answer on chains (events at 0′, 4′, 8′: throttle keeps
+    {0′, 8′}; a 5′-gap session keeps only {0′}).
+
+    So this is the custom-operator tier (SURVEY §2 stance (b)): one
+    shuffle onto ``user_id``, then an Arrow-batched ``applyInPandas``
+    linear scan per user — O(events) integer-ns state machine, the batch
+    twin of the ``applyInPandasWithState`` streaming operator. The oracle
+    is a DuckDB recursive CTE walking rank-successor rows, proving the
+    Python state machine against pure SQL semantics. Keep the per-group
+    payload to the 3 needed columns; the scan is memory-safe because
+    Arrow streams one user group at a time."""
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return ev.groupBy("user_id").applyInPandas(
+        _throttle_scan, "user_id bigint, event_id bigint"
+    )
