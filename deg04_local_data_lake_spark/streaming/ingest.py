@@ -193,6 +193,48 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def throttle_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``throttle_events`` custom operator:
+    keep an event iff ≥5 minutes have passed since the last KEPT event of
+    the same user. State is a single last-kept-nanos per user — O(|users|)
+    entries, the canonical rate-limit/alert-dedup state machine.
+
+    Correctness contract: the recurrence consumes events in event-time
+    order, so batches must arrive ordered (single-source replay, or an
+    upstream watermark-sorted stage). Within a batch the scan sorts; the
+    carried state links batches. The batch twin's recursive-CTE oracle is
+    the semantic reference."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from deg04_local_data_lake_spark.operators.sequence import THROTTLE_NS
+
+    def update_fn(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        keep_u, keep_e = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            for u, e, t in zip(
+                pdf["user_id"].to_numpy(), pdf["event_id"].to_numpy(), ns
+            ):
+                if last is None or t - last >= THROTTLE_NS:
+                    keep_u.append(u)
+                    keep_e.append(e)
+                    last = int(t)
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame({"user_id": keep_u, "event_id": keep_e})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id long, event_id long",
+        stateStructType="last_ns long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @register(
     "events_session_agg",
     oracle="""

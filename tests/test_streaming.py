@@ -305,3 +305,46 @@ def test_stream_hopping_counts_equals_batch(spark, smoke_dir, tmp_path):
         for r in ingest.hopping_counts(batch).collect()
     }
     assert got == want
+
+
+def test_stream_throttle_equals_batch(spark, smoke_dir, tmp_path):
+    """The stateful streaming throttle must keep exactly the events the
+    batch applyInPandas scan keeps (whose recursive-CTE oracle pins the
+    semantics). Source written as ONE file so event-time order survives
+    the microbatch boundary — the operator's documented arrival contract."""
+    from deg04_local_data_lake_spark import registry
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(spark)
+    src = str(tmp_path / "events_ordered_src")
+    load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).sort("ts", "event_id").coalesce(1).write.parquet(src)
+
+    stream = ingest.read_event_stream(spark, src)
+    q = (
+        ingest.throttle_stream(stream)
+        .writeStream.format("memory")
+        .queryName("throttled")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]) for r in spark.table("throttled").collect()
+    }
+
+    batch = spark.read.parquet(src)
+    from deg04_local_data_lake_spark.operators.sequence import _throttle_scan
+
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in batch.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(_throttle_scan, "user_id bigint, event_id bigint")
+        .collect()
+    }
+    assert got == want and len(got) > 0
