@@ -920,6 +920,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering coefficient is one double division at the end. The
     three 1-row aggregates meet in broadcast nested loops (allowlisted:
     1-row frames, constant cost)."""
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     edges = (
         li.alias("a")
@@ -927,6 +929,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # the edge list feeds FIVE consumers (e1/e2/e3 of the triangle
+        # join, the degree union, the edge count); without an explicit
+        # persist Spark re-runs the whole build per consumer (ReuseExchange
+        # only dedups identical partitionings). This is the in-query form
+        # of "persist the edge list once" — measured 18.8s → ~6s at sf0.1.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tri = (
         edges.alias("e1")
