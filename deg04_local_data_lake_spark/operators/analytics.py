@@ -838,6 +838,8 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       (identical association both engines), not a floating aggregate;
     - N (node count) rides a broadcast one-row frame, no driver collect.
     """
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
         li.alias("a")
@@ -847,6 +849,10 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+        # two consumers (out-degree build, contribution join) — persist so
+        # the self-join+distinct runs once; the cache also serves
+        # graph_degree_histogram's identical edge subtree in-session
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     weights = edges.groupBy("src").agg(
         F.round(F.lit(1e12) / F.count(F.lit(1))).cast("long").alias("w")
