@@ -1076,3 +1076,58 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "frequent_itemset_pairs",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, support
+FROM (SELECT *, row_number() OVER (ORDER BY support DESC, part_a, part_b) AS rn
+      FROM pairs WHERE support >= 2)
+WHERE rn <= 20
+""",
+)
+def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 most frequently co-purchased part
+    pairs (support = orders containing both) — the 2-itemset core of
+    association-rule mining.
+
+    The pair build is the canonical-orientation self-join on the basket
+    key (both sides share the ``l_orderkey`` shuffle — co-partitioned,
+    never cartesian; ``<`` halves the pair space). Support counting is a
+    plain hash aggregate on the pair. The support ≥ 2 floor is where
+    a-priori pruning plugs in at scale (drop parts below min-support
+    BEFORE pairing — the same guard as the MinHash mega-bucket cap); the
+    20-row final rank is sort-limit."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("part_a", "part_b", "support")
+    )

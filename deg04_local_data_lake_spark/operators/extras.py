@@ -1322,3 +1322,62 @@ def sample_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.filter(F.col("rn") <= k).select(
         "lang", "doc_id", "rn", k.alias("k_lang")
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+WITH wtd AS (
+  SELECT o_orderkey, o_totalprice, CAST(count(*) AS BIGINT) AS wt
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_totalprice, wt,
+         SUM(wt) OVER (ORDER BY o_totalprice, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(wt) OVER () AS total
+  FROM wtd
+)
+SELECT o_totalprice AS weighted_median_price,
+       CAST(cumw AS BIGINT) AS cum_weight,
+       CAST(total AS BIGINT) AS total_weight
+FROM ranked
+WHERE 2 * cumw >= total AND 2 * (cumw - wt) < total
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the order price at which half the total
+    lineitem weight is reached (weight = lines per order) — the
+    volume-weighted sibling of the discrete median, e.g. "the price point
+    where half the shipped lines sit below".
+
+    The crossing-point predicate ``2·cumw ≥ total ∧ 2·(cumw−wt) < total``
+    selects exactly ONE row (cumw is strictly increasing), in pure integer
+    arithmetic — no interpolation, no rank arithmetic, bitwise portable.
+    The fact join reduces to one row per order in a distributed aggregate
+    before the ordered pass (same single-partition-tail posture as
+    ``pareto_revenue_share``, same documented selection swap at extreme
+    cardinality)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wtd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+    )
+    wseq = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = wtd.select(
+        "o_totalprice",
+        "wt",
+        F.sum("wt").over(wseq.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("wt").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.filter(
+        (2 * F.col("cumw") >= F.col("total"))
+        & (2 * (F.col("cumw") - F.col("wt")) < F.col("total"))
+    ).select(
+        F.col("o_totalprice").alias("weighted_median_price"),
+        F.col("cumw").cast("bigint").alias("cum_weight"),
+        F.col("total").cast("bigint").alias("total_weight"),
+    )

@@ -491,3 +491,64 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y.crossJoin(F.broadcast(nrm)).select(
         "pos", "y_component", (F.col("y_component") / F.col("y_nrm")).alias("y_unit")
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+),
+err AS (
+  SELECT vec_id,
+         list_max(list_transform(xs,
+           x -> abs(x - CAST(round(x / scale * 127) AS BIGINT) * scale / 127)))
+           AS max_abs_err
+  FROM scaled WHERE scale > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       max(max_abs_err) AS worst_err,
+       CAST(SUM(CAST(max_abs_err AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+         AS mean_worst_err
+FROM err
+""",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (symmetric, per-vector max-abs scale) embedding quantization
+    audit: quantize q = round(x/scale·127), dequantize, and report the
+    per-vector worst reconstruction error and its corpus mean — the check
+    run before shipping a vector index at ¼ the footprint.
+
+    Row-local arithmetic end-to-end (the same IEEE expression tree in both
+    engines: divide, round, integer-rescale, subtract, abs), one
+    per-vector max, then a 1-row global aggregate whose mean rides an
+    exact-decimal sum — the only cross-row float reduction is a max, which
+    is order-insensitive. No shuffle until the final 1-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        F.array_max(F.transform(xs, F.abs)).alias("scale"),
+        xs.alias("xs"),
+    ).filter(F.col("scale") > 0)
+    dequant_err = F.transform(
+        "xs",
+        lambda x: F.abs(
+            x
+            - F.round(x / F.col("scale") * 127).cast("bigint") * F.col("scale") / 127
+        ),
+    )
+    err = scaled.select(
+        "vec_id", F.array_max(dequant_err).alias("max_abs_err")
+    )
+    return err.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("max_abs_err").alias("worst_err"),
+        (
+            F.sum(F.col("max_abs_err").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_worst_err"),
+    )
