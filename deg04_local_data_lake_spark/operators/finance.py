@@ -265,3 +265,86 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+TREND_WINDOW = 14  # days
+
+
+@register(
+    "rolling_trend_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT day, cents,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+  FROM daily
+),
+mo AS (
+  SELECT day, x, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         SUM(x) OVER w AS sx,
+         SUM(cents) OVER w AS sy,
+         SUM(x * x) OVER w AS sxx,
+         SUM(x * cents) OVER w AS sxy
+  FROM idx
+  WINDOW w AS (ORDER BY x ROWS BETWEEN {TREND_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, n,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+            END AS slope_cents_per_day
+FROM mo
+""",
+)
+def rolling_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day OLS trend of daily revenue: the regression slope over
+    a sliding window, recomputed for every day — the streaming-dashboard
+    "is revenue trending up" panel.
+
+    The rolling-regression trick: keep the four cross-moments (Σx, Σy,
+    Σx², Σxy) as WINDOW sums of exact integers (revenue in cents, day
+    index from row_number), then the slope is one ratio of exact integers
+    per row — ``(n·Σxy − Σx·Σy)/(n·Σxx − Σx²)`` — evaluated as a single
+    IEEE division. Nothing float accumulates, so the rolling fit is
+    bitwise reproducible (the same posture as the distributed OLS in
+    ``ols_price_on_quantity``, specialized to window frames). The ordered
+    pass runs over the pre-aggregated daily series (~|days| rows), same
+    bounded single-partition tail as the other curve operators."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("x"),
+    )
+    w = Window.orderBy("x").rowsBetween(-(TREND_WINDOW - 1), 0)
+    # moments ride decimal(38,0): x·cents alone nears int64 at planetary
+    # revenue volumes, and Spark's ANSI mode would error where DuckDB
+    # silently promotes to HUGEINT — widening keeps both engines on the
+    # same exact integers
+    d38 = "decimal(38,0)"
+    mo = idx.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d38)).over(w).alias("sx"),
+        F.sum(F.col("cents").cast(d38)).over(w).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).over(w).alias("sxx"),
+        F.sum((F.col("x") * F.col("cents")).cast(d38)).over(w).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mo.select(
+        "day",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (den != 0), num.cast("double") / den.cast("double")
+        ).alias("slope_cents_per_day"),
+    )
