@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from deg04_local_data_lake_spark.functions.portable import dec
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -369,4 +370,96 @@ def bitwise_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 2)").alias("shr"),
         F.expr("bit_count(event_id)").alias("popcount"),
         F.expr("~event_id").alias("bnot"),
+    )
+
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+SELECT
+  CAST((SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+           FROM customer)) AS BIGINT) AS n_with_null_list,
+  CAST((SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_custkey % 100 <> 0))
+       AS BIGINT) AS n_without_nulls
+""",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned: if the subquery list contains even one
+    NULL, ``x NOT IN (list)`` is never TRUE (three-valued logic), so the
+    first count is 0 — while the null-free variant returns the real
+    complement. Spark plans the nullable case as a null-aware anti join
+    (BroadcastNestedLoopJoin under the hood — THE reason to prefer
+    ``NOT EXISTS`` at scale, which stays a hash anti join); the oracle
+    proves both engines implement the same ANSI semantics. This is the
+    query-correctness gotcha every migration from permissive engines hits.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_nn_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_nn_customer")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM _nn_orders
+                WHERE o_custkey NOT IN
+                  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                               ELSE c_custkey END
+                   FROM _nn_customer)) AS BIGINT) AS n_with_null_list,
+          CAST((SELECT count(*) FROM _nn_orders
+                WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM _nn_customer
+                   WHERE c_custkey % 100 <> 0)) AS BIGINT) AS n_without_nulls
+        """
+    )
+
+
+@register(
+    "range_interval_window",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(SUM(rev) OVER (ORDER BY day
+                           RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)
+         AS rev_7d,
+       CAST(COUNT(*) OVER (ORDER BY day
+                           RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS days_present_7d
+FROM daily
+""",
+)
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware trailing window: 7-day revenue via a RANGE frame over
+    the DATE ordering — unlike a ROWS frame, missing days shrink the
+    window (RANGE bounds are value-offsets, not row-offsets), so no
+    gap-filling prelude is needed. The exact-decimal sum keeps the frame
+    aggregate bitwise portable; `days_present_7d` exposes how many rows
+    the value-bounded frame actually covered. Same tiny-ordered-series
+    posture as the other curve operators (input is the pre-aggregated
+    daily table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice")).alias("rev")
+    )
+    daily.createOrReplaceTempView("_riw_daily")
+    return spark.sql(
+        """
+        SELECT day,
+               CAST(SUM(rev) OVER (ORDER BY day
+                                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                             AND CURRENT ROW) AS DOUBLE)
+                 AS rev_7d,
+               CAST(COUNT(*) OVER (ORDER BY day
+                                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                             AND CURRENT ROW) AS BIGINT)
+                 AS days_present_7d
+        FROM _riw_daily
+        """
     )

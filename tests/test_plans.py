@@ -149,6 +149,8 @@ _BNLJ_ALLOWED = {
     "rfm_segments",              # 1-row anchor-date broadcast
     "q22_idle_balances",         # 1-row average-balance broadcast
     "embedding_pca_power_iter",  # 1-row norm broadcast
+    "not_in_null_semantics",     # null-aware anti join — the query EXISTS to
+                                 # demonstrate why NOT IN plans a BNLJ
     "similarity_topk",           # brute-force baseline (verify stage; IVF is the scale path)
     "text_rare_token_score",     # 1-row corpus-size broadcast
     "triangle_count",            # three 1-row aggregates combined
