@@ -668,3 +668,47 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / float(N_HASHES)).alias("est_jaccard"),
         )
     )
+
+
+@register(
+    "minhash_s_curve",
+    oracle="""
+WITH grid AS (SELECT unnest(generate_series(1, 19)) AS i),
+t AS (SELECT i, CAST(i AS DOUBLE) / 20 AS jaccard FROM grid),
+powed AS (
+  SELECT i, jaccard,
+         jaccard * jaccard * jaccard * jaccard AS band_match
+  FROM t
+),
+comp AS (
+  SELECT i, jaccard, band_match,
+         (1 - band_match) * (1 - band_match)
+           * (1 - band_match) * (1 - band_match) AS all_bands_miss
+  FROM powed
+)
+SELECT jaccard, band_match AS p_band_match,
+       1 - all_bands_miss AS p_detected
+FROM comp
+""",
+)
+def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH design table for this engine's MinHash parameters (4 bands ×
+    4 rows): for a Jaccard-similarity grid, the probability one band
+    matches (t⁴) and the detection probability (1−(1−t⁴)⁴) — the S-curve
+    that justifies the banding choice (50% detection at t≈0.55, >96% at
+    t≈0.8). Generated from a 1-row sequence explode — no table scan; every
+    power is written as explicit multiplication so both engines evaluate
+    the identical IEEE expression tree (no libm pow). This is the tuning
+    artifact you consult before changing N_HASHES/BAND_SIZE."""
+    grid = spark.range(1, 20).select(
+        (F.col("id").cast("double") / 20).alias("jaccard")
+    )
+    t = F.col("jaccard")
+    band = t * t * t * t
+    miss1 = 1 - band
+    all_miss = miss1 * miss1 * miss1 * miss1
+    return grid.select(
+        "jaccard",
+        band.alias("p_band_match"),
+        (1 - all_miss).alias("p_detected"),
+    )

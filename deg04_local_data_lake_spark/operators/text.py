@@ -397,3 +397,44 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(head, "token")
         .select("token", "df", "tf_total", "postings_head")
     )
+
+
+@register(
+    "text_normalize_clean",
+    oracle="""
+WITH cleaned AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           '  +', ' ', 'g')) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(clean) AS BIGINT) AS clean_chars,
+       CAST(n_chars - len(clean) AS BIGINT) AS removed_chars,
+       CAST(len(clean) AS DOUBLE) / n_chars AS kept_ratio
+FROM cleaned WHERE n_chars > 0
+""",
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the boilerplate-strip step of every pretraining
+    pipeline): case-fold, drop non-alphanumerics, collapse whitespace
+    runs, trim — reporting kept/removed character counts and the keep
+    ratio (a cheap garbage detector: low keep ratio ⇒ markup/binary
+    junk). Pure per-row regex codegen — scan-speed, zero shuffle; the
+    regex subset used ('[^a-z0-9 ]', '  +') behaves identically in Java
+    regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("bigint").alias("clean_chars"),
+        (F.col("n_chars") - F.length(clean)).cast("bigint").alias("removed_chars"),
+        (F.length(clean).cast("double") / F.col("n_chars")).alias("kept_ratio"),
+    )
