@@ -348,3 +348,128 @@ def rolling_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") >= 2) & (den != 0), num.cast("double") / den.cast("double")
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "revenue_autocorr_lag1",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT cents AS y,
+         lag(cents) OVER (ORDER BY day) AS x
+  FROM daily
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM lagged WHERE x IS NOT NULL
+)
+SELECT n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS autocorr_lag1
+FROM mo WHERE n >= 2
+""",
+)
+def revenue_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue — the "is today predictive of
+    tomorrow" statistic that decides whether a forecast model is worth
+    building. Pearson r over (yesterday, today) pairs with every moment an
+    EXACT integer sum (cents; map-side-combinable decimal aggregates), so
+    the final r is one fixed IEEE expression over exact integers — bitwise
+    cross-engine, any partitioning (the same posture as
+    ``corr_price_quantity``, composed with a window lag).
+
+    Caveat the docstring owns: each exact moment (n·Σxy ≈ days·cents²)
+    needs decimal(38) headroom, provided by the quantized-cents scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    lagged = daily.select(
+        F.col("cents").alias("y"),
+        F.lag("cents").over(Window.orderBy("day")).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    d38 = "decimal(38,0)"
+    mo = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return mo.filter(F.col("n") >= 2).select("n", r.alias("autocorr_lag1"))
+
+
+@register(
+    "weekday_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+dow AS (
+  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS weekday,
+         CAST(count(*) AS BIGINT) AS n_days,
+         SUM(cents) AS total_cents
+  FROM daily GROUP BY 1
+),
+total AS (SELECT SUM(total_cents) AS all_cents, SUM(n_days) AS all_days FROM dow)
+SELECT weekday, n_days,
+       CAST(total_cents AS DOUBLE) / n_days AS mean_daily_cents,
+       (CAST(total_cents AS DOUBLE) / n_days)
+         / (CAST(all_cents AS DOUBLE) / all_days) AS seasonal_index
+FROM dow, total
+""",
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile of revenue: mean daily revenue per
+    weekday and its seasonal index (ratio to the overall daily mean) —
+    the decomposition step before any de-seasonalized trend or anomaly
+    model. Day-of-week numbering is an engine trap: Spark ``dayofweek``
+    is 1=Sunday, DuckDB's is 0=Sunday — the oracle pins the 1-based
+    convention explicitly (``dayofweek(day) + 1``). Exact
+    integer cents throughout; each output number is one or two IEEE
+    divisions of exact integers. The 7-row profile broadcasts back onto
+    the daily series for residuals at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    dow = daily.groupBy(F.dayofweek("day").alias("weekday")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").alias("total_cents"),
+    )
+    total = dow.agg(
+        F.sum("total_cents").alias("all_cents"), F.sum("n_days").alias("all_days")
+    )
+    mean_daily = F.col("total_cents").cast("double") / F.col("n_days")
+    overall = F.col("all_cents").cast("double") / F.col("all_days")
+    return dow.crossJoin(F.broadcast(total)).select(
+        "weekday",
+        "n_days",
+        mean_daily.alias("mean_daily_cents"),
+        (mean_daily / overall).alias("seasonal_index"),
+    )

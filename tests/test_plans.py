@@ -155,6 +155,7 @@ _BNLJ_ALLOWED = {
     "text_rare_token_score",     # 1-row corpus-size broadcast
     "triangle_count",            # three 1-row aggregates combined
     "tfidf_top_terms",           # 1-row doc-count broadcast
+    "weekday_seasonality",       # 1-row overall-mean broadcast
 }
 
 
