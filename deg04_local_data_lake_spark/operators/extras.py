@@ -1381,3 +1381,53 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cumw").cast("bigint").alias("cum_weight"),
         F.col("total").cast("bigint").alias("total_weight"),
     )
+
+
+@register(
+    "fulfillment_lag_distribution",
+    oracle="""
+WITH lags AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS lag_days
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CASE WHEN lag_days <= 7 THEN 'week_1'
+            WHEN lag_days <= 30 THEN 'month_1'
+            WHEN lag_days <= 60 THEN 'month_2'
+            ELSE 'over_60d' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(lag_days) AS BIGINT) AS min_days,
+       CAST(max(lag_days) AS BIGINT) AS max_days
+FROM lags GROUP BY 1, 2
+""",
+)
+def fulfillment_lag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority class, in fixed
+    integer-day buckets — the operations SLA panel (are URGENT orders
+    actually shipping faster?).
+
+    The fact-fact join shuffles once on the order key; lag is an integer
+    date difference (no timestamp float math); buckets are closed integer
+    ranges so no value can straddle engines. ≤ 5 priorities × 4 buckets
+    out — the aggregate collapses map-side at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    lags = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority", lag.alias("lag_days")
+    )
+    bucket = (
+        F.when(F.col("lag_days") <= 7, "week_1")
+        .when(F.col("lag_days") <= 30, "month_1")
+        .when(F.col("lag_days") <= 60, "month_2")
+        .otherwise("over_60d")
+    )
+    return lags.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("lag_days").cast("bigint").alias("min_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+    )

@@ -491,3 +491,66 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("users_1d"),
         )
     )
+
+
+BURST_FACTOR = 3  # rate > 3x trailing mean flags a burst
+
+
+@register(
+    "events_burst_detection",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+trail AS (
+  SELECT hour, n,
+         SUM(n) OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+           AS trail_n,
+         CAST(COUNT(*) OVER (ORDER BY hour
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trail_hours
+  FROM hourly
+)
+SELECT hour, n,
+       CAST(trail_n AS BIGINT) AS trail_n, trail_hours,
+       CAST(n AS DOUBLE) / (CAST(trail_n AS DOUBLE) / trail_hours) AS burst_ratio
+FROM trail
+WHERE trail_hours >= 6 AND n * trail_hours > {BURST_FACTOR} * trail_n
+""",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream: hours whose event count
+    exceeds BURST_FACTOR (3×) the trailing-24h hourly mean (≥6 hours of
+    history required) — the incident-detection / trending-topic primitive.
+
+    The burst predicate is cross-multiplied into pure integers
+    (``n·trail_hours > k·trail_n``) so the FILTER decision never touches a
+    float — only the reported ratio is a double, computed after the exact
+    decision. Hourly pre-aggregate first (distributed, map-side combine),
+    then one ordered pass over ~|hours| rows — the bounded
+    single-partition tail again."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.orderBy("hour").rowsBetween(-24, -1)
+    trail = hourly.select(
+        "hour",
+        "n",
+        F.sum("n").over(wt).alias("trail_n"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("trail_hours"),
+    )
+    return trail.filter(
+        (F.col("trail_hours") >= 6)
+        & (F.col("n") * F.col("trail_hours") > BURST_FACTOR * F.col("trail_n"))
+    ).select(
+        "hour",
+        "n",
+        F.col("trail_n").cast("bigint").alias("trail_n"),
+        "trail_hours",
+        (
+            F.col("n").cast("double")
+            / (F.col("trail_n").cast("double") / F.col("trail_hours"))
+        ).alias("burst_ratio"),
+    )
