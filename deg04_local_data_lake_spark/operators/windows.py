@@ -514,20 +514,26 @@ trail AS (
 )
 SELECT hour, n,
        CAST(trail_n AS BIGINT) AS trail_n, trail_hours,
-       CAST(n AS DOUBLE) / (CAST(trail_n AS DOUBLE) / trail_hours) AS burst_ratio
-FROM trail
-WHERE trail_hours >= 6 AND n * trail_hours > {BURST_FACTOR} * trail_n
+       CAST(n AS DOUBLE) / (CAST(trail_n AS DOUBLE) / trail_hours) AS burst_ratio,
+       n * trail_hours > {BURST_FACTOR} * trail_n AS exceeds_threshold
+FROM (SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) * trail_hours
+                                            / trail_n DESC, hour) AS rn
+      FROM trail WHERE trail_hours >= 6)
+WHERE rn <= 10
 """,
 )
 def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Burst detection over the event stream: hours whose event count
-    exceeds BURST_FACTOR (3×) the trailing-24h hourly mean (≥6 hours of
-    history required) — the incident-detection / trending-topic primitive.
+    """Burst detection over the event stream: the 10 hours most elevated
+    above their trailing-24h hourly mean (≥6 hours of history required),
+    each flagged against the BURST_FACTOR (3×) alert threshold — the
+    incident-detection / trending-topic primitive. Top-N (rather than
+    threshold-only output) keeps the panel informative on calm corpora
+    like the uniform test data, where nothing trips 3×.
 
-    The burst predicate is cross-multiplied into pure integers
-    (``n·trail_hours > k·trail_n``) so the FILTER decision never touches a
-    float — only the reported ratio is a double, computed after the exact
-    decision. Hourly pre-aggregate first (distributed, map-side combine),
+    The threshold flag is cross-multiplied into pure integers
+    (``n·trail_hours > k·trail_n``) so the alert decision never touches a
+    float; the ranking ratio is the identical IEEE expression in both
+    engines. Hourly pre-aggregate first (distributed, map-side combine),
     then one ordered pass over ~|hours| rows — the bounded
     single-partition tail again."""
     ev = load_table(spark, sf_dir, "events")
@@ -541,16 +547,26 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wt).alias("trail_n"),
         F.count(F.lit(1)).over(wt).cast("bigint").alias("trail_hours"),
     )
-    return trail.filter(
-        (F.col("trail_hours") >= 6)
-        & (F.col("n") * F.col("trail_hours") > BURST_FACTOR * F.col("trail_n"))
-    ).select(
-        "hour",
-        "n",
-        F.col("trail_n").cast("bigint").alias("trail_n"),
-        "trail_hours",
-        (
-            F.col("n").cast("double")
-            / (F.col("trail_n").cast("double") / F.col("trail_hours"))
-        ).alias("burst_ratio"),
+    rank_key = (
+        F.col("n").cast("double") * F.col("trail_hours") / F.col("trail_n")
+    )
+    pick = Window.orderBy(rank_key.desc(), "hour")
+    return (
+        trail.filter(F.col("trail_hours") >= 6)
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "hour",
+            "n",
+            F.col("trail_n").cast("bigint").alias("trail_n"),
+            "trail_hours",
+            (
+                F.col("n").cast("double")
+                / (F.col("trail_n").cast("double") / F.col("trail_hours"))
+            ).alias("burst_ratio"),
+            (
+                F.col("n") * F.col("trail_hours")
+                > BURST_FACTOR * F.col("trail_n")
+            ).alias("exceeds_threshold"),
+        )
     )
