@@ -58,6 +58,10 @@ def test_partitioned_bronze_prunes_partitions(spark, smoke_dir, tmp_path):
 
 def test_minhash_single_exchange(spark, sf_dir):
     """Shingle window + signature groupBy must share one doc_id exchange."""
+    # cached plans from earlier tests (dedup_minhash_estimate persists the
+    # signature subtree) would splice an InMemoryRelation — whose stored
+    # plan carries its own Exchange — into this plan; count the clean shape
+    spark.catalog.clearCache()
     df = registry.queries()["dedup_minhash_signatures"](spark, sf_dir)
     n = explain.count_shuffle_exchanges(df)
     assert n <= 1, f"expected <=1 shuffle exchange, found {n}"
@@ -89,6 +93,7 @@ def test_sequence_family_shuffle_budget(spark, sf_dir, name):
     fact shuffles ONCE; any further exchange moves reduced data only. A
     regression that re-shuffles the fact (e.g. a window repartitioned on a
     non-prefix key) breaks the pinned budget."""
+    spark.catalog.clearCache()  # see test_minhash_single_exchange
     df = registry.queries()[name](spark, sf_dir)
     n = explain.count_shuffle_exchanges(df)
     budget = _SEQUENCE_SHUFFLE_BUDGET[name]
