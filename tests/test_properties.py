@@ -131,8 +131,15 @@ def test_exact_corr_partition_invariant_and_close_to_numpy(
     ]
     assert repr(vals[0]) == repr(vals[1])  # bitwise partition invariance
 
-    qx = np.round(np.array([r[0] for r in data]) * 1e4)
-    qy = np.round(np.array([r[1] for r in data]) * 1e4)
+    # half-AWAY-from-zero, matching Spark/DuckDB round semantics — numpy's
+    # np.round is half-even and diverges exactly on .5 landings (hypothesis
+    # found x=1.65625: 16562.5 → 16562 banker's vs 16563 half-up)
+    def q(vals):
+        v = np.array(vals) * 1e4
+        return np.copysign(np.floor(np.abs(v) + 0.5), v)
+
+    qx = q([r[0] for r in data])
+    qy = q([r[1] for r in data])
     if np.std(qx) == 0 or np.std(qy) == 0:
         assert vals[0] is None
     else:
