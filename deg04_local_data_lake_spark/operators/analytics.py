@@ -1131,3 +1131,80 @@ def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("part_a", "part_b", "support")
     )
+
+
+@register(
+    "basket_affinity_lift",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT part_a, part_b, support,
+       ia.item_n AS n_a, ib.item_n AS n_b,
+       (CAST(support AS DOUBLE) * n.n)
+         / (CAST(ia.item_n AS DOUBLE) * ib.item_n) AS lift
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n_orders n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for co-purchased part pairs: how much more
+    often two parts appear together than independence predicts —
+    ``lift = P(a∧b) / (P(a)·P(b)) = support·N / (nₐ·n_b)`` — the metric
+    that separates genuinely-affine pairs from merely-popular ones
+    (plain support, ``frequent_itemset_pairs``, ranks popular items
+    first).
+
+    All probabilities stay as exact integer counts until ONE final double
+    expression, so ranking is reproducible. The pair build is the same
+    co-partitioned basket self-join; item counts broadcast onto the pair
+    table; the ≥3 support floor is the a-priori prune. Top-20 by lift is
+    sort-limit."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_n")
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("item_n").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("item_n").alias("n_b"))
+    lift = (F.col("support").cast("double") * F.col("n")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "support", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )

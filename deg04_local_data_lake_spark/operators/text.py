@@ -438,3 +438,69 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") - F.length(clean)).cast("bigint").alias("removed_chars"),
         (F.length(clean).cast("double") / F.col("n_chars")).alias("kept_ratio"),
     )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_words_sql()} AS w FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_stop_hits_sql("en")} AS s_en,
+         {_stop_hits_sql("de")} AS s_de,
+         {_stop_hits_sql("fr")} AS s_fr,
+         {_stop_hits_sql("es")} AS s_es
+  FROM t
+),
+pred AS (
+  SELECT lang AS labeled_lang,
+         CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS predicted_lang
+  FROM s
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pred)
+SELECT labeled_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS DOUBLE) / n_total AS cell_share
+FROM pred, total
+GROUP BY 1, 2, n_total
+""",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the heuristic language classifier
+    (``text_langid``): labeled × predicted counts with corpus shares —
+    the classifier-evaluation pattern every model-in-the-pipeline needs
+    (per-class precision/recall derive directly from these cells).
+
+    The prediction is the same deterministic stopword argmax; the matrix
+    is a ≤16-cell aggregate that collapses map-side; the total rides a
+    window-free 1-row broadcast. At 100 TB evaluation cost equals one
+    classifier pass — the matrix itself is constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    s = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        *[_stop_hits(w, lg).alias(f"s_{lg}") for lg in ("en", "de", "fr", "es")],
+    )
+    pred = s.select(
+        "labeled_lang",
+        F.when(F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), F.lit("en"))
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), F.lit("de"))
+        .when(F.col("s_fr") >= F.col("s_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+        .alias("predicted_lang"),
+    )
+    total = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        pred.crossJoin(F.broadcast(total))
+        .groupBy("labeled_lang", "predicted_lang", "n_total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("cell_share"),
+        )
+    )

@@ -161,6 +161,8 @@ _BNLJ_ALLOWED = {
     "triangle_count",            # three 1-row aggregates combined
     "tfidf_top_terms",           # 1-row doc-count broadcast
     "weekday_seasonality",       # 1-row overall-mean broadcast
+    "basket_affinity_lift",      # 1-row basket-count broadcast
+    "langid_confusion",          # 1-row total-docs broadcast
 }
 
 
