@@ -1208,3 +1208,66 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    oracle="""
+WITH vol AS (
+  SELECT s_nationkey, l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1, 2
+),
+nation_tot AS (
+  SELECT s_nationkey,
+         SUM(cents) AS total,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sq_sum,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM vol GROUP BY 1
+)
+SELECT n_name AS nation, n_suppliers,
+       CAST(sq_sum AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+         AS hhi
+FROM nation_tot JOIN nation ON n_nationkey = s_nationkey
+""",
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    HHI = Σ shareᵢ² = (Σ centsᵢ²) / (Σ centsᵢ)² — the antitrust/market
+    structure measure (1/n for perfect competition, →1 for monopoly).
+
+    The algebraic rewrite is the determinism move: summing per-supplier
+    share-squares in floats would be order-dependent, while Σc² and (Σc)²
+    are exact integer aggregates with ONE double division at the end. Two
+    stacked aggregates on the same nation partitioning + a broadcast
+    nation-name join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    vol = (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    d38 = "decimal(38,0)"
+    c38 = F.col("cents").cast(d38)
+    # square in decimal space — supplier-volume cents² exceeds int64
+    tot = vol.groupBy("s_nationkey").agg(
+        F.sum(c38).alias("total"),
+        F.sum(c38 * c38).alias("sq_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return tot.join(
+        F.broadcast(nation), tot.s_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        (
+            F.col("sq_sum").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )

@@ -877,3 +877,56 @@ def throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _throttle_scan, "user_id bigint, event_id bigint"
     )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(CAST(o_orderdate AS DATE))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(gap_days) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS DOUBLE) / count(gap_days) AS mean_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(min(gap_days) AS BIGINT) AS min_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 HAVING count(gap_days) >= 3
+""",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per customer: the day gaps between
+    consecutive orders (mean/min/max over customers with ≥3 gaps) — the
+    replenishment-cycle feature behind churn prediction and
+    next-order-date models.
+
+    Standard one-shuffle timeline shape (lag over the customer ordering,
+    tie-broken on orderkey); gaps are integer day diffs, the mean is one
+    exact-sum division. The aggregate reuses the window's customer
+    partitioning — no second exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            (F.sum("gap_days").cast("double") / F.count("gap_days")).alias(
+                "mean_gap_days"
+            ),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+            F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
