@@ -712,3 +712,77 @@ def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         band.alias("p_band_match"),
         (1 - all_miss).alias("p_detected"),
     )
+
+
+def _lsh_recall_sql() -> str:
+    bands_ctes = _BANDS_SQL.strip()
+    assert bands_ctes.startswith("WITH ")
+    return f"""
+{_JACCARD_PAIRS_SQL.strip().rstrip()},
+{bands_ctes[len("WITH "):]},
+truth AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE inter / (n_a + n_b - inter) >= {JACCARD_THRESHOLD}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT t.doc_a, c.doc_a IS NOT NULL AS found
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+prec AS (
+  SELECT c.doc_a, t.doc_a IS NOT NULL AS is_true
+  FROM cand c LEFT JOIN truth t
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM prec) AS n_candidates,
+       (SELECT CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT)
+        FROM hit) AS n_found,
+       (SELECT CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) FROM hit)
+         / CAST((SELECT count(*) FROM hit) AS DOUBLE) AS recall,
+       (SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+        FROM prec)
+         / CAST((SELECT count(*) FROM prec) AS DOUBLE) AS precision
+"""
+
+
+@register("dedup_lsh_recall", oracle=_lsh_recall_sql())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's quality audit: measure the MinHash-LSH
+    candidate generator against exact n-gram Jaccard ground truth —
+    recall (true near-dup pairs the bands surfaced) and precision (band
+    candidates that are true near-dups at the verify threshold). This is
+    the number you watch when retuning bands/rows with
+    ``minhash_s_curve``; run it on a sample slice at 100 TB, never the
+    full corpus (the exact-truth side is the quadratic one).
+
+    Both pair sets are (doc_a < doc_b)-oriented, so the audit joins are
+    plain equi-joins; counts aggregate to one row."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    hit = truth.join(
+        cand.withColumn("found", F.lit(True)), ["doc_a", "doc_b"], "left"
+    )
+    prec = cand.join(
+        truth.withColumn("is_true", F.lit(True)), ["doc_a", "doc_b"], "left"
+    )
+    h = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum(F.col("found").isNotNull().cast("int")).cast("bigint").alias("n_found"),
+    )
+    p = prec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.col("is_true").isNotNull().cast("int")).cast("bigint").alias("n_tp"),
+    )
+    return h.crossJoin(F.broadcast(p)).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_found",
+        (F.col("n_found").cast("double") / F.col("n_true_pairs")).alias("recall"),
+        (F.col("n_tp").cast("double") / F.col("n_candidates")).alias("precision"),
+    )

@@ -163,6 +163,7 @@ _BNLJ_ALLOWED = {
     "weekday_seasonality",       # 1-row overall-mean broadcast
     "basket_affinity_lift",      # 1-row basket-count broadcast
     "langid_confusion",          # 1-row total-docs broadcast
+    "dedup_lsh_recall",          # two 1-row audit aggregates combined
 }
 
 
