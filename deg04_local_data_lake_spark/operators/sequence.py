@@ -99,13 +99,19 @@ def merge_intervals(
         user_col,
         s_col,
         e_col,
+        id_col,
         F.when(F.max(e_col).over(sweep) >= F.col(s_col), F.lit(0))
         .otherwise(F.lit(1))
         .alias("is_new"),
     )
+    # the accumulator MUST replay the sweep's exact total order — ordering
+    # by (s, e) instead diverges when a longer interval precedes a shorter
+    # one at the same start (hypothesis found [(0,2),(0,1)]: the sweep
+    # marks the e=2 row as the island opener, but (s,e) order visits the
+    # e=1 row first and splits the island)
     acc = (
         Window.partitionBy(user_col)
-        .orderBy(s_col, e_col)
+        .orderBy(s_col, id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.withColumn("island", F.sum("is_new").over(acc))
@@ -123,7 +129,7 @@ WITH iv AS (
   SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
 ),
 flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, s, e, event_id,
          CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    >= s
@@ -132,7 +138,7 @@ flagged AS (
 ),
 islands AS (
   SELECT user_id, s, e,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
                            ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
 ),
@@ -160,8 +166,10 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged island iff its start exceeds the max end seen so far — one
     window pass, no self-join (the naive overlap join is O(n²) per user and
     unbounded at 100 TB). Coverage is integer seconds (exact in both
-    engines). The two stacked windows share one `(user_id, s)` sort: Spark
-    plans a single Sort + two Window nodes, still one shuffle total.
+    engines). Both stacked windows replay the identical
+    `(user_id, s, event_id)` total order (correctness requires it — see
+    merge_intervals — and it also lets Spark plan a single Sort + two
+    Window nodes, one shuffle total).
     """
     iv = load_table(spark, sf_dir, "events").select(
         "user_id",
