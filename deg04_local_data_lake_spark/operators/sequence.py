@@ -938,3 +938,63 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 3)
     )
+
+
+@register(
+    "click_to_purchase_within_hour",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST((SELECT count(*) FROM purchases) AS BIGINT) AS n_purchases,
+       CAST((SELECT count(*) FROM purchases p
+             WHERE EXISTS (SELECT 1 FROM clicks c
+                           WHERE c.user_id = p.user_id
+                             AND c.ts <= p.ts
+                             AND c.ts > p.ts - INTERVAL 1 HOUR)) AS BIGINT)
+         AS n_click_driven,
+       CAST((SELECT count(*) FROM purchases p
+             WHERE EXISTS (SELECT 1 FROM clicks c
+                           WHERE c.user_id = p.user_id
+                             AND c.ts <= p.ts
+                             AND c.ts > p.ts - INTERVAL 1 HOUR)) AS DOUBLE)
+         / (SELECT count(*) FROM purchases) AS click_driven_share
+""",
+)
+def click_to_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-horizon conversion: the share of purchases preceded by a
+    click from the same user within the previous hour — the bounded-window
+    EXISTS shape (the batch twin of the watermarked stream-stream interval
+    join in streaming/ingest.py, whose join condition is this predicate).
+
+    Spark plans the EXISTS as a left-semi join on ``user_id`` with the
+    time band as a residual predicate — both sides shuffle once on the
+    user key and the band check runs inside the co-partitioned match, the
+    same containment that makes the streaming version's state bounded.
+    Counts only; one IEEE division at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    driven = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    n_all = purchases.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    n_hit = driven.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_driven"))
+    return n_all.crossJoin(F.broadcast(n_hit)).select(
+        "n_purchases",
+        "n_click_driven",
+        (F.col("n_click_driven").cast("double") / F.col("n_purchases")).alias(
+            "click_driven_share"
+        ),
+    )

@@ -570,3 +570,67 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exceeds_threshold"),
         )
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (events + distinct
+    users per cell) — the load-shape panel behind capacity planning and
+    send-time optimization. ≤168 cells, collapses map-side; the weekday
+    key uses the same pinned 1=Sunday convention as
+    ``weekday_seasonality`` (Spark is 1-based, DuckDB 0-based)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("weekday"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "topk_with_ties_orders",
+    oracle="""
+SELECT c_mktsegment, o_totalprice, price_rank
+FROM (
+  SELECT c_mktsegment, o_totalprice,
+         CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice DESC) AS BIGINT)
+           AS price_rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE price_rank <= 3
+""",
+)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order prices per market segment WITH ties — ``dense_rank``
+    keeps every order at a winning price, where ``row_number``
+    (``window_topk_orders``) would arbitrarily cut tied rows. The pair of
+    queries pins the tie-semantics choice users actually have to make;
+    output is deterministic without a tiebreak column precisely because
+    ties are kept. Same one-exchange rank shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("bigint").alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )

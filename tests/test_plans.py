@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "basket_affinity_lift",      # 1-row basket-count broadcast
     "langid_confusion",          # 1-row total-docs broadcast
     "dedup_lsh_recall",          # two 1-row audit aggregates combined
+    "click_to_purchase_within_hour",  # two 1-row count aggregates combined
 }
 
 
