@@ -1431,3 +1431,118 @@ def fulfillment_lag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lag_days").cast("bigint").alias("min_days"),
         F.max("lag_days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "winsorized_value_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT value, event_id,
+         row_number() OVER (ORDER BY value, event_id) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM events
+),
+bounds AS (
+  SELECT max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+                  THEN value END) AS lo,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                  THEN value END) AS hi,
+         CAST(min(n) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT n, lo AS p01, hi AS p99,
+       CAST(SUM(CAST(CASE WHEN value < lo THEN lo
+                          WHEN value > hi THEN hi
+                          ELSE value END AS DECIMAL(18,4))) AS DOUBLE) / n
+         AS winsorized_mean,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / n AS raw_mean
+FROM events, bounds
+GROUP BY n, lo, hi
+""",
+)
+def winsorized_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event values: clamp to the exact discrete
+    p01/p99 elements, then average — the outlier-robust location estimate
+    that, unlike trimming, keeps n constant. Standard preprocessing before
+    fitting anything to heavy-tailed metrics.
+
+    The bounds are rank-selected data elements (no interpolation); the
+    clamp is a comparison against those exact values; both means ride
+    exact-decimal sums with one final division each — bitwise portable.
+    The bounds frame is 1 row, broadcast back onto the fact scan (the scan
+    runs twice: once for ranks, once for the clamp — at 100 TB feed the
+    second pass from the first's materialization, or switch the bound
+    estimate to the documented distributed selection)."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.orderBy("value", "event_id")
+    wtot = Window.partitionBy()
+    ranked = ev.select(
+        "value",
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1)).over(wtot).cast("bigint").alias("n"),
+    )
+
+    def at(p: float):
+        rank = F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        )
+        return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+    bounds = ranked.groupBy().agg(
+        at(0.01).alias("lo"), at(0.99).alias("hi"), F.min("n").alias("n")
+    )
+    clamped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("n", F.col("lo").alias("p01"), F.col("hi").alias("p99"))
+        .agg(
+            (F.sum(clamped.cast("decimal(18,4)")).cast("double") / F.col("n")).alias(
+                "winsorized_mean"
+            ),
+            (F.sum(dec("value")).cast("double") / F.col("n")).alias("raw_mean"),
+        )
+        .select("n", "p01", "p99", "winsorized_mean", "raw_mean")
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT year, month,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       CAST(cents - lag(cents) OVER (ORDER BY year, month) AS DOUBLE)
+         / CAST(lag(cents) OVER (ORDER BY year, month) AS DOUBLE) AS mom_growth
+FROM monthly
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the first line of every business
+    review. Exact integer cents through the lag; growth is one division of
+    exact integer differences (NULL for the first month, by lag
+    semantics). The monthly series is tiny after the distributed
+    pre-aggregate; the unpartitioned lag is the documented bounded tail."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy("year", "month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "year",
+        "month",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        ((F.col("cents") - prev).cast("double") / prev.cast("double")).alias(
+            "mom_growth"
+        ),
+    )

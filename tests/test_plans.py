@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "langid_confusion",          # 1-row total-docs broadcast
     "dedup_lsh_recall",          # two 1-row audit aggregates combined
     "click_to_purchase_within_hour",  # two 1-row count aggregates combined
+    "winsorized_value_mean",     # 1-row clamp-bounds broadcast
 }
 
 
