@@ -52,6 +52,8 @@ def main() -> None:
     spark = get_spark_session(app_name="deg04-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from deg04_local_data_lake_spark.caching import release_caches
+
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
@@ -64,6 +66,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)  # median of 3
+        release_caches()  # tracked persists must not leak into other queries
 
     out = {
         "metric": "headline query wall-clock (warm, noop sink)",

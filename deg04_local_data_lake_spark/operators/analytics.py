@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.operators import rankdist
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -837,8 +838,12 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the final rank is ONE double expression over those exact integers
       (identical association both engines), not a floating aggregate;
     - N (node count) rides a broadcast one-row frame, no driver collect.
+
+    Cache lifecycle: the edge persist is registered with
+    ``caching.persist_tracked``; harnesses release it via
+    ``caching.release_caches()``.
     """
-    from pyspark import StorageLevel
+    from deg04_local_data_lake_spark.caching import persist_tracked
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
@@ -849,11 +854,12 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        # two consumers (out-degree build, contribution join) — persist so
-        # the self-join+distinct runs once; the cache also serves
-        # graph_degree_histogram's identical edge subtree in-session
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        )
+    # two consumers (out-degree build, contribution join) — persist so
+    # the self-join+distinct runs once; the cache also serves
+    # graph_degree_histogram's identical edge subtree in-session.
+    # Tracked: released by caching.release_caches().
+    edges = persist_tracked(edges)
     weights = edges.groupBy("src").agg(
         F.round(F.lit(1e12) / F.count(F.lit(1))).cast("long").alias("w")
     )
@@ -917,45 +923,59 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u<v, so each triangle matches exactly one (e1,e2,e3) orientation).
 
     The multi-way-self-join graph workload: build canonical edges once
-    (orderkey-keyed self-join, co-partitioned), then edges⋈edges⋈edges —
-    each hop an equi-join whose shuffle key is a vertex id. Work is
-    Σ deg(v)² (wedge enumeration); at 100 TB the standard mitigations —
-    orient edges from low to high degree before the wedge join, cap
-    super-node degrees — drop in at the ``edges`` CTE without touching the
-    counting joins. Wedge count derives from exact integer degree sums;
-    the clustering coefficient is one double division at the end. The
-    three 1-row aggregates meet in broadcast nested loops (allowlisted:
-    1-row frames, constant cost)."""
-    from pyspark import StorageLevel
+    (orderkey-keyed self-join, co-partitioned), then a **degree-ordered**
+    wedge join — edges are re-oriented from the (degree, id)-smaller
+    endpoint to the larger, so every node's out-degree is O(√m) and the
+    wedge enumeration is Σ outdeg(v)² instead of Σ deg(v)² (the standard
+    super-node mitigation; each triangle {x<y<z} in (degree, id) order is
+    counted exactly once as x→y, y→z, x→z). Wedge count derives from
+    exact integer degree sums; the clustering coefficient is one double
+    division at the end. The three 1-row aggregates meet in broadcast
+    nested loops (allowlisted: 1-row frames, constant cost).
+
+    Cache lifecycle: the edge/oriented persists are registered with
+    ``caching.persist_tracked``; harnesses release them via
+    ``caching.release_caches()``."""
+    from deg04_local_data_lake_spark.caching import persist_tracked
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    edges = (
+    # the canonical edge list feeds three consumers (degree build,
+    # orientation join, edge count); persist so the self-join+distinct
+    # runs once — measured 18.8s → ~6s at sf0.1 pre-orientation.
+    edges = persist_tracked(
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        # the edge list feeds FIVE consumers (e1/e2/e3 of the triangle
-        # join, the degree union, the edge count); without an explicit
-        # persist Spark re-runs the whole build per consumer (ReuseExchange
-        # only dedups identical partitionings). This is the in-query form
-        # of "persist the edge list once" — measured 18.8s → ~6s at sf0.1.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    tri = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e2.u") == F.col("e1.v"))
-        .join(
-            edges.alias("e3"),
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = persist_tracked(
+        edges.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    tri = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            oriented.alias("e3"),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1007,25 +1027,25 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Customer revenue reduces in a distributed exact-integer-cents
     aggregate; ranking and the cumulative sum then run over one row per
-    customer. The share is one IEEE division of two exact integers.
-    The global ordered pass is the documented single-partition tail — at
-    100 TB replace it with the same two-level selection noted on
-    ``robust_outliers_mad`` (per-partition partial ranks + merge), keeping
-    this oracle contract."""
-    from pyspark.sql import Window
-
+    customer via the distributed bucketed rank pass (``rankdist`` with a
+    weight column, bucketed on descending cents) — exact rank + running
+    sum with no single-partition tail. The share is one IEEE division of
+    two exact integers."""
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    wseq = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(wseq).cast("bigint").alias("rn"),
-        F.sum("cents")
-        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    ranked = rankdist.with_global_ranks(
+        per_cust,
+        [F.col("cents").desc(), "o_custkey"],
+        bucket_by=-F.col("cents"),
+        weight="cents",
+    ).withColumnsRenamed(
+        {
+            rankdist.RANK: "rn",
+            rankdist.CUMW: "cum",
+            rankdist.N: "n",
+            rankdist.TOTW: "total",
+        }
     )
     pick = F.greatest(
         F.lit(1).cast("bigint"), F.ceil(F.lit(0.20) * F.col("n")).cast("bigint")
@@ -1106,9 +1126,10 @@ def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain hash aggregate on the pair. The support ≥ 2 floor is where
     a-priori pruning plugs in at scale (drop parts below min-support
     BEFORE pairing — the same guard as the MinHash mega-bucket cap); the
-    20-row final rank is sort-limit."""
-    from pyspark.sql import Window
-
+    20-row final rank is ``orderBy().limit()``, which compiles to
+    TakeOrderedAndProject — a per-partition heap + driver merge of 20-row
+    sets, never a global sort (the pair space is NOT a reduced frame at
+    100 TB, so a row_number window here would be a scale bug)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1125,12 +1146,7 @@ def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
-    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("part_a", "part_b", "support")
-    )
+    return pairs.orderBy(F.col("support").desc(), "part_a", "part_b").limit(20)
 
 
 @register(

@@ -253,28 +253,35 @@ bands AS (
 """
 
 
-@register(
-    "dedup_minhash_pairs",
-    oracle=f"""
-{_BANDS_SQL}
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-""",
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: hash each 4-row band of the signature,
-    group documents sharing a band bucket, expand in-bucket pairs.
+#: Mega-bucket guard: in-bucket pair expansion is split into salted
+#: sub-groups of at most ~MEGA_BUCKET_CAP documents. Observed band-bucket
+#: maxima on the testdata are 4 (sf0.01) and 17 (sf0.1), so normal corpora
+#: are far below the cap and the pair set is exactly the uncapped one
+#: (property-tested in tests/test_dedup_skew.py).
+MEGA_BUCKET_CAP = 64
+
+
+def minhash_candidate_pairs(sig: DataFrame, *, cap: int = MEGA_BUCKET_CAP) -> DataFrame:
+    """LSH banding → bucketed candidate pairs with a mega-bucket cap.
 
     Single-pass formulation: ONE shuffle on (band, band_key) into
     ``collect_list``, then per-bucket pair expansion with higher-order
     functions — a self-join would shuffle (and recompute) the whole
-    signature pipeline twice. Pair expansion is quadratic in *bucket* size
-    only; buckets are near-dup groups, i.e. small. (If a degenerate corpus
-    produced a mega-bucket, cap it with a salted secondary split before the
-    expansion — the skew knob lives in one place here.)
+    signature pipeline twice. Pair expansion is quadratic in *bucket*
+    size only; buckets are near-dup groups, i.e. small.
+
+    **Mega-bucket cap** (the skew knob): a degenerate corpus — think
+    boilerplate-heavy crawl data, exactly the 100 TB use case — can
+    produce one giant band bucket whose pair expansion goes quadratic.
+    Buckets larger than ``cap`` are salted into
+    ``nsub = ceil(|bucket| / cap)`` deterministic sub-groups by
+    ``xxhash64(doc_id) mod nsub`` and pairs expand *within* a sub-group
+    only: per-bucket work drops from |bucket|² to ~|bucket|·cap, at the
+    cost of cross-sub-group recall inside that one bucket (near-dups
+    still meet in the other bands, and downstream connected components
+    re-links clusters transitively). Buckets at or below ``cap`` — all
+    observed real buckets — expand identically to the uncapped form.
     """
-    sig = dedup_minhash_signatures(spark, sf_dir)
     band_exprs = []
     for b in range(N_HASHES // BAND_SIZE):
         parts = []
@@ -292,27 +299,62 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = bands.groupBy("band", "band_key").agg(
         F.collect_list("doc_id").alias("ids")
     )
-    # all unordered in-bucket pairs, orientation-normalized so the result
-    # is independent of collect_list's nondeterministic order
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda a: F.transform(
-                    F.col("ids"),
-                    lambda b: F.struct(
-                        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
+
+    def in_group_pairs(arr):
+        # all unordered pairs of ``arr``, orientation-normalized so the
+        # result is independent of collect_list's nondeterministic order
+        return F.filter(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda a: F.transform(
+                        arr,
+                        lambda b: F.struct(
+                            F.least(a, b).alias("doc_a"),
+                            F.greatest(a, b).alias("doc_b"),
+                        ),
                     ),
-                ),
-            )
-        ),
-        lambda p: p.getField("doc_a") < p.getField("doc_b"),
+                )
+            ),
+            lambda p: p.getField("doc_a") < p.getField("doc_b"),
+        )
+
+    nsub = F.greatest(
+        F.lit(1), F.ceil(F.size("ids") / F.lit(cap)).cast("int")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nsub - 1),
+            lambda g: in_group_pairs(
+                F.filter(F.col("ids"), lambda x: F.pmod(F.xxhash64(x), nsub) == g)
+            ),
+        )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+{_BANDS_SQL}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: hash each 4-row band of the signature,
+    group documents sharing a band bucket, expand in-bucket pairs — with
+    the salted mega-bucket cap (see :func:`minhash_candidate_pairs`).
+    The DuckDB oracle is the uncapped pair set; they coincide whenever no
+    band bucket exceeds MEGA_BUCKET_CAP, which holds for the testdata by
+    a 4-16x margin (and the skew property test pins the equality)."""
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    return minhash_candidate_pairs(sig)
 
 
 # ------------------------------------------------------------- SimHash
@@ -636,16 +678,15 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are persisted once (16 longs/doc, ~3 orders smaller than the corpus)
     and both probes are shuffle joins on that compact table; nothing
     touches raw text in this stage."""
-    from pyspark import StorageLevel
+    from deg04_local_data_lake_spark.caching import persist_tracked
 
     # Three consumers share the signature pipeline (both probe sides here
     # plus the LSH banding inside dedup_minhash_pairs). One persist serves
     # all of them: Spark's cache manager matches canonicalized plans, so
     # the pairs query's internally-rebuilt signature subtree hits this
-    # cache too. Measured 3.0s → ~1.6s at sf0.1.
-    sig = dedup_minhash_signatures(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # cache too. Measured 3.0s → ~1.6s at sf0.1. Tracked: released by
+    # caching.release_caches().
+    sig = persist_tracked(dedup_minhash_signatures(spark, sf_dir))
     cand = dedup_minhash_pairs(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),

@@ -20,6 +20,7 @@ from deg04_local_data_lake_spark.functions.portable import (
     md5_long,
     md5_long_sql,
 )
+from deg04_local_data_lake_spark.operators import rankdist
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -271,21 +272,21 @@ FROM d GROUP BY decile
 def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decile boundaries via NTILE over a total order (orderkey
     tiebreak) — the distribution-profiling companion to the discrete
-    median. NB: an unpartitioned NTILE is a global sort; fine for a
-    150k-row dimension profile, but at fact scale compute quantiles from a
-    pre-aggregated value histogram instead (events_value_histogram)."""
-    from pyspark.sql import Window
-
+    median. Distributed: the NTILE is computed from an exact bucketed
+    global rank (``rankdist``), so no task ever holds more than one
+    cutpoint bucket — the full-fact total order never lands on one
+    executor (the scale posture SCALE.md documents for rank selection)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    tiled = rankdist.with_global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        "decile",
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
 
 
@@ -1067,36 +1068,28 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both medians are *discrete rank selections* (lower median, ties broken
     by event_id) — actual data elements, no interpolation arithmetic — so
-    every derived comparison is IEEE-deterministic. Two rank passes + two
-    tiny broadcasts back onto the fact. At 100 TB the per-group row_number
-    over a 5-key partitioning is the skew point: swap the rank selection
-    for a distributed selection (binary search on value against exact
-    counts) while keeping this query's contract — the oracle pins the
-    semantics either way."""
+    every derived comparison is IEEE-deterministic. Both rank passes run
+    as the distributed bucketed selection (``rankdist`` grouped by
+    event_type): a 5-key partitioning can never pin a full type's rows to
+    one task; each median then broadcasts back onto the fact."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    w = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+    lower_median = F.col(rankdist.RANK) == F.floor((F.col(rankdist.N) + 1) / 2)
+    ranked = rankdist.with_global_ranks(
+        ev, ["value", "event_id"], group_by=["event_type"]
     )
-    med = ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
-        "event_type", F.col("value").alias("med")
-    )
+    med = ranked.filter(lower_median).select("event_type", F.col("value").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
         "med",
     )
-    ranked2 = dev.select(
-        "event_type",
-        "adev",
-        F.row_number().over(w.orderBy("adev", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+    ranked2 = rankdist.with_global_ranks(
+        dev.select("event_type", "adev", "event_id"),
+        ["adev", "event_id"],
+        group_by=["event_type"],
     )
-    mad = ranked2.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+    mad = ranked2.filter(lower_median).select(
         "event_type", F.col("adev").alias("mad")
     )
     return (
@@ -1139,18 +1132,17 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank reaches p, i.e. the element at rank ⌈p·n⌉ — computed here
     explicitly so both engines select the identical data element (no
     interpolation arithmetic, ties pinned by event_id). All three
-    percentiles ride the same window sort: one shuffle, one ordered scan,
-    then a 5-row aggregate. At 100 TB swap the per-group row_number for
-    the same binary-search selection noted on ``robust_outliers_mad`` —
-    the contract (exact discrete element) is unchanged."""
+    percentiles ride ONE distributed rank pass (``rankdist`` grouped by
+    event_type): a handful of event types can never pin a full type's
+    rows to one task — each (type, cutpoint-bucket) sorts independently,
+    then a 5-row aggregate. The contract (exact discrete element) is
+    unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
-    )
+    ranked = rankdist.with_global_ranks(
+        ev.select("event_type", "value", "event_id"),
+        ["value", "event_id"],
+        group_by=["event_type"],
+    ).withColumnsRenamed({rankdist.RANK: "rn", rankdist.N: "n"})
 
     def at(p: float):
         rank = F.greatest(
@@ -1355,10 +1347,9 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     The crossing-point predicate ``2·cumw ≥ total ∧ 2·(cumw−wt) < total``
     selects exactly ONE row (cumw is strictly increasing), in pure integer
     arithmetic — no interpolation, no rank arithmetic, bitwise portable.
-    The fact join reduces to one row per order in a distributed aggregate
-    before the ordered pass (same single-partition-tail posture as
-    ``pareto_revenue_share``, same documented selection swap at extreme
-    cardinality)."""
+    The fact join reduces to one row per order in a distributed aggregate,
+    and the running weight sum is the distributed bucketed pass
+    (``rankdist`` with a weight column) — no single-partition tail."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     wtd = (
@@ -1366,13 +1357,9 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
     )
-    wseq = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = wtd.select(
-        "o_totalprice",
-        "wt",
-        F.sum("wt").over(wseq.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
-        F.sum("wt").over(Window.partitionBy()).alias("total"),
-    )
+    ranked = rankdist.with_global_ranks(
+        wtd, ["o_totalprice", "o_orderkey"], weight="wt"
+    ).withColumnsRenamed({rankdist.CUMW: "cumw", rankdist.TOTW: "total"})
     return ranked.filter(
         (2 * F.col("cumw") >= F.col("total"))
         & (2 * (F.col("cumw") - F.col("wt")) < F.col("total"))
@@ -1469,18 +1456,13 @@ def winsorized_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bounds are rank-selected data elements (no interpolation); the
     clamp is a comparison against those exact values; both means ride
     exact-decimal sums with one final division each — bitwise portable.
-    The bounds frame is 1 row, broadcast back onto the fact scan (the scan
-    runs twice: once for ranks, once for the clamp — at 100 TB feed the
-    second pass from the first's materialization, or switch the bound
-    estimate to the documented distributed selection)."""
+    The rank pass is the distributed bucketed selection (``rankdist``) —
+    no single-task global sort; the 1-row bounds frame broadcasts back
+    onto the fact scan for the clamp."""
     ev = load_table(spark, sf_dir, "events")
-    wseq = Window.orderBy("value", "event_id")
-    wtot = Window.partitionBy()
-    ranked = ev.select(
-        "value",
-        F.row_number().over(wseq).alias("rn"),
-        F.count(F.lit(1)).over(wtot).cast("bigint").alias("n"),
-    )
+    ranked = rankdist.with_global_ranks(
+        ev.select("value", "event_id"), ["value", "event_id"]
+    ).withColumnsRenamed({rankdist.RANK: "rn", rankdist.N: "n"})
 
     def at(p: float):
         rank = F.greatest(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.operators import rankdist
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -269,10 +270,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order count, exact-decimal revenue; each scored into NTILE(4) quartiles
     (best = 1) with custkey tie-breaks so bucket edges are deterministic.
 
-    The per-customer aggregate is one keyed hash agg. The NTILE is a global
-    total order — fine for |customers| outputs, but at 100 TB swap it for
-    approx-quantile cutpoints (computed once, broadcast) and a map-side
-    CASE bucket: same quartile semantics, no global sort.
+    The per-customer aggregate is one keyed hash agg. Each NTILE(4) is
+    the distributed bucketed rank pass (``rankdist.with_global_ntile``,
+    approx-quantile cutpoints + exact refine) — three passes over the
+    reduced per-customer frame, none of which ever sorts the whole frame
+    on one task.
     """
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(
@@ -283,22 +285,40 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary_dec"),
     )
-    rec = F.datediff("anchor_day", "last_order")
-    w_r = Window.orderBy(rec.asc(), "o_custkey")
-    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    w_m = Window.orderBy(F.col("monetary_dec").desc(), "o_custkey")
-    r, f_, m = F.ntile(4).over(w_r), F.ntile(4).over(w_f), F.ntile(4).over(w_m)
-    return per_cust.crossJoin(F.broadcast(anchor)).select(
+    base = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("anchor_day", "last_order")
+    )
+    scored = rankdist.with_global_ntile(
+        base, ["recency_days", "o_custkey"], 4, "r_score"
+    )
+    scored = rankdist.with_global_ntile(
+        scored,
+        [F.col("frequency").desc(), "o_custkey"],
+        4,
+        "f_score",
+        bucket_by=-F.col("frequency"),
+    )
+    scored = rankdist.with_global_ntile(
+        scored,
+        [F.col("monetary_dec").desc(), "o_custkey"],
+        4,
+        "m_score",
+        bucket_by=-F.col("monetary_dec"),
+    )
+    return scored.select(
         "o_custkey",
-        rec.alias("recency_days"),
+        "recency_days",
         "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        r.alias("r_score"),
-        f_.alias("f_score"),
-        m.alias("m_score"),
-        F.concat_ws("-", r.cast("string"), f_.cast("string"), m.cast("string")).alias(
-            "segment"
-        ),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
     )
 
 

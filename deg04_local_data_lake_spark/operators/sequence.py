@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.functions.portable import dec
+from deg04_local_data_lake_spark.operators import rankdist
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -165,7 +166,7 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Interval union via the running-max-end sweep: an interval starts a new
     merged island iff its start exceeds the max end seen so far — one
     window pass, no self-join (the naive overlap join is O(n²) per user and
-    unbounded at 100 TB). Coverage is integer seconds (exact in both
+    unbounded at 100 TB). Coverage is integer microseconds (exact in both
     engines). Both stacked windows replay the identical
     `(user_id, s, event_id)` total order (correctness requires it — see
     merge_intervals — and it also lets Spark plan a single Sort + two
@@ -518,8 +519,9 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase filter + min-aggregate reuse that partitioning (no second
     exchange), and deltas are integer microseconds — no float time math.
     The final rank selection runs over one row per *converted user* —
-    a ~10⁵× reduction from events — in a single ordered pass (same
-    documented posture as ``value_percentiles_by_type``)."""
+    a ~10⁵× reduction from events — via the distributed bucketed rank
+    pass (``rankdist``), so even a billion converted users never sort on
+    one task."""
     ev = load_table(spark, sf_dir, "events")
     ws = Window.partitionBy("user_id")
     fs = ev.withColumn(
@@ -545,11 +547,9 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("first_signup").cast("timestamp"))
         ).alias("delta_us"),
     )
-    ranked = deltas.select(
-        "delta_us",
-        F.row_number().over(Window.orderBy("delta_us", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    ranked = rankdist.with_global_ranks(
+        deltas, ["delta_us", "user_id"]
+    ).withColumnsRenamed({rankdist.RANK: "rn", rankdist.N: "n"})
     p90_rank = F.greatest(
         F.lit(1).cast("bigint"), F.ceil(F.lit(0.90) * F.col("n")).cast("bigint")
     )
@@ -785,9 +785,14 @@ def attribution_linear_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def share(c: str):
-        return F.when(
-            F.col("k") > 0, F.expr(f"(units * {c}) DIV k")
-        ).otherwise(F.lit(0).cast("bigint"))
+        # Floor-division semantics to match DuckDB's `//`: Spark's DIV
+        # truncates toward zero, which diverges on negative units
+        # (refunds) — floor(a/b) for b>0 is trunc(a/b) minus 1 when a<0
+        # with a remainder. Keeps the cross-engine books balanced bitwise.
+        q = F.expr(f"(units * {c}) DIV k")
+        r = F.expr(f"(units * {c}) % k")
+        floor_q = q - F.when((r != 0) & (F.col("units") < 0), 1).otherwise(0)
+        return F.when(F.col("k") > 0, floor_q).otherwise(F.lit(0).cast("bigint"))
 
     split = p.select(
         share("n_click").alias("c_click"),

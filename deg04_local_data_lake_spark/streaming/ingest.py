@@ -212,7 +212,15 @@ def throttle_stream(events: DataFrame) -> DataFrame:
     def update_fn(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         keep_u, keep_e = [], []
-        for pdf in pdfs:
+        # A group's microbatch rows can span multiple Arrow chunks
+        # (spark.sql.execution.arrow.maxRecordsPerBatch) and post-shuffle
+        # order within the group is arbitrary — accumulate ALL chunks and
+        # sort ONCE so the recurrence scans the whole batch in
+        # (ts, event_id) order; per-chunk sorting would let a later chunk
+        # carry earlier events and keep the wrong set.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
             for u, e, t in zip(

@@ -23,6 +23,9 @@ def spark():
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
+    from deg04_local_data_lake_spark.caching import release_caches
+
+    release_caches()
 
 
 @pytest.fixture(scope="session")

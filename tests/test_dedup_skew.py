@@ -1,0 +1,70 @@
+"""Mega-bucket cap property tests for MinHash-LSH candidate pairs.
+
+The cap (``operators/dedup.py MEGA_BUCKET_CAP``) must (a) leave the pair
+set bit-identical to the uncapped expansion on normal corpora, and
+(b) bound the in-bucket pair expansion on an adversarial corpus where
+every document collides into one giant band bucket."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.operators.dedup import (
+    MEGA_BUCKET_CAP,
+    dedup_minhash_signatures,
+    minhash_candidate_pairs,
+    shingle_rows,
+    minhash_signatures,
+)
+
+
+def _pair_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_cap_is_noop_on_normal_corpus(spark, smoke_dir):
+    sig = dedup_minhash_signatures(spark, smoke_dir)
+    capped = _pair_set(minhash_candidate_pairs(sig))
+    uncapped = _pair_set(minhash_candidate_pairs(sig, cap=1_000_000_000))
+    assert capped == uncapped and len(capped) > 0
+
+
+@pytest.fixture(scope="module")
+def adversarial_sig(spark):
+    """500 near-identical documents — boilerplate-heavy crawl shape: every
+    doc shares the same shingle set (one word of drift), so all 500 land
+    in the same bucket in every band."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} token{i % 3}") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return minhash_signatures(shingle_rows(docs))
+
+
+def test_adversarial_corpus_expansion_is_bounded(adversarial_sig):
+    """Uncapped, ~3 distinct shingle-sets of ~167 docs each would expand
+    ~3 * 167²/2 ≈ 41k pairs per band. The cap splits each bucket into
+    ceil(|bucket|/cap) salted groups, bounding expansion to ~|bucket|*cap.
+    Assert the bound and that every emitted pair is from the uncapped set.
+    """
+    capped = minhash_candidate_pairs(adversarial_sig)
+    uncapped = minhash_candidate_pairs(adversarial_sig, cap=1_000_000_000)
+    capped_set, uncapped_set = _pair_set(capped), _pair_set(uncapped)
+    assert capped_set <= uncapped_set
+    assert len(capped_set) > 0
+    # per sub-group at most cap*(cap-1)/2 pairs; a 167-doc bucket splits
+    # into ceil(167/64)=3 groups -> <= 3 * 64*63/2 = 6048 pairs/bucket,
+    # vs 13861 uncapped — assert the emitted set is materially smaller
+    # and within the structural bound.
+    n_buckets = 3  # distinct shingle-sets in the adversarial corpus
+    per_bucket_bound = -(-167 // MEGA_BUCKET_CAP) * (
+        MEGA_BUCKET_CAP * (MEGA_BUCKET_CAP - 1) // 2
+    )
+    assert len(capped_set) <= n_buckets * per_bucket_bound
+    assert len(capped_set) < len(uncapped_set)
+
+
+def test_capped_pairs_deterministic(adversarial_sig):
+    a = _pair_set(minhash_candidate_pairs(adversarial_sig))
+    b = _pair_set(minhash_candidate_pairs(adversarial_sig))
+    assert a == b

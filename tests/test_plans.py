@@ -165,7 +165,14 @@ _BNLJ_ALLOWED = {
     "langid_confusion",          # 1-row total-docs broadcast
     "dedup_lsh_recall",          # two 1-row audit aggregates combined
     "click_to_purchase_within_hour",  # two 1-row count aggregates combined
-    "winsorized_value_mean",     # 1-row clamp-bounds broadcast
+    "winsorized_value_mean",     # 1-row clamp-bounds broadcast (+ rankdist cuts)
+    # rankdist's ungrouped cutpoint frame is ONE row joined on a constant
+    # key; Catalyst folds the constant equality away, leaving the same
+    # 1-row-broadcast nested loop as the scalar broadcasts above
+    "order_price_deciles",
+    "weighted_median_price",
+    "pareto_revenue_share",
+    "time_to_conversion",
 }
 
 
@@ -211,3 +218,105 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, smoke_dir, tmp_path):
     plan = explain.formatted_plan(j)
     assert "dynamicpruningexpression" in plan.lower(), plan
     assert j.count() == fact.filter(F.col("day") == days[0]).count()
+
+
+# ---------------------------------------------------------------------------
+# Rank-selection scale contract: no unpartitioned ordered Window over
+# un-reduced input. An unpartitioned Window.orderBy funnels every input row
+# into ONE task — the exact failure VERDICT r2 flagged on the rank-selection
+# family; those queries now run the distributed bucketed selection in
+# operators/rankdist.py. The whitelist below is every remaining legitimate
+# site, each justified by a bounded input frame.
+# ---------------------------------------------------------------------------
+
+# Frames whose row count is bounded by the calendar (one row per day / hour
+# / month — ~10^3-10^4 rows even at 100 TB, because the grain is time, not
+# data volume) or by a pre-limit.
+_UNPARTITIONED_WINDOW_ALLOWED = {
+    "cusum_changepoint",           # one row per order day
+    "events_burst_detection",      # one row per hour
+    "monthly_revenue_growth",      # one row per (year, month)
+    "open_orders_per_day",         # one row per day
+    "range_interval_window",       # one row per day
+    "revenue_autocorr_lag1",       # one row per day
+    "rolling_trend_daily_revenue", # one row per day
+    "window_daily_revenue",        # one row per day
+    "session_path_topk",           # WindowGroupLimit pre-limits to k rows
+                                   # per input partition before the final
+                                   # single-partition rank (asserted below)
+}
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Window nodes whose spec orders without partitioning.
+
+    In executed-plan toString form, ``windowspecdefinition(...)`` lists
+    partition columns first (bare attributes), then sort orders
+    (``col ASC/DESC NULLS ...``), then the frame. A spec whose FIRST
+    argument is a sort order has an empty partition spec — the
+    single-task shape this test polices.
+    """
+    import re
+
+    out = []
+    for ln in plan.splitlines():
+        if not re.search(r"\bWindow \[", ln):
+            continue
+        for m in re.finditer(r"windowspecdefinition\(([^,]+),", ln):
+            first = m.group(1)
+            if " ASC" in first or " DESC" in first:
+                out.append(ln.strip())
+                break
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_no_unpartitioned_window_over_unreduced_input(spark, sf_dir, name):
+    spark.catalog.clearCache()
+    df = registry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    offending = [
+        w for w in _unpartitioned_ordered_windows(plan) if "_rsel_" not in w
+    ]  # rankdist's own offsets window runs over a |buckets|-row frame
+    if name in _UNPARTITIONED_WINDOW_ALLOWED:
+        return
+    assert not offending, f"{name}: unpartitioned ordered Window over un-reduced input:\n" + "\n".join(offending)
+
+
+def test_session_path_topk_has_window_group_limit(spark, sf_dir):
+    """The one whitelisted top-k window must keep its WindowGroupLimit
+    pre-limit (k rows per partition reach the final rank) — without it the
+    whitelist entry above would be unsound."""
+    df = registry.queries()["session_path_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# Queries built on operators/rankdist.py. Their correctness depends on the
+# cutpoints broadcast being computed ONCE and shared by the rank-window and
+# counts branches; Spark guarantees that via ReuseExchange on the
+# canonically-equal deterministic subplans. AQE performs the same reuse at
+# stage-materialization time but does not annotate it in plan text, so the
+# assert pins the static (AQE-off) plan.
+_RANKDIST_QUERIES = [
+    "order_price_deciles",
+    "winsorized_value_mean",
+    "value_percentiles_by_type",
+    "robust_outliers_mad",
+    "weighted_median_price",
+    "pareto_revenue_share",
+    "time_to_conversion",
+    "rfm_segments",
+]
+
+
+@pytest.mark.parametrize("name", _RANKDIST_QUERIES)
+def test_rankdist_reuses_cutpoint_exchange(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = registry.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, f"{name}: cutpoint broadcast not reused"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -323,16 +323,24 @@ def test_stream_throttle_equals_batch(spark, smoke_dir, tmp_path):
         "ts", F.col("ts").cast("timestamp")
     ).sort("ts", "event_id").coalesce(1).write.parquet(src)
 
-    stream = ingest.read_event_stream(spark, src)
-    q = (
-        ingest.throttle_stream(stream)
-        .writeStream.format("memory")
-        .queryName("throttled")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # Force each user's rows to span MANY Arrow chunks (default ~10k rows
+    # per chunk would hand the whole group to one chunk at test scale and
+    # mask chunk-boundary ordering bugs in the state scan).
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = ingest.read_event_stream(spark, src)
+        q = (
+            ingest.throttle_stream(stream)
+            .writeStream.format("memory")
+            .queryName("throttled")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
     got = {
         (r["user_id"], r["event_id"]) for r in spark.table("throttled").collect()
     }
