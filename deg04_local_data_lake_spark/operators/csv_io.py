@@ -1,0 +1,114 @@
+"""CSV front-door queries (SURVEY.md §2.1 S1/S2), driver-checkable.
+
+The reference's ingest entry point is CSV — inferred schema
+(``custom/delta_table_write.py:53``) and explicit ``StructType``
+(``scratchpads/financial_dl_etl.py:19-30``). Rounds 1-2 covered both in
+pytest only; these queries give S1/S2 DuckDB-oracle rows: each writes a
+deterministic CSV projection of a testdata table, reads it back through
+``sources.readers.read_csv`` (the same front door a user ingests
+through), and aggregates — so a type lost or mangled in the CSV
+round-trip breaks the hash against the parquet-sourced oracle.
+
+Money values ride DECIMAL sums (2-decimal source values round-trip
+exactly through Spark's shortest-repr CSV writer at DECIMAL(38,10) —
+see functions/portable.py for the engine's exact-decimal posture).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    DecimalType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table, read_csv
+
+
+def _csv_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), "deg04_csv_front", tag, name)
+
+
+def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write the orders columns under test as CSV (overwrite: idempotent,
+    deterministic content — the driver may invoke a query many times)."""
+    path = _csv_path(sf_dir, "orders_csv")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    return path
+
+
+@register(
+    "csv_scan_inferred",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def csv_scan_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — CSV scan with header + schema inference
+    (``custom/delta_table_write.py:53``): orders → CSV → inferred read →
+    per-priority rollup. Inference must recover BIGINT keys, DATE
+    order-dates and DOUBLE prices for the oracle hash to match; at scale
+    prefer S2 (inference costs an extra full pass — readers.read_csv
+    docstring)."""
+    src = _orders_csv(spark, sf_dir)
+    df = read_csv(spark, src)  # header=True, inferSchema=True
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("first_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "csv_scan_explicit",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+       CAST(max(o_custkey) AS BIGINT) AS max_custkey
+FROM orders GROUP BY 1
+""",
+)
+def csv_scan_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — CSV scan with an explicit ``StructType``
+    (``financial_dl_etl.py:19-30``), using the reference's max-precision
+    DECIMAL(38,10) money type: no inference pass, types land exactly as
+    declared."""
+    src = _orders_csv(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderdate", DateType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("o_totalprice", DecimalType(38, 10)),
+        ]
+    )
+    df = read_csv(spark, src, schema=schema)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("revenue"),
+        F.max("o_custkey").cast("bigint").alias("max_custkey"),
+    )

@@ -31,6 +31,7 @@ def get_spark_session(
     ansi: bool | None = None,
     delta: bool = False,
     iceberg: bool = False,
+    hive: bool = False,
     warehouse: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
@@ -73,6 +74,22 @@ def get_spark_session(
 
     if warehouse:
         builder = builder.config("spark.sql.warehouse.dir", warehouse)
+
+    if hive:
+        # Hive-metastore-backed catalog (the reference's
+        # ``enableHiveSupport()`` + ``fin_invest`` DB,
+        # financial_dl_bronze.py:45,8) using the local Derby metastore the
+        # PySpark distribution ships. The metastore DB is pinned inside
+        # ``warehouse`` so sessions are hermetic (Derby otherwise writes
+        # ``metastore_db/`` to the process CWD). One Hive session per JVM:
+        # the metastore client binds at first use, so tests exercise this
+        # in a subprocess (tests/test_hive_catalog.py).
+        builder = builder.enableHiveSupport()
+        if warehouse:
+            builder = builder.config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={warehouse}/metastore_db;create=true",
+            )
 
     if delta and _importable("delta"):
         builder = builder.config(
