@@ -289,6 +289,12 @@ N_PLANES = 16
 BAND_BITS = 4
 LSH_COS_THRESHOLD = 0.3
 
+#: Embedding dimensionality of the corpus. ArrayType carries no length in
+#: the schema, so the dimension is pipeline configuration (as it is in any
+#: real embedding store) — NOT discovered by running an eager job inside a
+#: lazy query builder. Testdata embeddings are 64-d.
+EMB_DIM = 64
+
 
 @register(
     "dedup_lsh_cosine",
@@ -322,7 +328,9 @@ FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id
 WHERE list_dot_product(x.qe, y.qe) / (x.nrm * y.nrm) >= {LSH_COS_THRESHOLD}
 """,
 )
-def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_cosine(
+    spark: SparkSession, sf_dir: str, dim: int = EMB_DIM
+) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH: sign-bit
     sketches over {N_PLANES} deterministic integer hyperplanes, banded
     {BAND_BITS} bits at a time; vectors sharing any band bucket become
@@ -339,7 +347,6 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantized(F.col("embedding")).alias("qe"))
-    dim = q.select(F.size("qe")).first()[0]  # metadata-sized driver lookup
 
     comp = q.select("vec_id", F.posexplode("qe").alias("pos0", "v")).select(
         "vec_id", (F.col("pos0") + 1).alias("pos"), "v"
