@@ -180,6 +180,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+{_JACCARD_PAIRS_SQL}
+SELECT doc_a, doc_b, inter,
+       inter / n_a AS containment_ab,
+       inter / n_b AS containment_ba
+FROM pairs
+WHERE greatest(inter / n_a, inter / n_b) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs: ``|A∩B| / |A|`` — the
+    subset-duplicate detector Jaccard misses.
+
+    A short document quoted wholesale inside a long one has near-zero
+    Jaccard (the union is dominated by the long doc) but containment ≈ 1
+    from the short side; for crawl corpora this is the boilerplate-page /
+    quoted-article case, which resemblance-based dedup leaves in the
+    training set. Broder's resemblance-vs-containment distinction is the
+    classic framing (the same shingle machinery estimates either).
+
+    Plan shape is identical to :func:`dedup_ngram_jaccard` — one shingle
+    equi-join, per-pair count aggregate — so the same scale posture
+    applies: exact verify stage over LSH candidates, never the
+    whole-corpus pass. Both directions come from one pass (the pair
+    carries n_a and n_b), so screening for either direction costs nothing
+    extra.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = shingle_rows(docs).distinct()
+    ex = d.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_ab = F.col("inter") / F.col("n_a")
+    c_ba = F.col("inter") / F.col("n_b")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .filter(F.greatest(c_ab, c_ba) >= CONTAINMENT_THRESHOLD)
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 # Permutation family hash_k = A[k]·h1 + B[k]·h2 over two independent

@@ -1528,3 +1528,92 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+@register(
+    "ks_value_distribution",
+    oracle="""
+WITH s AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+g AS (
+  SELECT value,
+         CAST(sum(i1) AS BIGINT) AS a,
+         CAST(sum(i2) AS BIGINT) AS b
+  FROM s GROUP BY 1
+),
+n AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2 FROM g),
+c AS (
+  SELECT n.n1, n.n2,
+         CAST(sum(g.a * n.n2 - g.b * n.n1)
+                OVER (ORDER BY g.value) AS BIGINT) AS cw
+  FROM g, n
+)
+SELECT n1, n2,
+       CAST(max(abs(cw)) AS BIGINT) AS ks_num,
+       CAST(max(abs(cw)) AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+FROM c GROUP BY 1, 2
+""",
+)
+def ks_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of click vs purchase events — the standard drift /
+    distribution-shift test between two cohorts (training-data curation:
+    did this source's quality distribution move between snapshots?).
+
+    KS = max over x of |F₁(x) − F₂(x)|. Exact-integer formulation: after
+    pre-aggregating to per-distinct-value counts (a, b), the scaled ECDF
+    gap at value x is ``Σ_{v≤x} (a·n₂ − b·n₁)`` — a running sum of exact
+    integers whose max |·| divided by ``n₁·n₂`` is the statistic. One
+    final double division, so Spark and DuckDB agree bitwise. (n₁·n₂ and
+    the running sum live in int64 — fine to ~3·10⁹ rows per side; past
+    that, lift the weight to decimal(38,0) — the plan is unchanged.)
+
+    No single-task sort: the running sum rides the bucketed two-level
+    selection (``rankdist.with_global_ranks`` with a weight column) —
+    approx-quantile cutpoints broadcast map-side, exact per-bucket running
+    sums, prefix-sum offsets joined back. Grouping first by distinct value
+    both shrinks the ranked frame and makes tie handling exact (the gap is
+    only ever evaluated at complete value groups). Per-sample sizes ride a
+    1-row broadcast.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").isNotNull())
+    )
+    s = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i2"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("i1").cast("bigint").alias("a"),
+        F.sum("i2").cast("bigint").alias("b"),
+    )
+    n = g.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+    )
+    gg = g.crossJoin(F.broadcast(n)).withColumn(
+        "w", F.col("a") * F.col("n2") - F.col("b") * F.col("n1")
+    )
+    ranked = rankdist.with_global_ranks(gg, ["value"], weight="w")
+    return (
+        ranked.groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col(rankdist.CUMW))).cast("bigint").alias("ks_num"))
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )

@@ -504,3 +504,207 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs").cast("double") / F.col("n_total")).alias("cell_share"),
         )
     )
+
+
+# ------------------------------------------------- character diversity
+
+#: a-z plus space — the full character inventory of the synthetic corpus;
+#: anything outside it (real-corpus punctuation, digits, unicode) falls
+#: into the residual bucket, which participates in the index like any
+#: other symbol.
+_DIVERSITY_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+def _char_counts(text: Column) -> list[Column]:
+    """Per-character occurrence counts via the length-difference trick —
+    one string traversal per alphabet symbol, zero explode, zero shuffle."""
+    # bigint from the start: the squares below overflow 32-bit int for
+    # documents past ~46k chars (DuckDB's length is already BIGINT)
+    return [
+        (F.length(text) - F.length(F.replace(text, F.lit(c), F.lit("")))).cast(
+            "bigint"
+        )
+        for c in _DIVERSITY_ALPHABET
+    ]
+
+
+def _char_counts_sql(expr: str = "text") -> list[str]:
+    return [
+        f"length({expr}) - length(replace({expr}, '{c}', ''))"
+        for c in _DIVERSITY_ALPHABET
+    ]
+
+
+@register(
+    "text_char_diversity",
+    oracle=f"""
+WITH c AS (
+  SELECT source,
+         length(text) AS len,
+         {" + ".join(f"({e}) * ({e})" for e in _char_counts_sql())}
+           AS alpha_sq,
+         length(text) - ({" + ".join(_char_counts_sql())}) AS other
+  FROM documents
+  WHERE length(text) > 0
+),
+d AS (
+  SELECT source,
+         CAST(1 AS DOUBLE)
+           - CAST(alpha_sq + other * other AS DOUBLE)
+             / CAST(len * len AS DOUBLE) AS diversity
+  FROM c
+)
+SELECT source,
+       CAST(floor(diversity * 20) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(diversity) AS min_diversity,
+       max(diversity) AS max_diversity
+FROM d GROUP BY 1, 2
+""",
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source histogram of character-level Simpson diversity
+    ``1 - Σ pᵢ²`` — the logarithm-free cousin of character entropy used to
+    screen boilerplate (low diversity: repeated separators, padding, DOM
+    artifacts) and binary-junk pages (diversity pinned at the alphabet
+    ceiling) before expensive downstream curation.
+
+    Numerics: counts come from the length-difference trick (one
+    ``replace`` per alphabet symbol — 27 map-side string traversals, no
+    explode, no tokenize); the index is exact-integer ``Σcᵢ²`` and ``len²``
+    with ONE double division and subtraction at the end, so Spark and the
+    DuckDB oracle agree bitwise — unlike entropy, whose ``log`` differs in
+    the last ulp across libm implementations. Simpson and Shannon induce
+    near-identical orderings for screening purposes.
+
+    Plan at 100 TB: the per-document score is pure whole-stage-codegen
+    expression work at parquet scan speed; the only shuffle is the final
+    (source, bin) aggregate — ≤ 20·|sources| rows. min/max per bin are
+    order-independent, so no float-sum portability hazard.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    text = F.col("text")
+    counts = _char_counts(text)
+    alpha_sq = counts[0] * counts[0]
+    for c in counts[1:]:
+        alpha_sq = alpha_sq + c * c
+    alpha_total = counts[0]
+    for c in counts[1:]:
+        alpha_total = alpha_total + c
+    other = F.length(text).cast("bigint") - alpha_total
+    length = F.length(text).cast("bigint")
+    diversity = F.lit(1).cast("double") - (
+        (alpha_sq + other * other).cast("double")
+        / (length * length).cast("double")
+    )
+    d = docs.select("source", diversity.alias("diversity"))
+    return (
+        d.groupBy(
+            "source",
+            F.floor(F.col("diversity") * 20).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("diversity").alias("min_diversity"),
+            F.max("diversity").alias("max_diversity"),
+        )
+        .select("source", "bin", "n_docs", "min_diversity", "max_diversity")
+    )
+
+
+# --------------------------------------------------------------- BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+t AS (SELECT CAST(sum(tf) AS BIGINT) AS total_dl FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ((CAST(n.n_docs - df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5))
+         * ((CAST(tf.tf AS DOUBLE) * 2.2)
+            / (CAST(tf.tf AS DOUBLE) + 0.3
+               + 0.9 * ((CAST(dl.dl AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                        / CAST(t.total_dl AS DOUBLE)))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, t
+)
+SELECT doc_id, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by BM25 (k1=1.2, b=0.75) with a RATIONAL
+    idf — the retrieval-grade upgrade of ``tfidf_top_terms``: term
+    frequency saturates at k1+1 (a term repeated 50× isn't 50× as
+    relevant) and document length normalizes against the corpus average
+    (long docs stop winning on bulk alone).
+
+    Numerics: the textbook ``ln((N-df+0.5)/(df+0.5))`` idf is replaced by
+    its log argument — strictly decreasing in df exactly like the log, so
+    per-document rankings where df differs are preserved, and the whole
+    score is a fixed association of IEEE double ops over exact integers
+    (tf, df, dl, N, Σdl): bitwise identical in Spark and DuckDB. The
+    oracle SQL mirrors the expression tree parenthesis-for-parenthesis.
+    ``dl/avgdl`` is computed as ``(dl·N)/Σdl`` — one division instead of a
+    derived avgdl intermediate, same association both engines.
+
+    Plan at 100 TB: tf is the one (doc, term) corpus shuffle; dl and df
+    are RE-aggregates of tf's output (never a second corpus scan) reusing
+    its exchange layouts; the df join is vocabulary-sized; N and Σdl ride
+    a 1-row broadcast; the final top-k is a per-doc window over
+    ≤ terms-per-doc rows. Identical shuffle count to tf-idf — BM25's
+    extra quality is free at the plan level.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    t = tf.agg(F.sum("tf").cast("bigint").alias("total_dl"))
+    consts = n.crossJoin(t)
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    norm = (
+        F.col("tf").cast("double")
+        + F.lit(0.3)
+        + F.lit(0.9)
+        * (
+            (F.col("dl").cast("double") * F.col("n_docs").cast("double"))
+            / F.col("total_dl").cast("double")
+        )
+    )
+    score = idf * ((F.col("tf").cast("double") * F.lit(2.2)) / norm)
+    scored = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

@@ -160,6 +160,8 @@ _BNLJ_ALLOWED = {
     "text_rare_token_score",     # 1-row corpus-size broadcast
     "triangle_count",            # three 1-row aggregates combined
     "tfidf_top_terms",           # 1-row doc-count broadcast
+    "bm25_top_terms",            # 1-row (doc-count, total-length) broadcast
+    "ks_value_distribution",     # 1-row (n1, n2) sample-sizes broadcast
     "weekday_seasonality",       # 1-row overall-mean broadcast
     "basket_affinity_lift",      # 1-row basket-count broadcast
     "langid_confusion",          # 1-row total-docs broadcast
@@ -307,6 +309,7 @@ _RANKDIST_QUERIES = [
     "pareto_revenue_share",
     "time_to_conversion",
     "rfm_segments",
+    "ks_value_distribution",
 ]
 
 
