@@ -1587,10 +1587,18 @@ def ks_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .filter(F.col("value").isNotNull())
     )
-    s = ev.select(
-        "value",
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i2"),
+    return ks_two_sample(ev, "value", F.col("event_type") == "click")
+
+
+def ks_two_sample(df: DataFrame, value_col: str, is_first: "F.Column") -> DataFrame:
+    """Core of :func:`ks_value_distribution`, reusable on any frame: rows
+    where ``is_first`` is true form sample 1, the rest sample 2; returns
+    one row (n1, n2, ks_num, ks_stat). See the query docstring for the
+    exact-integer formulation and the rankdist scaling argument."""
+    s = df.select(
+        F.col(value_col).alias("value"),
+        F.when(is_first, 1).otherwise(0).alias("i1"),
+        F.when(~is_first, 1).otherwise(0).alias("i2"),
     )
     g = s.groupBy("value").agg(
         F.sum("i1").cast("bigint").alias("a"),

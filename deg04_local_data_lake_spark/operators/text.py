@@ -535,6 +535,26 @@ def _char_counts_sql(expr: str = "text") -> list[str]:
     ]
 
 
+def char_diversity_col(text: Column) -> Column:
+    """Simpson character diversity ``1 - Σ pᵢ²`` of ``text`` as a pure
+    column expression: exact-integer ``Σcᵢ²`` / ``len²`` with a single
+    double division at the end (see ``text_char_diversity``). Requires
+    non-empty input (empty text divides by zero)."""
+    counts = _char_counts(text)
+    alpha_sq = counts[0] * counts[0]
+    for c in counts[1:]:
+        alpha_sq = alpha_sq + c * c
+    alpha_total = counts[0]
+    for c in counts[1:]:
+        alpha_total = alpha_total + c
+    other = F.length(text).cast("bigint") - alpha_total
+    length = F.length(text).cast("bigint")
+    return F.lit(1).cast("double") - (
+        (alpha_sq + other * other).cast("double")
+        / (length * length).cast("double")
+    )
+
+
 @register(
     "text_char_diversity",
     oracle=f"""
@@ -583,21 +603,7 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so no float-sum portability hazard.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    text = F.col("text")
-    counts = _char_counts(text)
-    alpha_sq = counts[0] * counts[0]
-    for c in counts[1:]:
-        alpha_sq = alpha_sq + c * c
-    alpha_total = counts[0]
-    for c in counts[1:]:
-        alpha_total = alpha_total + c
-    other = F.length(text).cast("bigint") - alpha_total
-    length = F.length(text).cast("bigint")
-    diversity = F.lit(1).cast("double") - (
-        (alpha_sq + other * other).cast("double")
-        / (length * length).cast("double")
-    )
-    d = docs.select("source", diversity.alias("diversity"))
+    d = docs.select("source", char_diversity_col(F.col("text")).alias("diversity"))
     return (
         d.groupBy(
             "source",

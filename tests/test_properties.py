@@ -244,3 +244,70 @@ def test_sessionize_matches_reference(spark, ev):
             expect[(u, i)] = seq
             prev = ts
     assert got == expect
+
+
+ks_samples = st.tuples(
+    st.lists(st.floats(-100, 100, allow_nan=False, width=16), min_size=1, max_size=25),
+    st.lists(st.floats(-100, 100, allow_nan=False, width=16), min_size=1, max_size=25),
+)
+
+
+@given(samples=ks_samples)
+@settings(**_SETTINGS)
+def test_ks_two_sample_matches_reference(spark, samples):
+    """ks_two_sample must equal the brute-force exact-integer ECDF-gap
+    computation bit for bit (the statistic is one double division over
+    exact integers, so there is no tolerance to hide behind)."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.operators.extras import ks_two_sample
+
+    xs, ys = samples
+    # brute force: scaled gap a_cum*n2 - b_cum*n1 at every distinct value
+    n1, n2 = len(xs), len(ys)
+    ks_num = 0
+    for v in sorted(set(xs) | set(ys)):
+        a_cum = sum(1 for x in xs if x <= v)
+        b_cum = sum(1 for y in ys if y <= v)
+        ks_num = max(ks_num, abs(a_cum * n2 - b_cum * n1))
+    want = ks_num / (n1 * n2)
+
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in xs] + [(float(v), "b") for v in ys],
+        "value double, grp string",
+    )
+    row = ks_two_sample(df, "value", F.col("grp") == "a").first()
+    assert (row["n1"], row["n2"], row["ks_num"]) == (n1, n2, ks_num)
+    assert repr(row["ks_stat"]) == repr(want)
+
+
+@given(texts=st.lists(st.text("abcxyz .!7", min_size=1, max_size=60), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_char_diversity_matches_reference(spark, texts):
+    """char_diversity_col must equal the Counter-based reference bit for
+    bit — including characters outside the a-z/space alphabet, which fold
+    into the residual bucket — and always land in [0, 1)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.operators.text import (
+        _DIVERSITY_ALPHABET,
+        char_diversity_col,
+    )
+
+    def ref(t: str) -> float:
+        counts = Counter(t)
+        alpha = {c: counts.get(c, 0) for c in _DIVERSITY_ALPHABET}
+        other = len(t) - sum(alpha.values())
+        num = sum(v * v for v in alpha.values()) + other * other
+        return 1.0 - num / (len(t) * len(t))
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: r["d"]
+        for r in df.select("text", char_diversity_col(F.col("text")).alias("d")).collect()
+    }
+    for t in texts:
+        assert repr(got[t]) == repr(ref(t)), t
+        assert 0.0 <= got[t] < 1.0
