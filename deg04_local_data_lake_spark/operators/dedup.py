@@ -890,3 +890,120 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_found").cast("double") / F.col("n_true_pairs")).alias("recall"),
         (F.col("n_tp").cast("double") / F.col("n_candidates")).alias("precision"),
     )
+
+
+# ------------------------------------------- Prefix-filtering similarity join
+
+#: Exact-join Jaccard threshold for the prefix-filtered variant. High on
+#: purpose: prefix filtering prunes hardest at high thresholds (prefix
+#: length ≈ (1-t)·|set|+1), which is the near-duplicate regime.
+PREFIX_JACCARD_T = 0.6
+
+
+@register(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+WITH sh AS ({{shingles}}),
+tok AS (SELECT doc_id, unnest(shingles) AS t FROM sh),
+n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, na.n AS n_a, nb.n AS n_b, inter,
+       inter / (na.n + nb.n - inter) AS jaccard
+FROM pairs
+JOIN n na ON na.doc_id = pairs.doc_a
+JOIN n nb ON nb.doc_id = pairs.doc_b
+WHERE inter / (na.n + nb.n - inter) >= {PREFIX_JACCARD_T}
+""".format(shingles=_SHINGLES_SQL),
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold pairs via prefix filtering (PPJoin-lite,
+    Chaudhuri/Xiao et al.) — the deterministic alternative to MinHash LSH
+    when zero false negatives is a requirement.
+
+    **Prefix-filter principle**: order every document's shingle set by a
+    single global total order; if Jaccard(A, B) ≥ t, then A and B must
+    share at least one token among the first ``|x| - ⌈t·|x|⌉ + 1`` tokens
+    of each (any total order works — rarest-first minimizes candidates,
+    because prefixes then hold the least-shared tokens). So candidates
+    come from an equi-join on PREFIX tokens only (~(1-t) of each set at
+    threshold t), never the full shingle inventory, and verification of
+    the candidate set is exact — the DuckDB oracle computes the naive
+    full-join answer, so a green hash-match PROVES the filter lossless.
+
+    Plan at 100 TB: one shuffle to compute global shingle frequencies
+    (reused by the join back), one per-doc aggregation into the sorted
+    token array, an equi-join on prefix tokens that shuffles (1-t)·|doc|
+    tokens per doc, and two doc_id-keyed hash joins to re-attach the full
+    arrays for verification — arrays travel once per DOC, not once per
+    prefix token. The frequency-ascending order also self-mitigates skew:
+    the hottest (most frequent) shingles land in the fewest prefixes.
+    Prefix length uses the conservative ``n - ⌊t·n⌋`` (≥ the tight bound
+    regardless of how ⌈t·n⌉ rounds in floating point — correctness never
+    hinges on a ulp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = shingle_rows(docs).distinct()
+
+    # Global document frequency per shingle → rarest-first total order.
+    df_tok = d.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        d.join(df_tok, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks_o")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("toks_o"), lambda x: x["s"]).alias("toks"),
+            F.size("toks_o").alias("n"),
+        )
+    )
+
+    prefix_len = F.col("n") - F.floor(F.lit(PREFIX_JACCARD_T) * F.col("n")).cast(
+        "int"
+    )
+    pref = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("toks", 1, prefix_len)).alias("t"),
+    )
+
+    a, b = pref.alias("a"), pref.alias("b")
+    t = PREFIX_JACCARD_T
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # Length filter: Jaccard ≥ t needs t·max(n_a,n_b) ≤ min(n_a,n_b).
+            & (F.least("a.n", "b.n") >= t * F.greatest("a.n", "b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+
+    # Verify: re-attach full arrays per doc (not per prefix token).
+    arrs = ordered.select("doc_id", "toks")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(arrs.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a")
+        .join(arrs.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            inter.alias("inter"),
+            (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )

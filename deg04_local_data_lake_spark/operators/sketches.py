@@ -1,0 +1,222 @@
+"""Portable cross-engine sketches (SURVEY.md §2 diagnostics extension;
+no counterpart in the reference — its only distinct counts are exact
+``COUNT(DISTINCT …)`` passes, e.g. ``mage_demo/scratchpads/
+financial_dl_etl.py`` daily summaries).
+
+``approx_count_distinct`` (Spark) and ``approx_count_distinct`` (DuckDB)
+are both HyperLogLog, but different variants with different hashes — the
+sketch VALUES can never hash-match across engines, which is why
+``approx_distinct_calibration`` (operators/extras.py) only compares a
+within-tolerance flag. This module instead implements HLL *from scratch*
+with arithmetic both engines evaluate bit-identically, so the estimate
+itself is oracle-checkable:
+
+* **Hash**: the repo's portable-hash idiom — 48-bit integer from md5 hex
+  chars 1-12 (same construction as MinHash, ``operators/dedup.py:250``).
+* **Register rank**: rather than leading-zero counts (which need a
+  bit-length primitive with engine-specific semantics), we use the
+  TRAILING-zero geometric — ``w & -w`` isolates the lowest set bit as an
+  exact power of two 2^tz, and P[tz ≥ r] = 2^-r for a uniform hash, the
+  same geometric Flajolet's estimator assumes. The register stores
+  ``max(w & -w)`` — a plain integer ``max`` aggregate, monotone in rank.
+* **Estimator term**: rank r = tz+1 contributes 2^-r = 1/(2·(w&-w)) — an
+  IEEE division by a power of two, EXACT in binary floating point.
+* **Order-independent sum**: with m = 64 registers and ranks capped at
+  43, every term is 2^-r with r ∈ [0, 43]; any partial sum of ≤64 such
+  terms spans ≤ 6+43+1 = 50 mantissa bits < 53, so EVERY intermediate
+  sum is exactly representable and the total is independent of addition
+  order — Spark's parallel partial aggregation and DuckDB's sequential
+  sum produce the same double, bit for bit.
+
+At 100 TB this is THE distinct-count path: fixed 64·8-byte state per
+group, map-side combinable (``max`` per register), one narrow shuffle of
+(group, register, max) rows instead of count-distinct's two-level
+expansion of every distinct value. ``hll_portable_merge`` demonstrates
+the mergeability contract directly: a register-wise ``max`` over
+per-group sketches IS the sketch of the union — the property that lets
+sketches roll up across partitions, days, or datacenters without
+touching raw data again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deg04_local_data_lake_spark.registry import register
+from deg04_local_data_lake_spark.sources.readers import load_table
+
+#: Number of HLL registers (2^6). alpha_64 is Flajolet's bias constant
+#: for m = 64 (alpha_m = 0.7213/(1 + 1.079/m) rounds to 0.709 at m=64,
+#: the value the original paper tabulates for this register count).
+HLL_M = 64
+HLL_ALPHA = 0.709
+
+#: Sentinel for w == 0 (all 42 post-register hash bits zero, p = 2^-42):
+#: rank 43, i.e. lowest-set-bit value 2^42.
+_W_ZERO = 1 << 42
+
+
+def _hll_registers(df: DataFrame, group: str, col: str) -> DataFrame:
+    """(group, register j, max lowest-set-bit) — the mergeable sketch rows.
+
+    One md5 per row, register index from the low 6 bits, rank material
+    from the remaining 42. The groupBy is map-side combinable: each
+    partition emits at most |groups|·64 rows regardless of input size.
+    """
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    w = F.shiftright(h, 6)  # h // 64; h is non-negative so shift == floor-div
+    lowbit = F.when(w == 0, F.lit(_W_ZERO)).otherwise(
+        w.bitwiseAND(-w)
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group), F.pmod(h, F.lit(HLL_M)).alias("j"), lowbit.alias("lb"))
+        .groupBy(group, "j")
+        .agg(F.max("lb").alias("max_lb"))
+    )
+
+
+def _hll_estimate(regs: DataFrame, group: str) -> DataFrame:
+    """Register rows → (group, v_empty, s_sum, hll_estimate).
+
+    Empty registers contribute 2^0 = 1 each (rank 0); present register
+    with max lowest-set-bit L contributes 1/(2·L) — exact powers of two
+    throughout, so s_sum is bitwise engine-independent (see module doc).
+    """
+    per_group = regs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.lit(1.0) / (2.0 * F.col("max_lb"))).alias("s_present"),
+    )
+    v_empty = F.lit(HLL_M) - F.col("n_present")
+    s_sum = F.col("s_present") + v_empty.cast("double")
+    est = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / s_sum
+    return per_group.select(
+        F.col(group),
+        v_empty.alias("v_empty"),
+        s_sum.alias("s_sum"),
+        est.alias("hll_estimate"),
+    )
+
+
+_HLL_REG_SQL = f"""
+SELECT event_type,
+       h % {HLL_M} AS j,
+       max(CASE WHEN w = 0 THEN {_W_ZERO} ELSE w & (-w) END) AS max_lb
+FROM (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT // {HLL_M} AS w
+  FROM events WHERE user_id IS NOT NULL
+)
+GROUP BY event_type, h % {HLL_M}
+"""
+
+_HLL_EST_SQL = f"""
+SELECT event_type,
+       {HLL_M} - count(*) AS v_empty,
+       sum(1.0 / (2.0 * max_lb)) + ({HLL_M} - count(*))::DOUBLE AS s_sum,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)}
+         / (sum(1.0 / (2.0 * max_lb)) + ({HLL_M} - count(*))::DOUBLE)
+         AS hll_estimate
+FROM regs
+GROUP BY event_type
+"""
+
+
+@register(
+    "hll_portable_distinct",
+    oracle=f"""
+WITH regs AS ({_HLL_REG_SQL}),
+est AS ({_HLL_EST_SQL}),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type, n_exact, v_empty, s_sum, hll_estimate,
+       abs(hll_estimate - n_exact) / n_exact AS rel_err
+FROM est e JOIN exact USING (event_type)
+""",
+)
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via the portable HLL, published
+    alongside the exact count and the realized relative error.
+
+    The estimate column itself hash-matches the DuckDB oracle — both
+    engines run the same register construction and the same
+    exact-powers-of-two estimator (module doc explains why the float
+    sum is order-independent). The exact count is a separate aggregate
+    joined on the (tiny) group key — at 100 TB you would DROP that
+    column; here it pins the accuracy the sketch actually achieves."""
+    events = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(events, "event_type", "user_id")
+    est = _hll_estimate(regs, "event_type")
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_exact",
+        "v_empty",
+        "s_sum",
+        "hll_estimate",
+        (F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "rel_err"
+        ),
+    )
+
+
+@register(
+    "hll_portable_merge",
+    oracle=f"""
+WITH regs AS ({_HLL_REG_SQL}),
+merged AS (
+  SELECT j, max(max_lb) AS max_lb FROM regs GROUP BY j
+),
+est AS (
+  SELECT {HLL_M} - count(*) AS v_empty,
+         sum(1.0 / (2.0 * max_lb)) + ({HLL_M} - count(*))::DOUBLE AS s_sum
+  FROM merged
+),
+exact AS (
+  SELECT count(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT n_exact, v_empty, s_sum,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)} / s_sum AS hll_estimate
+FROM est, exact
+""",
+)
+def hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE: register-wise ``max`` over the per-event-type
+    sketches yields exactly the sketch of the union of users — estimated
+    global distinct count without re-scanning raw data.
+
+    This is the property that makes HLL the 100 TB distinct-count
+    answer: per-day / per-partition sketches (64 longs each) roll up by
+    ``max`` to any coarser grain. The oracle performs the identical
+    merge, so even the merged estimate hash-matches."""
+    events = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(events, "event_type", "user_id")
+    merged = regs.groupBy("j").agg(F.max("max_lb").alias("max_lb"))
+    per = merged.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.lit(1.0) / (2.0 * F.col("max_lb"))).alias("s_present"),
+    )
+    v_empty = F.lit(HLL_M) - F.col("n_present")
+    s_sum = F.col("s_present") + v_empty.cast("double")
+    exact = events.filter(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return per.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        v_empty.alias("v_empty"),
+        s_sum.alias("s_sum"),
+        (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / s_sum).alias(
+            "hll_estimate"
+        ),
+    )

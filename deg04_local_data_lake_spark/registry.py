@@ -52,6 +52,7 @@ def load_all() -> None:
     if _LOADED:
         return
     # --- not yet driver-sampled (rounds 1-2) ---
+    import deg04_local_data_lake_spark.operators.sketches  # noqa: F401
     import deg04_local_data_lake_spark.operators.csv_io  # noqa: F401
     import deg04_local_data_lake_spark.operators.similarity  # noqa: F401
     import deg04_local_data_lake_spark.operators.multimodal  # noqa: F401
