@@ -1625,3 +1625,87 @@ def ks_two_sample(df: DataFrame, value_col: str, is_first: "F.Column") -> DataFr
             ).alias("ks_stat"),
         )
     )
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders a
+  WHERE a.o_orderdate <= o.o_orderdate
+    AND a.o_totalprice >= o.o_totalprice
+    AND (a.o_orderdate < o.o_orderdate OR a.o_totalprice > o.o_totalprice)
+)
+""",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (earlier-or-equal date, higher-or-equal price) — "the largest order
+    seen so far" frontier. The oracle is the naive NOT EXISTS dominance
+    query; matching it proves the distributed reduction exact.
+
+    Börzsönyi et al.'s skyline operator reduced to monotone algebra: an
+    order is in the skyline iff its price equals its timestamp's max AND
+    strictly exceeds the running max over all earlier timestamps. That
+    rewrites the O(n²) dominance test as
+
+      1. per-timestamp ``max`` (one map-side-combinable aggregate — only
+         per-ts champions can survive),
+      2. a PARTITIONED running max: within-day prefix max ordered by ts
+         (``Window.partitionBy(day)`` — parallel), plus a cross-day
+         prefix max over the per-day maxima (calendar-bounded frame:
+         ~2.4k rows here, ≤ days-in-history at ANY corpus size, the same
+         bounded-domain argument as the other day-grain windows),
+      3. one broadcast join of the day frontier and one semi-join back to
+         pick up tied order keys.
+
+    No unpartitioned pass ever sees un-reduced input, so the plan
+    survives 100 TB: step 1 reduces to |distinct ts|, step 2's only
+    serial frame is |distinct days|."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+
+    # 1. per-timestamp champions
+    per_ts = orders.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("m_ts")
+    )
+
+    # 2a. per-day maxima → cross-day strictly-earlier prefix max (bounded)
+    per_day = per_ts.groupBy(
+        F.date_trunc("DAY", "o_orderdate").alias("day")
+    ).agg(F.max("m_ts").alias("m_day"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    day_prev = per_day.select(
+        "day", F.max("m_day").over(w_days).alias("m_prev_days")
+    )
+
+    # 2b. within-day strictly-earlier prefix max (partitioned by day)
+    w_in_day = (
+        Window.partitionBy(F.date_trunc("DAY", "o_orderdate"))
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_frontier = per_ts.select(
+        "o_orderdate",
+        "m_ts",
+        F.max("m_ts").over(w_in_day).alias("m_prev_in_day"),
+        F.date_trunc("DAY", "o_orderdate").alias("day"),
+    ).join(F.broadcast(day_prev), "day")
+
+    # skyline timestamps: champion beats everything strictly earlier
+    m_prev = F.greatest(
+        F.coalesce("m_prev_in_day", F.lit(float("-inf"))),
+        F.coalesce("m_prev_days", F.lit(float("-inf"))),
+    )
+    sky_ts = ts_frontier.filter(F.col("m_ts") > m_prev).select(
+        F.col("o_orderdate").alias("sky_ts"), F.col("m_ts").alias("sky_price")
+    )
+
+    # 3. recover all tied order rows at the surviving (ts, price) points
+    return orders.join(
+        F.broadcast(sky_ts),
+        (F.col("o_orderdate") == F.col("sky_ts"))
+        & (F.col("o_totalprice") == F.col("sky_price")),
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")

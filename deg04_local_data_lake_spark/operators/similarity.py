@@ -423,3 +423,160 @@ def dedup_lsh_cosine(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= LSH_COS_THRESHOLD)
     )
+
+
+# ----------------------------------- Johnson-Lindenstrauss random projection
+
+import functools as _functools
+import operator as _operator
+import random as _random
+
+#: JL output dimensionality. Signs are a fixed ±1 (Achlioptas) matrix drawn
+#: once from a seeded PRNG and baked as LITERALS into both the Spark
+#: expression tree and the DuckDB oracle SQL — cross-engine parity needs no
+#: shared randomness at runtime, only shared codegen.
+JL_DIM = 8
+_JL_SIGNS: list[list[int]] = [
+    [_random.Random(7_000 + p).choice((-1, 1)) for _ in range(EMB_DIM)]
+    for p in range(JL_DIM)
+]
+
+
+def _jl_sum(emb, signs: list[int]) -> Column:
+    """Left-associated ±embedding[d] chain — IEEE a+(-b) ≡ a-b, and the
+    fixed association makes the double bit-identical in any engine that
+    folds the same expression tree left to right (SQL's + is
+    left-associative in both Spark and DuckDB)."""
+    terms = [
+        F.element_at(emb, d + 1).cast("double") * s
+        for d, s in enumerate(signs)
+    ]
+    return _functools.reduce(_operator.add, terms)
+
+
+def _jl_sum_sql(signs: list[int]) -> str:
+    return " + ".join(
+        f"(CAST(embedding[{d + 1}] AS DOUBLE) * ({s}))"
+        for d, s in enumerate(signs)
+    )
+
+
+@register(
+    "embedding_jl_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(f"{_jl_sum_sql(_JL_SIGNS[p])} AS p{p}" for p in range(JL_DIM))
+    + " FROM embeddings",
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-d → 8-d sign-matrix random projection (Achlioptas' database-
+    friendly JL variant: entries ±1, no gaussians, no float matrix to
+    ship). The unscaled projection preserves pairwise distances up to the
+    constant √(d_out) factor — downstream consumers that only rank by
+    distance (ANN candidate generation, LSH bucketing, dedup blocking)
+    never need the scale, so we skip the irrational 1/√8 multiplier that
+    a bitwise cross-engine contract can't reproduce from libm.
+
+    Map-only: zero shuffles, fully codegen'd 512-term expression tree; at
+    100 TB it runs at parquet scan speed and cuts every downstream
+    embedding shuffle's byte volume 8×. The sign matrix lives in the
+    PLAN, not in data — nothing to broadcast, nothing to keep in sync.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            _jl_sum(F.col("embedding"), _JL_SIGNS[p]).alias(f"p{p}")
+            for p in range(JL_DIM)
+        ],
+    )
+
+
+# ------------------------------------------------- Product quantization
+
+#: PQ geometry: 8 subspaces × 8 dims, 8 centroids per subspace. Codebook
+#: entries are 3-decimal literals from a seeded PRNG, sized to the
+#: embedding value range (~±0.15) — like the JL signs they are plan
+#: constants, identical by construction on both engines.
+PQ_M = 8
+PQ_SUB_DIM = EMB_DIM // PQ_M
+PQ_K = 8
+_PQ_CODEBOOK: list[list[list[float]]] = [
+    [
+        [round(_random.Random(13_000 + s * 997 + k * 31 + d).uniform(-0.15, 0.15), 3)
+         for d in range(PQ_SUB_DIM)]
+        for k in range(PQ_K)
+    ]
+    for s in range(PQ_M)
+]
+
+
+def _pq_dist(emb, s: int, k: int) -> Column:
+    terms = []
+    for d in range(PQ_SUB_DIM):
+        c = _PQ_CODEBOOK[s][k][d]
+        t = F.element_at(emb, s * PQ_SUB_DIM + d + 1).cast("double") - F.lit(c)
+        terms.append(t * t)
+    return _functools.reduce(_operator.add, terms)
+
+
+def _pq_dist_sql(s: int, k: int) -> str:
+    terms = []
+    for d in range(PQ_SUB_DIM):
+        c = _PQ_CODEBOOK[s][k][d]
+        e = f"(CAST(embedding[{s * PQ_SUB_DIM + d + 1}] AS DOUBLE) - CAST({c} AS DOUBLE))"
+        terms.append(f"({e} * {e})")
+    return " + ".join(terms)
+
+
+def _pq_oracle_sql() -> str:
+    cols = []
+    for s in range(PQ_M):
+        lst = ", ".join(_pq_dist_sql(s, k) for k in range(PQ_K))
+        cols.append(
+            f"list_indexof([{lst}], list_aggregate([{lst}], 'min')) AS code_{s}"
+        )
+        cols.append(f"list_aggregate([{lst}], 'min') AS err_{s}")
+    outer_err = " + ".join(f"err_{s}" for s in range(PQ_M))
+    inner = ", ".join(cols)
+    return (
+        f"SELECT vec_id, "
+        + ", ".join(f"code_{s}" for s in range(PQ_M))
+        + f", {outer_err} AS total_err FROM "
+        f"(SELECT vec_id, {inner} FROM embeddings)"
+    )
+
+
+@register("embedding_pq_assign", oracle=_pq_oracle_sql())
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al.): each 64-d
+    vector becomes 8 codes of 3 bits (nearest of 8 centroids per 8-d
+    subspace) plus the exact reconstruction error.
+
+    This is the memory layer under billion-scale ANN: 64 floats (256 B)
+    compress to 8 small ints, and asymmetric distance at query time is 8
+    table lookups instead of 64 multiplies. The assignment itself is
+    map-only argmin over plan-constant codebooks — zero shuffles, one
+    codegen'd expression per subspace; at 100 TB it is a pure scan pass,
+    and the codes column is what you'd write back as the ANN index.
+
+    Argmin is ``array_position(dists, array_min(dists))`` — 1-based,
+    first-match-wins tiebreak in BOTH engines, and the distance doubles
+    are bit-identical by fixed-association construction, so even exact
+    ties resolve identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = []
+    for s in range(PQ_M):
+        dists = F.array(*[_pq_dist(F.col("embedding"), s, k) for k in range(PQ_K)])
+        cols.append(
+            F.array_position(dists, F.array_min(dists)).alias(f"code_{s}")
+        )
+        cols.append(F.array_min(dists).alias(f"err_{s}"))
+    inner = emb.select("vec_id", *cols)
+    total = _functools.reduce(
+        _operator.add, [F.col(f"err_{s}") for s in range(PQ_M)]
+    )
+    return inner.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(PQ_M)],
+        total.alias("total_err"),
+    )

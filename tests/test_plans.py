@@ -166,6 +166,7 @@ _BNLJ_ALLOWED = {
     "basket_affinity_lift",      # 1-row basket-count broadcast
     "langid_confusion",          # 1-row total-docs broadcast
     "dedup_lsh_recall",          # two 1-row audit aggregates combined
+    "hll_portable_merge",        # 1-row exact-count broadcast beside the sketch
     "click_to_purchase_within_hour",  # two 1-row count aggregates combined
     "winsorized_value_mean",     # 1-row clamp-bounds broadcast (+ rankdist cuts)
     # rankdist's ungrouped cutpoint frame is ONE row joined on a constant
@@ -243,6 +244,9 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
     "revenue_autocorr_lag1",       # one row per day
     "rolling_trend_daily_revenue", # one row per day
     "window_daily_revenue",        # one row per day
+    "skyline_orders",              # cross-day prefix max over per-day maxima
+                                   # (one row per day; within-day prefix max
+                                   # is partitioned)
     "session_path_topk",           # WindowGroupLimit pre-limits to k rows
                                    # per input partition before the final
                                    # single-partition rank (asserted below)
