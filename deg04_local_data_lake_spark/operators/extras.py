@@ -1709,3 +1709,42 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") == F.col("sky_ts"))
         & (F.col("o_totalprice") == F.col("sky_price")),
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE compile to,
+    here with the asymmetric set list neither shorthand can express
+    ((a,b), (a), (b), ()) plus per-column GROUPING() indicators to
+    disambiguate super-aggregate NULLs from genuine NULL keys.
+
+    Spark expands all four sets inside ONE Expand+HashAggregate pair —
+    one scan, one shuffle regardless of set count, the same plan shape as
+    a plain groupBy. GROUPING() is the ANSI bitfield in both engines, so
+    the indicator columns hash-match too."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders_gs
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+"""
+    )

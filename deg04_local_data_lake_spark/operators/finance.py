@@ -40,6 +40,7 @@ from deg04_local_data_lake_spark.operators.aggregates import (
     _OHLCV_SQL,
     ohlcv_quotes,
 )
+from deg04_local_data_lake_spark.functions.portable import dec
 from deg04_local_data_lake_spark.registry import register
 from deg04_local_data_lake_spark.sources.readers import load_table
 
@@ -472,4 +473,69 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         mean_daily.alias("mean_daily_cents"),
         (mean_daily / overall).alias("seasonal_index"),
+    )
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+packed AS (
+  SELECT list(order_date ORDER BY order_date) AS dates,
+         list(revenue ORDER BY order_date) AS vals
+  FROM daily
+)
+SELECT dates[i] AS order_date,
+       vals[i] AS revenue,
+       list_reduce(vals[1:i], (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x)
+         AS ewma
+FROM packed,
+     LATERAL (SELECT unnest(generate_series(1, len(vals))) AS i) u
+""",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily revenue, α = 1/2: the one smoothing
+    constant whose every weight is a power of two, making EWMA — normally
+    the poster child for float drift — bitwise reproducible across
+    engines: each fold step is ``acc·0.5 + v`` where the halving is an
+    exact exponent decrement and the add is one correctly-rounded IEEE
+    op in a FIXED left-to-right order (Spark ``aggregate`` and DuckDB
+    ``list_reduce`` both fold left).
+
+    A running fold is inherently sequential, so it must never see raw
+    fact rows: the heavy input is first reduced to one row per day by a
+    partitioned exact-decimal aggregate, and only the calendar-bounded
+    daily series (~2.4k rows here, ≤ days-in-history at ANY scale) is
+    collected into the ordered fold — the same bounded-frame argument as
+    the other day-grain windows. The per-row ``slice`` re-fold is
+    O(days²) lambda steps on that bounded frame, a deliberate trade for
+    cross-engine determinism over a windowed float sum that would
+    reproduce on neither engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_date")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    packed = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("order_date", "revenue"))
+        ).alias("a")
+    ).select(
+        F.transform("a", lambda x: x["order_date"]).alias("dates"),
+        F.transform("a", lambda x: x["revenue"]).alias("vals"),
+    )
+    row = packed.select(
+        "dates", "vals", F.posexplode("dates").alias("pos", "order_date")
+    )
+    return row.select(
+        "order_date",
+        F.element_at("vals", F.col("pos") + 1).alias("revenue"),
+        F.aggregate(
+            F.slice("vals", 1, F.col("pos") + 1),
+            F.lit(0.0),
+            lambda acc, x: acc * F.lit(0.5) + x,
+        ).alias("ewma"),
     )
