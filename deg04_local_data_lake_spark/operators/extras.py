@@ -1748,3 +1748,93 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), (o_orderpriority), ())
 """
     )
+
+
+@register(
+    "chi2_dow_event_mix",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday, event_type,
+         count(*) AS observed
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT weekday, event_type, observed,
+         sum(observed) OVER (PARTITION BY weekday) AS row_total,
+         sum(observed) OVER (PARTITION BY event_type) AS col_total,
+         sum(observed) OVER () AS grand_total
+  FROM cells
+),
+scored AS (
+  SELECT weekday, event_type, observed,
+         CAST(row_total * col_total AS DOUBLE) / grand_total AS expected,
+         (observed - CAST(row_total * col_total AS DOUBLE) / grand_total)
+           * (observed - CAST(row_total * col_total AS DOUBLE) / grand_total)
+           / (CAST(row_total * col_total AS DOUBLE) / grand_total) AS chi2_cell
+  FROM tot
+),
+total AS (
+  SELECT list_reduce(list(chi2_cell ORDER BY weekday, event_type),
+                     (acc, x) -> acc + x) AS chi2_total
+  FROM scored
+)
+SELECT weekday, event_type, observed, expected, chi2_cell, chi2_total
+FROM scored, total
+""",
+)
+def chi2_dow_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence audit of (day-of-week × event-type) — the
+    drift check for "did the traffic mix change by weekday", published
+    per-cell (observed, expected, contribution) plus the total statistic.
+
+    Exactness: observed/row/col/grand totals are integers; each cell's
+    expected value and χ² contribution is a short fixed-association chain
+    of IEEE ops on those integers — identical doubles in both engines.
+    The TOTAL is where naive float summation breaks (sum order is
+    engine-dependent), so it folds the per-cell contributions in a FIXED
+    (weekday, event_type) order — the frame is |dow|·|types| = 35 cells,
+    bounded by the category product at any data volume, the same
+    bounded-frame argument as the daily-grain windows.
+
+    Plan: one shuffle into the cell aggregate; the margin totals are
+    windows over the 35-cell frame; the ordered fold is a 35-element
+    array in one task. The raw fact table is touched exactly once."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.dayofweek("ts").alias("weekday"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    w_r = Window.partitionBy("weekday")
+    w_c = Window.partitionBy("event_type")
+    w_g = Window.partitionBy()
+    tot = cells.select(
+        "weekday",
+        "event_type",
+        "observed",
+        F.sum("observed").over(w_r).alias("row_total"),
+        F.sum("observed").over(w_c).alias("col_total"),
+        F.sum("observed").over(w_g).alias("grand_total"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand_total"
+    )
+    diff = F.col("observed") - expected
+    scored = tot.select(
+        "weekday",
+        "event_type",
+        "observed",
+        expected.alias("expected"),
+        (diff * diff / expected).alias("chi2_cell"),
+    )
+    total = scored.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("weekday", "event_type", "chi2_cell"))
+                ),
+                lambda x: x["chi2_cell"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2_total")
+    )
+    return scored.crossJoin(F.broadcast(total))

@@ -714,3 +714,72 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+#: Vocabulary size for the OOV-rate screen. Tiny here; at production
+#: scale this is the tokenizer's actual vocab (a plan-shipped dictionary).
+VOCAB_TOP_K = 50
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_words_sql()}) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY count(*) DESC, w LIMIT {VOCAB_TOP_K}
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         count(*) FILTER (v.w IS NULL) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov, n_oov / n_tokens AS oov_rate
+FROM scored
+""",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per document against a corpus-derived
+    top-k vocabulary — the tokenizer-coverage screen that catches
+    wrong-language, encoding-damaged, or synthetic-gibberish documents
+    before they hit the (expensive) real tokenizer.
+
+    Two-phase: the vocabulary is a distributed top-k over global token
+    counts (TakeOrderedAndProject — per-partition partial top-k, merge of
+    k-row lists, never a global sort), deterministically tie-broken by
+    (count DESC, token ASC); then one broadcast hash join tags each token
+    occurrence. At 100 TB the vocab is a fixed-size broadcast (a real
+    tokenizer vocab is ~10^5 entries ≈ 2 MB) and the scan stays
+    shuffle-free except the per-doc count aggregate. OOV is counted over
+    token OCCURRENCES (the multiset), matching how a tokenizer meets the
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(VOCAB_TOP_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    n_oov = F.sum(F.col("in_vocab").isNull().cast("bigint"))
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_oov.alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
