@@ -220,3 +220,79 @@ def hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate"
         ),
     )
+
+
+@register(
+    "hll_daily_rollup",
+    oracle=f"""
+WITH regs AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         h % {HLL_M} AS j,
+         max(CASE WHEN w = 0 THEN {_W_ZERO} ELSE w & (-w) END) AS max_lb
+  FROM (
+    SELECT ts,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT // {HLL_M} AS w
+    FROM events WHERE user_id IS NOT NULL
+  )
+  GROUP BY 1, 2
+),
+weekly AS (
+  SELECT CAST(date_trunc('week', day) AS DATE) AS week_start, j,
+         max(max_lb) AS max_lb
+  FROM regs GROUP BY 1, 2
+),
+est AS (
+  SELECT week_start,
+         {HLL_M} - count(*) AS v_empty,
+         sum(1.0 / (2.0 * max_lb)) + ({HLL_M} - count(*))::DOUBLE AS s_sum
+  FROM weekly GROUP BY week_start
+),
+exact AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         count(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT week_start, n_exact, v_empty,
+       {HLL_ALPHA} * {float(HLL_M * HLL_M)} / s_sum AS hll_estimate,
+       abs({HLL_ALPHA} * {float(HLL_M * HLL_M)} / s_sum - n_exact) / n_exact
+         AS rel_err
+FROM est JOIN exact USING (week_start)
+""",
+)
+def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grain sketch rollup: DAILY HLL registers merged (register-wise
+    max) into WEEKLY distinct-user estimates — the materialized-sketch
+    pattern where finer-grain sketches answer every coarser grain without
+    re-touching raw events.
+
+    At 100 TB this is the whole point of sketch columns in a lakehouse:
+    persist 64 longs per (day, dimension) at ingest, and weekly / monthly
+    / trailing-28-day distinct counts become metadata-sized merges. The
+    exact per-week count here exists only to pin the realized error;
+    production drops it. Every arithmetic step is the module's exact
+    power-of-two contract, so even the rolled-up estimates hash-match."""
+    events = load_table(spark, sf_dir, "events")
+    daily = _hll_registers(
+        events.withColumn("day", F.date_trunc("DAY", "ts").cast("date")),
+        "day",
+        "user_id",
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("WEEK", "day").cast("date").alias("week_start"), "j"
+    ).agg(F.max("max_lb").alias("max_lb"))
+    est = _hll_estimate(weekly, "week_start")
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("WEEK", "ts").cast("date").alias("week_start"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(F.broadcast(exact), "week_start").select(
+        "week_start",
+        "n_exact",
+        "v_empty",
+        "hll_estimate",
+        (F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "rel_err"
+        ),
+    )
