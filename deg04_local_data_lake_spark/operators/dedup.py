@@ -946,8 +946,15 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hinges on a ulp).
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = shingle_rows(docs).distinct()
+    return prefix_jaccard_pairs(shingle_rows(docs).distinct())
 
+
+def prefix_jaccard_pairs(
+    d: DataFrame, t: float = PREFIX_JACCARD_T
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard core over (doc_id, s) DISTINCT token
+    rows — see :func:`dedup_prefix_jaccard`; property-tested lossless
+    against brute force in ``tests/test_properties.py``."""
     # Global document frequency per shingle → rarest-first total order.
     df_tok = d.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -963,9 +970,7 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    prefix_len = F.col("n") - F.floor(F.lit(PREFIX_JACCARD_T) * F.col("n")).cast(
-        "int"
-    )
+    prefix_len = F.col("n") - F.floor(F.lit(t) * F.col("n")).cast("int")
     pref = ordered.select(
         "doc_id",
         "n",
@@ -973,7 +978,6 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     a, b = pref.alias("a"), pref.alias("b")
-    t = PREFIX_JACCARD_T
     cand = (
         a.join(
             b,

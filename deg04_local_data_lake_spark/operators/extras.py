@@ -1665,8 +1665,14 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 100 TB: step 1 reduces to |distinct ts|, step 2's only
     serial frame is |distinct days|."""
     orders = load_table(spark, sf_dir, "orders")
-    day = F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    return pareto_frontier(orders)
 
+
+def pareto_frontier(orders: DataFrame) -> DataFrame:
+    """Distributed 2-D skyline core over (o_orderkey, o_orderdate,
+    o_totalprice) rows — see :func:`skyline_orders` for the derivation;
+    property-tested against a brute-force dominance reference in
+    ``tests/test_properties.py``."""
     # 1. per-timestamp champions
     per_ts = orders.groupBy("o_orderdate").agg(
         F.max("o_totalprice").alias("m_ts")

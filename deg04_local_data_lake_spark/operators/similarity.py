@@ -427,8 +427,6 @@ def dedup_lsh_cosine(
 
 # ----------------------------------- Johnson-Lindenstrauss random projection
 
-import functools as _functools
-import operator as _operator
 import random as _random
 
 #: JL output dimensionality. Signs are a fixed ±1 (Achlioptas) matrix drawn
@@ -442,21 +440,16 @@ _JL_SIGNS: list[list[int]] = [
 ]
 
 
-def _jl_sum(emb, signs: list[int]) -> Column:
-    """Left-associated ±embedding[d] chain — IEEE a+(-b) ≡ a-b, and the
-    fixed association makes the double bit-identical in any engine that
-    folds the same expression tree left to right (SQL's + is
-    left-associative in both Spark and DuckDB)."""
-    terms = [
-        F.element_at(emb, d + 1).cast("double") * s
-        for d, s in enumerate(signs)
-    ]
-    return _functools.reduce(_operator.add, terms)
-
-
-def _jl_sum_sql(signs: list[int]) -> str:
+def _jl_sum_sql(signs: list[int], spark_syntax: bool = False) -> str:
+    """Left-associated ±embedding[d] chain as SQL TEXT — IEEE a+(-b) ≡ a-b,
+    and the fixed association makes the double bit-identical in any engine
+    that folds the same left-associative + chain. Generated as a string for
+    BOTH engines (element access differs: Spark ``element_at`` vs DuckDB's
+    1-based ``[]``); building it as 512 py4j ``Column`` calls instead cost
+    ~2.3 s of driver round-trips per invocation."""
+    at = "element_at(embedding, {i})" if spark_syntax else "embedding[{i}]"
     return " + ".join(
-        f"(CAST(embedding[{d + 1}] AS DOUBLE) * ({s}))"
+        f"(CAST({at.format(i=d + 1)} AS DOUBLE) * ({s}))"
         for d, s in enumerate(signs)
     )
 
@@ -480,12 +473,15 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it runs at parquet scan speed and cuts every downstream
     embedding shuffle's byte volume 8×. The sign matrix lives in the
     PLAN, not in data — nothing to broadcast, nothing to keep in sync.
+    The projection is generated as ONE ``selectExpr`` SQL string — the
+    same plan as the Column-by-Column formulation, without the ~2 s of
+    py4j round-trips that building 512 Column objects costs the driver.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    return emb.selectExpr(
         "vec_id",
         *[
-            _jl_sum(F.col("embedding"), _JL_SIGNS[p]).alias(f"p{p}")
+            f"{_jl_sum_sql(_JL_SIGNS[p], spark_syntax=True)} AS p{p}"
             for p in range(JL_DIM)
         ],
     )
@@ -510,20 +506,15 @@ _PQ_CODEBOOK: list[list[list[float]]] = [
 ]
 
 
-def _pq_dist(emb, s: int, k: int) -> Column:
+def _pq_dist_sql(s: int, k: int, spark_syntax: bool = False) -> str:
+    at = "element_at(embedding, {i})" if spark_syntax else "embedding[{i}]"
     terms = []
     for d in range(PQ_SUB_DIM):
         c = _PQ_CODEBOOK[s][k][d]
-        t = F.element_at(emb, s * PQ_SUB_DIM + d + 1).cast("double") - F.lit(c)
-        terms.append(t * t)
-    return _functools.reduce(_operator.add, terms)
-
-
-def _pq_dist_sql(s: int, k: int) -> str:
-    terms = []
-    for d in range(PQ_SUB_DIM):
-        c = _PQ_CODEBOOK[s][k][d]
-        e = f"(CAST(embedding[{s * PQ_SUB_DIM + d + 1}] AS DOUBLE) - CAST({c} AS DOUBLE))"
+        e = (
+            f"(CAST({at.format(i=s * PQ_SUB_DIM + d + 1)} AS DOUBLE)"
+            f" - CAST({c} AS DOUBLE))"
+        )
         terms.append(f"({e} * {e})")
     return " + ".join(terms)
 
@@ -562,21 +553,23 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Argmin is ``array_position(dists, array_min(dists))`` — 1-based,
     first-match-wins tiebreak in BOTH engines, and the distance doubles
     are bit-identical by fixed-association construction, so even exact
-    ties resolve identically."""
+    ties resolve identically.
+
+    Like the JL projection, the whole 1000-term tree is shipped as TWO
+    ``selectExpr`` SQL strings — identical plan to the Column-based
+    build, minus ~6 s of per-invocation py4j driver chatter."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cols = []
+    exprs = []
     for s in range(PQ_M):
-        dists = F.array(*[_pq_dist(F.col("embedding"), s, k) for k in range(PQ_K)])
-        cols.append(
-            F.array_position(dists, F.array_min(dists)).alias(f"code_{s}")
+        lst = ", ".join(_pq_dist_sql(s, k, spark_syntax=True) for k in range(PQ_K))
+        exprs.append(
+            f"array_position(array({lst}), array_min(array({lst}))) AS code_{s}"
         )
-        cols.append(F.array_min(dists).alias(f"err_{s}"))
-    inner = emb.select("vec_id", *cols)
-    total = _functools.reduce(
-        _operator.add, [F.col(f"err_{s}") for s in range(PQ_M)]
-    )
-    return inner.select(
+        exprs.append(f"array_min(array({lst})) AS err_{s}")
+    inner = emb.selectExpr("vec_id", *exprs)
+    total = " + ".join(f"err_{s}" for s in range(PQ_M))
+    return inner.selectExpr(
         "vec_id",
         *[f"code_{s}" for s in range(PQ_M)],
-        total.alias("total_err"),
+        f"{total} AS total_err",
     )
