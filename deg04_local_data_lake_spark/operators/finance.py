@@ -519,6 +519,13 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("order_date")
     ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    return ewma_halving(daily)
+
+
+def ewma_halving(daily: DataFrame) -> DataFrame:
+    """α=1/2 EWMA core over a (order_date, revenue) day frame — see
+    :func:`ewma_daily_revenue`; property-tested against a sequential
+    Python fold in ``tests/test_properties.py``."""
     packed = daily.agg(
         F.array_sort(
             F.collect_list(F.struct("order_date", "revenue"))

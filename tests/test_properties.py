@@ -311,3 +311,143 @@ def test_char_diversity_matches_reference(spark, texts):
     for t in texts:
         assert repr(got[t]) == repr(ref(t)), t
         assert 0.0 <= got[t] < 1.0
+
+
+sky_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),   # day offset → o_orderdate
+        st.integers(0, 20),   # price (small ints force plenty of ties)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(pts=sky_rows)
+@settings(**_SETTINGS)
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    """pareto_frontier must return exactly the non-dominated rows under
+    (date <=, price >=, strict somewhere) dominance — including same-day
+    and same-price ties, where neither point dominates the other."""
+    from deg04_local_data_lake_spark.operators.extras import pareto_frontier
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), float(p))
+        for i, (d, p) in enumerate(pts)
+    ]
+
+    def dominated(a, b):  # does b dominate a?
+        return (
+            b[1] <= a[1]
+            and b[2] >= a[2]
+            and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    want = sorted(
+        r[0] for r in rows if not any(dominated(r, o) for o in rows if o is not r)
+    )
+
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = sorted(r["o_orderkey"] for r in pareto_frontier(df).collect())
+    assert got == want
+
+
+corpus = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(docs=corpus, t=st.sampled_from([0.3, 0.5, 0.6, 0.8]))
+@settings(**_SETTINGS)
+def test_prefix_jaccard_lossless_vs_bruteforce(spark, docs, t):
+    """Prefix filtering must be LOSSLESS: the pair set equals brute-force
+    exact Jaccard over all pairs at the same threshold, for any corpus
+    and any threshold — the property the registered oracle checks on one
+    corpus, here checked on many."""
+    from deg04_local_data_lake_spark.operators.dedup import prefix_jaccard_pairs
+
+    sets = {i: set(d) for i, d in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter / (len(sets[a]) + len(sets[b]) - inter) >= t:
+                    want.add((a, b))
+
+    rows = [(i, tok) for i, d in enumerate(docs) for tok in sets[i]]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_jaccard_pairs(df, t).collect()
+    }
+    assert got == want
+
+
+hll_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 40)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=hll_rows)
+@settings(**_SETTINGS)
+def test_hll_merge_equals_recompute(spark, data):
+    """Register-wise max over per-group sketches must equal the sketch
+    computed directly on the union — bitwise, including the estimate —
+    for ANY grouping of the input (the mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.operators.sketches import (
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    df = spark.createDataFrame(data, "grp string, uid long")
+    regs = _hll_registers(df, "grp", "uid")
+    merged = (
+        regs.groupBy("j")
+        .agg(F.max("max_lb").alias("max_lb"))
+        .withColumn("all", F.lit("all"))
+    )
+    via_merge = _hll_estimate(merged, "all").first()
+
+    direct = _hll_estimate(
+        _hll_registers(df.withColumn("all", F.lit("all")), "all", "uid"), "all"
+    ).first()
+    assert repr(via_merge["s_sum"]) == repr(direct["s_sum"])
+    assert repr(via_merge["hll_estimate"]) == repr(direct["hll_estimate"])
+    assert via_merge["v_empty"] == direct["v_empty"]
+
+
+ewma_vals = st.lists(
+    st.floats(0, 1000, allow_nan=False, width=32), min_size=1, max_size=12
+)
+
+
+@given(vals=ewma_vals)
+@settings(**_SETTINGS)
+def test_ewma_fold_matches_sequential_reference(spark, vals):
+    """The distributed ordered fold must equal the sequential Python
+    EWMA bit for bit for any value sequence — alpha=1/2 halving is exact
+    in IEEE, so there is no tolerance to hide behind."""
+    from deg04_local_data_lake_spark.operators.finance import ewma_halving
+
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "order_date date, revenue double")
+    got = {
+        r["order_date"]: r["ewma"] for r in ewma_halving(df).collect()
+    }
+
+    acc = 0.0
+    for d, v in rows:
+        acc = acc * 0.5 + v
+        assert repr(got[d]) == repr(acc)
