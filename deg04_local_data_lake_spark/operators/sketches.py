@@ -296,3 +296,124 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ----------------------------------------------------- Bitmap indexes
+
+#: Bitmap geometry: 32 bits per word (positions from the low 5 id bits,
+#: word ids from the rest) — keeps every shifted value far from int64
+#: sign territory in both engines.
+_BM_BITS = 32
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle=f"""
+WITH words AS (
+  SELECT event_type,
+         user_id // {_BM_BITS} AS word_id,
+         bit_or(1::BIGINT << CAST(user_id % {_BM_BITS} AS INTEGER)) AS bits
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct
+FROM words GROUP BY event_type
+""",
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via bitmap words — the
+    Druid/ClickHouse-style bitmap-index aggregate, sitting between naive
+    count-distinct and the HLL sketch: exact like the former, mergeable
+    like the latter.
+
+    Each user id sets one bit in word ``id // 32``; ``bit_or`` is the
+    per-(group, word) combiner (associative, commutative, map-side
+    combinable — Spark plans the same partial/final HashAggregate as a
+    sum) and popcount-of-words yields the exact distinct count. State is
+    proportional to the distinct-id RANGE per group, not to row count —
+    for dense id spaces (dimension keys, user ids from a sequence) it
+    beats count-distinct's expansion by the duplication factor while
+    staying exact, and persisted word tables roll up across groups by
+    ``bit_or`` just like HLL registers roll up by max. All integer ops —
+    trivially hash-identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    bit = F.expr(f"shiftleft(1L, CAST(user_id % {_BM_BITS} AS INT))")
+    words = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("user_id") / _BM_BITS).cast("long").alias("word_id"),
+        )
+        .agg(F.bit_or(bit).alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct"),
+    )
+
+
+@register(
+    "bitmap_user_overlap",
+    oracle=f"""
+WITH words AS (
+  SELECT event_type,
+         user_id // {_BM_BITS} AS word_id,
+         bit_or(1::BIGINT << CAST(user_id % {_BM_BITS} AS INTEGER)) AS bits
+  FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+c AS (SELECT word_id, bits FROM words WHERE event_type = 'click'),
+p AS (SELECT word_id, bits FROM words WHERE event_type = 'purchase')
+SELECT
+  (SELECT CAST(sum(bit_count(bits)) AS BIGINT) FROM c) AS n_click,
+  (SELECT CAST(sum(bit_count(bits)) AS BIGINT) FROM p) AS n_purchase,
+  CAST(coalesce(sum(bit_count(c.bits & p.bits)), 0) AS BIGINT) AS n_both
+FROM c JOIN p USING (word_id)
+""",
+)
+def bitmap_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap (clickers ∩ purchasers) as bitmap algebra:
+    word-aligned AND + popcount — the set-intersection path that needs
+    neither a distinct-distinct join nor two count-distinct passes.
+
+    The per-type word tables join on word_id (both sides already reduced
+    to |id-range|/32 rows), so intersection cost is independent of event
+    volume — the reason bitmap indexes are THE audience-segmentation
+    structure in OLAP stores. Scale note: persisted per-segment word
+    tables make any boolean audience combination (AND/OR/NOT of
+    segments) a word-wise integer expression."""
+    events = load_table(spark, sf_dir, "events")
+    bit = F.expr(f"shiftleft(1L, CAST(user_id % {_BM_BITS} AS INT))")
+    words = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy(
+            "event_type",
+            (F.col("user_id") / _BM_BITS).cast("long").alias("word_id"),
+        )
+        .agg(F.bit_or(bit).alias("bits"))
+    )
+    c = words.filter(F.col("event_type") == "click").select(
+        "word_id", F.col("bits").alias("c_bits")
+    )
+    p = words.filter(F.col("event_type") == "purchase").select(
+        "word_id", F.col("bits").alias("p_bits")
+    )
+    n_click = c.agg(F.sum(F.bit_count("c_bits")).cast("bigint").alias("n_click"))
+    n_purchase = p.agg(
+        F.sum(F.bit_count("p_bits")).cast("bigint").alias("n_purchase")
+    )
+    both = c.join(p, "word_id").agg(
+        F.coalesce(
+            F.sum(F.bit_count(F.col("c_bits").bitwiseAND(F.col("p_bits")))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_both")
+    )
+    return n_click.crossJoin(F.broadcast(n_purchase)).crossJoin(
+        F.broadcast(both)
+    )
