@@ -356,3 +356,23 @@ def test_stream_throttle_equals_batch(spark, smoke_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_hll_registers_equal_batch(spark, smoke_dir, tmp_path):
+    """Incremental sketch maintenance: HLL registers aggregated over a
+    stream (complete mode — max is an unordered, idempotent combiner, so
+    no watermark is needed) must equal the batch-computed registers after
+    the stream drains. This is the streaming half of the persisted-sketch
+    pattern: per-microbatch register maxima fold into exactly the batch
+    sketch, regardless of arrival order or batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.operators.sketches import _hll_registers
+
+    batch, stream = _events_as_stream(spark, smoke_dir, tmp_path)
+    want = {tuple(r) for r in _hll_registers(batch, "event_type", "user_id").collect()}
+
+    regs = _hll_registers(stream, "event_type", "user_id")
+    _run_stream_to_memory(regs, "hll_regs")
+    got = {tuple(r) for r in spark.table("hll_regs").collect()}
+    assert got == want
