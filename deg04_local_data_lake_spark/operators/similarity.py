@@ -573,3 +573,95 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"code_{s}" for s in range(PQ_M)],
         f"{total} AS total_err",
     )
+
+
+# ------------------------------------------------- PQ asymmetric top-k
+
+#: Fixed query vector for the ADC scan — 3-decimal literals from the
+#: same seeded PRNG family as the codebook, identical by construction on
+#: both engines.
+_ADC_QUERY: list[float] = [
+    round(_random.Random(77_000 + i).uniform(-0.15, 0.15), 3)
+    for i in range(EMB_DIM)
+]
+
+ADC_TOPK = 10
+
+
+def _adc_lut() -> list[list[float]]:
+    """lut[s][k] = ||q_s − codebook[s][k]||² — 64 doubles computed ONCE
+    in Python (fixed left-fold order) and baked as ``repr`` literals into
+    both engines' SQL, so the lookup values are bit-identical by
+    construction rather than by parallel evaluation."""
+    lut = []
+    for s in range(PQ_M):
+        row = []
+        for k in range(PQ_K):
+            acc = 0.0
+            for d in range(PQ_SUB_DIM):
+                diff = _ADC_QUERY[s * PQ_SUB_DIM + d] - _PQ_CODEBOOK[s][k][d]
+                acc += diff * diff
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def _adc_oracle_sql() -> str:
+    lut = _adc_lut()
+    code_items = []
+    lookups = []
+    for s in range(PQ_M):
+        lst = ", ".join(_pq_dist_sql(s, k) for k in range(PQ_K))
+        code_items.append(
+            f"list_indexof([{lst}], list_aggregate([{lst}], 'min')) AS code_{s}"
+        )
+        lits = ", ".join(repr(v) for v in lut[s])
+        lookups.append(f"list_extract([{lits}], code_{s})")
+    codes = ", ".join(code_items)
+    adc = " + ".join(lookups)  # fixed left-association on both engines
+    return f"""
+SELECT vec_id, {adc} AS adc_dist
+FROM (SELECT vec_id, {codes} FROM embeddings)
+ORDER BY adc_dist, vec_id
+LIMIT {ADC_TOPK}
+"""
+
+
+@register("similarity_pq_topk", oracle=_adc_oracle_sql())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query-time half
+    of product quantization (Jégou et al.), completing the ANN ladder
+    brute-force (``similarity_topk``) → IVF (``similarity_ivf_topk``) →
+    PQ. The corpus side is 8 codes per vector (what ``embedding_pq_assign``
+    writes back as the index); the query vector is quantized NOWHERE —
+    its exact distance to every centroid is a 64-entry lookup table
+    computed once at plan-build time, so scoring a vector is 8 array
+    lookups + 7 adds instead of 64 multiplies, and at 100 TB the scan
+    reads the 8-byte code column instead of the 256-byte embedding (a
+    32× I/O reduction before any pruning; compose with the IVF cell
+    filter for the standard IVFADC pipeline).
+
+    The whole scorer is one codegen'd ``selectExpr`` over plan constants —
+    map-only, zero shuffles — and the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows,
+    never a global sort). Ties break on vec_id; the ADC doubles are
+    bit-identical across engines because the LUT is literal text, not
+    re-computed arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lut = _adc_lut()
+    code_items = []
+    lookups = []
+    for s in range(PQ_M):
+        lst = ", ".join(_pq_dist_sql(s, k, spark_syntax=True) for k in range(PQ_K))
+        code_items.append(
+            f"array_position(array({lst}), array_min(array({lst}))) AS code_{s}"
+        )
+        lits = ", ".join(repr(v) for v in lut[s])
+        lookups.append(f"element_at(array({lits}), CAST(code_{s} AS INT))")
+    adc = " + ".join(lookups)
+    inner = emb.selectExpr("vec_id", *code_items)
+    return (
+        inner.selectExpr("vec_id", f"{adc} AS adc_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(ADC_TOPK)
+    )

@@ -496,3 +496,87 @@ def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_overlap"),
         )
     )
+
+
+# --------------------------------------------- Two-phase exact heavy hitters
+
+#: φ = 1/HH_DENOM: a token is a heavy hitter when it carries at least
+#: 1/32 of all token occurrences. Integer cross-multiplication on both
+#: engines — no float threshold anywhere.
+HH_DENOM = 32
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT tok, COUNT(*) AS n_tok,
+       (SELECT n_total FROM tot) AS n_total,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM tot) AS share
+FROM toks
+GROUP BY tok
+HAVING COUNT(*) * {HH_DENOM} >= (SELECT n_total FROM tot)
+""",
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters over the token stream, two-phase (the scalable
+    shape for HIGH-CARDINALITY keys, where a plain groupBy+HAVING must
+    shuffle one partial row per distinct key — at 100 TB of web-crawl
+    vocabulary that shuffle IS the bottleneck).
+
+    Phase 1 — candidates, zero shuffle: each partition counts its own
+    tokens (vectorized ``value_counts`` over Arrow batches, merged across
+    batches) and emits only tokens with local_count·32 ≥ local_rows.
+    Averaging guarantees the superset with PURELY LOCAL knowledge: if
+    globally c·32 ≥ N = Σ rows_p but every partition had c_p·32 < rows_p
+    (i.e. ≤ rows_p − 1), summing gives 32c ≤ N − P < N — contradiction.
+    So every true heavy hitter survives, and the shuffle that follows
+    moves only locally-frequent tokens (≤ 32 per partition), not the
+    vocabulary.
+
+    Phase 2 — exact: broadcast the candidate set back as a semi-join
+    filter, count candidates exactly, and apply the global φ·N cut with
+    integer cross-multiplication. Output counts are exact — the sketch
+    phase only PRUNES, never estimates, so the result is identical to
+    the naive single-pass oracle (which is the point the green hash
+    proves). φ is exact on both engines by construction (no float
+    threshold; ``share`` is a single int/int division, bit-identical).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("tok")
+    )
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        keep = [t for t, c in counts.items() if c * HH_DENOM >= rows]
+        yield pd.DataFrame({"tok": pd.Series(keep, dtype="object")})
+
+    cand = toks.mapInPandas(local_candidates, "tok string").distinct()
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n_tok") * HH_DENOM >= F.col("n_total"))
+        .select(
+            "tok",
+            "n_tok",
+            "n_total",
+            (F.col("n_tok").cast("double") / F.col("n_total")).alias("share"),
+        )
+    )

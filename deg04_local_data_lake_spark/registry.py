@@ -52,6 +52,7 @@ def load_all() -> None:
     if _LOADED:
         return
     # --- not yet driver-sampled (rounds 1-2) ---
+    import deg04_local_data_lake_spark.streaming.ingest  # noqa: F401
     import deg04_local_data_lake_spark.operators.sketches  # noqa: F401
     import deg04_local_data_lake_spark.operators.csv_io  # noqa: F401
     import deg04_local_data_lake_spark.operators.similarity  # noqa: F401
@@ -69,7 +70,6 @@ def load_all() -> None:
     import deg04_local_data_lake_spark.operators.sql_modern  # noqa: F401
     import deg04_local_data_lake_spark.operators.table_functions  # noqa: F401
     import deg04_local_data_lake_spark.pipelines.medallion  # noqa: F401
-    import deg04_local_data_lake_spark.streaming.ingest  # noqa: F401
     import deg04_local_data_lake_spark.operators.extras  # noqa: F401
     # --- driver-green in rounds 1-2 ---
     import deg04_local_data_lake_spark.operators.aggregates  # noqa: F401

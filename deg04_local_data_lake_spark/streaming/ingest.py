@@ -271,3 +271,152 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions from the gap/running-sum formulation — two genuinely different
     mechanisms, one semantic."""
     return session_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible bounded-stream queries (SURVEY.md §2.10 as oracle rows)
+#
+# Everything above correctness-checks streaming by pytest equivalence
+# (stream result == batch twin). These entries go further: they EXECUTE a
+# real Structured Streaming job — file source, watermark, windowed state,
+# availableNow trigger — inside a ``queries()`` callable, so the external
+# driver hash-compares a genuinely streamed result against the DuckDB
+# oracle. ``availableNow`` drains the source in bounded microbatches
+# (maxFilesPerTrigger=8) and terminates; ``complete`` output mode emits the
+# final state of every window, which for a drained bounded source equals
+# the batch aggregation — that identity is Structured Streaming's
+# correctness contract, and these rows make the driver attest it.
+#
+# The memory sink is the *verification* sink (it collects the small
+# aggregate to the driver, exactly like the oracle harness does); the
+# production sink is ``write_stream_to_lake`` (file sink, exactly-once via
+# checkpoint), covered by tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = 0
+
+
+def _bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events table as a file-source stream.
+
+    Stream event time must be LTZ (watermarks reject NTZ), while the lake
+    reader is NTZ wall time — so rewrite once into a temp dir as LTZ
+    parquet (session tz is pinned UTC, so wall times are preserved
+    exactly) and stream from there. The rewrite doubles as the "files
+    arriving in a directory" ingest shape the file source is built for.
+    """
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="deg04_stream_src_")
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    return read_event_stream(spark, src)
+
+
+def _drain_to_memory(df: DataFrame, prefix: str) -> DataFrame:
+    """Run a bounded streaming query to a memory sink; return the result."""
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"{prefix}_{_STREAM_SEQ}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+def _ntz(col: str):
+    # memory-sink window starts come back LTZ; oracle timestamps are naive
+    # wall time — identical under the pinned UTC session tz
+    return F.col(col).cast("timestamp_ntz").alias(col)
+
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windowed counts, actually streamed: file source →
+    watermark → windowed state → availableNow drain. Same oracle as the
+    batch twin ``events_hourly_counts`` — the driver-checked identity
+    batch == final streamed state."""
+    out = _drain_to_memory(
+        hourly_counts(_bounded_event_stream(spark, sf_dir)), "stream_hourly"
+    )
+    return out.select(_ntz("window_start"), "event_type", "n_events", "total_value")
+
+
+@register(
+    "stream_hopping_counts",
+    oracle="""
+WITH slotted AS (
+  SELECT epoch_us(ts) // 900000000 AS slot, event_type, value FROM events
+),
+expanded AS (
+  SELECT make_timestamp((s.slot - k.k) * 900000000) AS window_start,
+         s.event_type, s.value
+  FROM slotted s
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM expanded GROUP BY 1, 2
+""",
+)
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h/15m windowed counts, streamed (state = 4 open windows
+    per group within the watermark horizon). Oracle reconstructs Spark's
+    epoch-aligned window expansion — same as batch ``events_hopping_counts``."""
+    out = _drain_to_memory(
+        hopping_counts(_bounded_event_stream(spark, sf_dir)), "stream_hopping"
+    )
+    return out.select(_ntz("window_start"), "event_type", "n_events", "total_value")
+
+
+@register(
+    "stream_session_agg",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM sess GROUP BY user_id, session_seq
+""",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap), streamed: native session_window state
+    merging across microbatches — the hardest streaming state shape
+    (sessions MERGE as late-but-in-watermark rows bridge gaps). Drained
+    final state must equal the batch gap/running-sum oracle."""
+    out = _drain_to_memory(
+        session_agg(_bounded_event_stream(spark, sf_dir)), "stream_sessions"
+    )
+    return out.select("user_id", "n_events", _ntz("first_ts"), _ntz("last_ts"))

@@ -451,3 +451,37 @@ def test_ewma_fold_matches_sequential_reference(spark, vals):
     for d, v in rows:
         acc = acc * 0.5 + v
         assert repr(got[d]) == repr(acc)
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: the phase-1 local threshold (keep tok iff local_count·32 ≥
+# local_rows) must never lose a TRUE global heavy hitter, for ANY way the
+# rows are split across partitions — the averaging argument
+# (operators/sketches.py heavy_hitters_tokens) as executable spec. Pure
+# Python: the property is about the pruning rule, not the Spark plumbing
+# (which tests/test_parity.py checks end-to-end against the naive oracle).
+# --------------------------------------------------------------------------
+
+hh_tokens = st.lists(st.integers(0, 5), min_size=1, max_size=60)
+hh_cuts = st.lists(st.integers(0, 59), max_size=4)
+
+
+@given(toks=hh_tokens, cuts=hh_cuts)
+@settings(max_examples=200, deadline=None)
+def test_heavy_hitter_local_threshold_is_superset(toks, cuts):
+    from collections import Counter
+
+    from deg04_local_data_lake_spark.operators.sketches import HH_DENOM
+
+    n = len(toks)
+    true_hh = {t for t, c in Counter(toks).items() if c * HH_DENOM >= n}
+
+    bounds = sorted({0, n, *[c for c in cuts if c <= n]})
+    candidates = set()
+    for lo, hi in zip(bounds, bounds[1:]):
+        part = toks[lo:hi]
+        rows = len(part)
+        for t, c in Counter(part).items():
+            if c * HH_DENOM >= rows:
+                candidates.add(t)
+    assert true_hh <= candidates
