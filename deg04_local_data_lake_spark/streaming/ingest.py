@@ -317,15 +317,21 @@ def _bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_event_stream(spark, src)
 
 
-def _drain_to_memory(df: DataFrame, prefix: str) -> DataFrame:
-    """Run a bounded streaming query to a memory sink; return the result."""
+def _drain_to_memory(df: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+    """Run a bounded streaming query to a memory sink; return the result.
+
+    ``complete`` for windowed aggregations (final state of every window);
+    ``append`` for joins/projections (each result row emitted exactly
+    once); ``update`` for custom stateful operators (one row per group per
+    microbatch — callers reduce to final state, see
+    ``stream_running_user_stats``)."""
     global _STREAM_SEQ
     _STREAM_SEQ += 1
     name = f"{prefix}_{_STREAM_SEQ}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -420,3 +426,89 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_agg(_bounded_event_stream(spark, sf_dir)), "stream_sessions"
     )
     return out.select("user_id", "n_events", _ntz("first_ts"), _ntz("last_ts"))
+
+
+@register(
+    "stream_enrich_segment",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       c.c_mktsegment AS segment
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment, driver-attested: the event
+    stream left-joins the (static) customer dimension per microbatch —
+    zero stream state, no watermark, the bread-and-butter bronze→silver
+    streaming enrichment. Append mode: each enriched row is emitted
+    exactly once, so the drained sink equals the batch left join the
+    oracle runs."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = _drain_to_memory(
+        stream_static_enrich(
+            _bounded_event_stream(spark, sf_dir), dim
+        ).select("event_id", "user_id", "event_type", "value", "segment"),
+        "stream_enrich",
+        mode="append",
+    )
+    return out
+
+
+@register(
+    "stream_purchase_click_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+""",
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, driver-attested: purchases join the
+    same user's clicks in the preceding 30 minutes, both sides
+    watermarked, state bounded by watermark+gap eviction. Inner joins
+    emit each matched pair the moment both sides have arrived (no
+    held-back rows), so the availableNow drain yields the complete pair
+    set — hash-equal to the batch interval join."""
+    out = _drain_to_memory(
+        stream_stream_purchase_click(_bounded_event_stream(spark, sf_dir)),
+        "stream_ssjoin",
+        mode="append",
+    )
+    return out.select(
+        "purchase_id", "user_id", _ntz("purchase_ts"), "click_id", _ntz("click_ts")
+    )
+
+
+@register(
+    "stream_running_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``),
+    driver-attested. Update mode emits one (count, max) row per user per
+    microbatch; both stats are MONOTONE in the row stream, so the final
+    state per user is the register-wise max over the emitted updates —
+    the same merge trick the HLL sketches use, applied to the update log.
+    The reduced result must equal the plain batch aggregate: that
+    equality is what proves the per-microbatch state transitions compose
+    correctly across the whole drain."""
+    out = _drain_to_memory(
+        running_user_stats(_bounded_event_stream(spark, sf_dir)),
+        "stream_ustats",
+        mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
