@@ -665,3 +665,127 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(ADC_TOPK)
     )
+
+
+# ------------------------------------------------- IVF + ADC composite
+
+IVFADC_NPROBE = 3
+
+#: Query vector in exact integer milli-units for the coarse (cell) stage:
+#: 3-decimal literals × 1000 are exact ints, so the cell scores are
+#: integer aggregates — order-independent, bit-identical across engines.
+_Q_INT: list[int] = [round(v * 1000) for v in _ADC_QUERY]
+
+
+def _ivfadc_oracle_sql() -> str:
+    lut = _adc_lut()
+    qints = ", ".join(str(v) for v in _Q_INT)
+    code_items = []
+    lookups = []
+    for s in range(PQ_M):
+        lst = ", ".join(_pq_dist_sql(s, k) for k in range(PQ_K))
+        code_items.append(
+            f"list_indexof([{lst}], list_aggregate([{lst}], 'min')) AS code_{s}"
+        )
+        lits = ", ".join(repr(v) for v in lut[s])
+        lookups.append(f"list_extract([{lits}], code_{s})")
+    codes = ", ".join(code_items)
+    adc = " + ".join(lookups)
+    return f"""
+WITH q AS ({_QUANT_SQL}),
+comp AS (SELECT vec_id, label, u.i AS pos, qe[u.i] AS v FROM q,
+         LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u),
+cent AS (SELECT label, pos, SUM(v) AS c FROM comp GROUP BY 1, 2),
+score AS (
+  SELECT label,
+         SUM(([{qints}])[pos] * c) AS dot,
+         SUM(c * c) AS cc
+  FROM cent GROUP BY label
+),
+probed AS (
+  SELECT label FROM (
+    SELECT label,
+           row_number() OVER (
+             ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(cc AS DOUBLE)) DESC,
+                      label) AS rn
+    FROM score
+  ) WHERE rn <= {IVFADC_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label, {codes}
+  FROM embeddings e JOIN probed p ON e.label = p.label
+)
+SELECT vec_id, label, {adc} AS adc_dist
+FROM cand
+ORDER BY adc_dist, vec_id
+LIMIT {ADC_TOPK}
+"""
+
+
+@register("similarity_ivfadc_topk", oracle=_ivfadc_oracle_sql())
+def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al.): the full billion-scale ANN pipeline in one
+    plan — coarse quantizer probes the NPROBE cells nearest the query,
+    then PQ asymmetric distance ranks ONLY the probed cells' vectors.
+    Composes the two independently-proven stages (`similarity_ivf_topk`
+    cell probe, `similarity_pq_topk` ADC scan); at 100 TB the scan touches
+    nprobe/|cells| of the corpus and reads 8-byte codes, not embeddings —
+    the two multiplicative reductions that make exhaustive search
+    unnecessary.
+
+    Cross-engine exactness: the coarse stage works in integer micro-units
+    (centroid component sums and the query's milli-unit literals are
+    exact ints → cell scores are order-independent integer aggregates;
+    only the final rank divides doubles), and the ADC stage looks up
+    literal LUT text. The cell-rank window is unpartitioned but runs over
+    the |cells|-row centroid frame (10³-10⁴ rows at any corpus size —
+    cells scale with sqrt(n) by the usual IVF sizing, not with data
+    volume). Centroid component sums grow with cell size; at extreme
+    cell populations move the norm to DOUBLE before squaring (the
+    division already is) — the int path here keeps the oracle bitwise.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("qe"))
+    ex = qemb.select(
+        "label", F.posexplode("qe").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = ex.groupBy("label", "pos").agg(F.sum("v").alias("c"))
+    qints = ", ".join(str(v) for v in _Q_INT)
+    score = (
+        cent.withColumn(
+            "qi", F.expr(f"element_at(array({qints}), CAST(pos AS INT))")
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("qi") * F.col("c")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+    )
+    wc = Window.orderBy(
+        (F.col("dot").cast("double") / F.sqrt(F.col("cc").cast("double"))).desc(),
+        F.col("label"),
+    )
+    probed = (
+        score.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= IVFADC_NPROBE)
+        .select("label")
+    )
+    lut = _adc_lut()
+    code_items = []
+    lookups = []
+    for s in range(PQ_M):
+        lst = ", ".join(_pq_dist_sql(s, k, spark_syntax=True) for k in range(PQ_K))
+        code_items.append(
+            f"array_position(array({lst}), array_min(array({lst}))) AS code_{s}"
+        )
+        lits = ", ".join(repr(v) for v in lut[s])
+        lookups.append(f"element_at(array({lits}), CAST(code_{s} AS INT))")
+    adc = " + ".join(lookups)
+    cand = emb.join(F.broadcast(probed), "label").selectExpr(
+        "vec_id", "label", *code_items
+    )
+    return (
+        cand.selectExpr("vec_id", "label", f"{adc} AS adc_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(ADC_TOPK)
+    )

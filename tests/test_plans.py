@@ -248,6 +248,9 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
     "revenue_autocorr_lag1",       # one row per day
     "rolling_trend_daily_revenue", # one row per day
     "window_daily_revenue",        # one row per day
+    "similarity_ivfadc_topk",      # cell rank over the |cells|-row centroid
+                                   # frame (cells scale ~sqrt(n), not with
+                                   # data volume)
     "skyline_orders",              # cross-day prefix max over per-day maxima
                                    # (one row per day; within-day prefix max
                                    # is partitioned)
