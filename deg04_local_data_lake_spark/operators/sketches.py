@@ -580,3 +580,99 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tok").cast("double") / F.col("n_total")).alias("share"),
         )
     )
+
+
+# --------------------------------------------------- Count-min sketch
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+@register(
+    "cm_sketch_user_counts",
+    oracle=f"""
+WITH keyed AS (
+  SELECT user_id, d.d,
+         ('0x' || substr(md5('cm' || CAST(d.d AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           % {CM_WIDTH} AS bucket
+  FROM events, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d) d
+),
+cells AS (SELECT d, bucket, COUNT(*) AS cell FROM keyed GROUP BY 1, 2),
+per_user AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
+probes AS (
+  SELECT p.user_id, p.n_exact, d.d,
+         ('0x' || substr(md5('cm' || CAST(d.d AS VARCHAR) || ':'
+                              || CAST(p.user_id AS VARCHAR)), 1, 12))::BIGINT
+           % {CM_WIDTH} AS bucket
+  FROM per_user p, (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS d) d
+)
+SELECT k.user_id, k.n_exact,
+       MIN(c.cell) AS cm_estimate,
+       MIN(c.cell) - k.n_exact AS overcount
+FROM probes k JOIN cells c ON k.d = c.d AND k.bucket = c.bucket
+GROUP BY k.user_id, k.n_exact
+""",
+)
+def cm_sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) with the portable md5
+    hash family, plus a full-key audit — the frequency-estimation member
+    of the sketch layer (HLL = distinct, bitmap = exact sets,
+    heavy-hitters = exact top mass, CM = per-key counts in fixed memory).
+
+    Build path is the 100 TB shape: each row maps to CM_DEPTH (row,
+    bucket) cells and the groupBy collapses map-side to at most
+    DEPTH·WIDTH = {CM_DEPTH}·{CM_WIDTH} = 256 partial cells PER PARTITION
+    — the shuffle is 256 rows × partitions no matter how many events or
+    distinct keys exist, and register-wise SUM of two sketches is the
+    sketch of the union (same mergeability contract as the HLL).
+
+    Point query: estimate(key) = min over depth rows of the key's cell.
+    Collisions only ADD mass, so cm_estimate ≥ n_exact always
+    (``overcount`` ≥ 0 — asserted in tests); the audit join against the
+    exact per-key counts makes the estimate/exact trade measurable, and
+    every quantity is an integer aggregate — bit-identical cross-engine,
+    so the sketch VALUES hash-match the oracle, not just a tolerance
+    flag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    depths = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+
+    def bucket(key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"),
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        key_col.cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(CM_WIDTH))
+
+    keyed = ev.select("user_id", F.explode(depths).alias("d")).select(
+        "d", bucket(F.col("user_id")).alias("bucket")
+    )
+    cells = keyed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = per_user.select(
+        "user_id", "n_exact", F.explode(depths).alias("d")
+    ).select("user_id", "n_exact", "d", bucket(F.col("user_id")).alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "n_exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+    )

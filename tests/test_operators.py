@@ -177,3 +177,51 @@ def test_top_k_deterministic_on_ties(spark):
         ("a", 1),
         ("b", 2),
     ]
+
+
+def test_cm_sketch_never_undercounts_and_merges(spark, smoke_dir):
+    """Count-min invariants: (1) estimate ≥ exact for every key (collisions
+    only add mass); (2) mergeability — cell-wise SUM of two half-corpus
+    sketches equals the whole-corpus sketch (the contract that lets CM
+    roll up across partitions/days without raw data)."""
+    from deg04_local_data_lake_spark.operators.sketches import (
+        cm_sketch_user_counts,
+    )
+    from deg04_local_data_lake_spark.sources.readers import load_table
+
+    rows = cm_sketch_user_counts(spark, smoke_dir).collect()
+    assert rows
+    assert all(r["overcount"] >= 0 for r in rows)
+
+    from pyspark.sql import functions as F
+    from deg04_local_data_lake_spark.operators.sketches import CM_DEPTH, CM_WIDTH
+
+    ev = load_table(spark, smoke_dir, "events")
+    depths = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cm"), F.col("d").cast("string"),
+                    F.lit(":"), F.col("user_id").cast("string"),
+                )
+            ), 1, 12,
+        ), 16, 10,
+    ).cast("long")
+
+    def cells(df):
+        return (
+            df.select("user_id", F.explode(depths).alias("d"))
+            .select("d", F.pmod(h, F.lit(CM_WIDTH)).alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
+
+    whole = {(r["d"], r["bucket"]): r["cell"] for r in cells(ev).collect()}
+    lo = cells(ev.filter(F.col("event_id") % 2 == 0)).collect()
+    hi = cells(ev.filter(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        k = (r["d"], r["bucket"])
+        merged[k] = merged.get(k, 0) + r["cell"]
+    assert merged == whole
