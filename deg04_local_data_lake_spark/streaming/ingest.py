@@ -294,6 +294,7 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAM_SEQ = 0
+_STREAM_SRC_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,16 +305,22 @@ def _bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet (session tz is pinned UTC, so wall times are preserved
     exactly) and stream from there. The rewrite doubles as the "files
     arriving in a directory" ingest shape the file source is built for.
+    The rewritten dir is cached per (app id, sf_dir): six stream queries
+    over the same table share one rewrite instead of six.
     """
     import tempfile
 
-    src = tempfile.mkdtemp(prefix="deg04_stream_src_")
-    (
-        load_table(spark, sf_dir, "events")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="deg04_stream_src_")
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        _STREAM_SRC_CACHE[key] = src
     return read_event_stream(spark, src)
 
 
