@@ -552,3 +552,117 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_worst_err"),
     )
+
+
+# ----------------------------------------------- Bloom decontamination
+
+BLOOM_M = 1024  # bits
+BLOOM_K = 4     # hash functions
+
+
+@register(
+    "bloom_decontamination_audit",
+    oracle=f"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || CAST(k.k AS VARCHAR) || ':' || text),
+                         1, 12))::BIGINT % {BLOOM_M} AS pos
+  FROM train, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k) k
+),
+probes AS (
+  SELECT e.doc_id, k.k,
+         ('0x' || substr(md5('b' || CAST(k.k AS VARCHAR) || ':' || e.text),
+                         1, 12))::BIGINT % {BLOOM_M} AS pos
+  FROM eval e, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k) k
+),
+hits AS (
+  SELECT p.doc_id,
+         COUNT(*) FILTER (WHERE b.pos IS NOT NULL) AS set_bits
+  FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id
+),
+exact AS (
+  SELECT e.doc_id, EXISTS (SELECT 1 FROM train t WHERE t.text = e.text)
+           AS exact_hit
+  FROM eval e
+)
+SELECT h.doc_id,
+       h.set_bits = {BLOOM_K} AS bloom_hit,
+       x.exact_hit,
+       (h.set_bits = {BLOOM_K}) AND NOT x.exact_hit AS false_positive
+FROM hits h JOIN exact x ON h.doc_id = x.doc_id
+""",
+)
+def bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter train/eval decontamination screen with an exact audit
+    — the constant-memory first pass of benchmark decontamination (the
+    exact n-gram pass, ``contamination_ngram_overlap``, is the expensive
+    second stage this filter gates).
+
+    The filter is {BLOOM_M} bits with {BLOOM_K} portable md5 hashes; the
+    bit-set is built as a DISTINCT of set positions (≤ {BLOOM_M} rows no
+    matter the corpus — map-side combinable, broadcast back to the probe
+    side), so at 100 TB the eval side never shuffles: it left-joins a
+    broadcast bit table and a doc is flagged iff all {BLOOM_K} probes
+    hit. Bloom semantics guarantee NO false negatives (every exact
+    duplicate is flagged — the invariant tests pin), only false
+    positives, which the exact-membership audit column quantifies so the
+    FPR of this geometry is a measured number, not a formula.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    ks = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+
+    def pos(text_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("b"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        text_col,
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(BLOOM_M))
+
+    bits = (
+        train.select(F.explode(ks).alias("k"), "text")
+        .select(pos(F.col("text")).alias("pos"))
+        .distinct()
+        .withColumn("is_set", F.lit(True))
+    )
+    probes = ev.select("doc_id", F.explode(ks).alias("k"), "text").select(
+        "doc_id", pos(F.col("text")).alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("is_set"), F.lit(1))).alias("set_bits")
+        )
+    )
+    exact = ev.join(
+        train.select("text").distinct(), "text", "left_semi"
+    ).select("doc_id", F.lit(True).alias("exact_hit"))
+    return (
+        hits.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("set_bits") == BLOOM_K).alias("bloom_hit"),
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+            (
+                (F.col("set_bits") == BLOOM_K)
+                & ~F.coalesce("exact_hit", F.lit(False))
+            ).alias("false_positive"),
+        )
+    )

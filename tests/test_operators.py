@@ -225,3 +225,18 @@ def test_cm_sketch_never_undercounts_and_merges(spark, smoke_dir):
         k = (r["d"], r["bucket"])
         merged[k] = merged.get(k, 0) + r["cell"]
     assert merged == whole
+
+
+def test_bloom_decontamination_no_false_negatives(spark, smoke_dir):
+    """Bloom guarantee: every exact train/eval duplicate is flagged —
+    false negatives are structurally impossible (all k bits of a member
+    are set by construction), and the audit columns must agree."""
+    from deg04_local_data_lake_spark.operators.llm_extras import (
+        bloom_decontamination_audit,
+    )
+
+    rows = bloom_decontamination_audit(spark, smoke_dir).collect()
+    assert rows
+    assert not [r for r in rows if r["exact_hit"] and not r["bloom_hit"]]
+    for r in rows:
+        assert r["false_positive"] == (r["bloom_hit"] and not r["exact_hit"])
