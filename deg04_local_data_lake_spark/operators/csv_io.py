@@ -112,3 +112,97 @@ def csv_scan_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").cast("double").alias("revenue"),
         F.max("o_custkey").cast("bigint").alias("max_custkey"),
     )
+
+
+def _events_json(spark: SparkSession, sf_dir: str) -> str:
+    """Write an events projection as JSON-lines (overwrite: idempotent)."""
+    path = _csv_path(sf_dir, "events_json")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        # default NTZ format truncates to milliseconds — keep microseconds
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+    return path
+
+
+@register(
+    "json_scan_lines",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(max(ts) AS VARCHAR) AS last_ts
+FROM events GROUP BY 1
+""",
+)
+def json_scan_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines front door (the third text ingest format next to the
+    CSV pair): events → JSON → explicit-schema read → per-type rollup.
+    The schema declares ``ts`` as TIMESTAMP_NTZ, so the writer's ISO
+    strings must parse back to the exact wall times for the oracle hash
+    to match — the round-trip IS the test. Schema-first for the same
+    reason as S2: inference over JSON costs a full extra pass at scale,
+    and open-ended JSON belongs to the variant/get_json_object paths
+    (``variant_props_extract``, ``events_json_extract``), not the
+    front door."""
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    src = _events_json(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(src)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+        F.max("ts").cast("string").alias("last_ts"),
+    )
+
+
+@register(
+    "orc_scan_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY 1
+""",
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC front door: lineitem → ORC → read → per-flag rollup. The
+    second columnar format beside parquet (both Spark-native: predicate
+    pushdown, column pruning, vectorized reader); decimals are stored
+    typed, so the money sums round-trip exactly. Kept beside the
+    parquet path so a lake standardizing on ORC runs the same engine
+    unchanged."""
+    path = _csv_path(sf_dir, "lineitem_orc")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    df = spark.read.orc(path)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("gross"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
