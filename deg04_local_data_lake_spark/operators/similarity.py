@@ -789,3 +789,59 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(ADC_TOPK)
     )
+
+
+def _exact_q_dist_sql(spark_syntax: bool) -> str:
+    """||q − embedding||² as one literal 64-term expression (fixed left
+    association; identical text modulo the array accessor on both
+    engines), so the exact baseline is bit-identical cross-engine."""
+    at = "element_at(embedding, {i})" if spark_syntax else "embedding[{i}]"
+    terms = []
+    for i, qv in enumerate(_ADC_QUERY):
+        e = f"(CAST({at.format(i=i + 1)} AS DOUBLE) - CAST({qv} AS DOUBLE))"
+        terms.append(f"({e} * {e})")
+    return " + ".join(terms)
+
+
+@register(
+    "similarity_pq_recall",
+    oracle=f"""
+WITH exact_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {_exact_q_dist_sql(False)} AS d FROM embeddings
+  ) ORDER BY d, vec_id LIMIT {ADC_TOPK}
+),
+adc_top AS ({_adc_oracle_sql()})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       CAST({ADC_TOPK} AS BIGINT) AS k,
+       CAST(COUNT(*) AS DOUBLE) / {ADC_TOPK} AS recall_at_k
+FROM adc_top a JOIN exact_top e ON a.vec_id = e.vec_id
+""",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC scan against the EXACT nearest neighbors of
+    the same query — the measured answer to "what did 32× less I/O cost
+    in quality", the ANN analog of ``dedup_lsh_recall``. Both rankings
+    are TakeOrderedAndProject over map-only literal expressions (the
+    exact side is the full 64-term distance, the ADC side the 8-lookup
+    approximation); the audit joins two k-row frames, so the whole query
+    adds one broadcast join over the two scans. At 100 TB you run this
+    on a sampled slice to TUNE (M, K, nprobe) before committing the
+    full-corpus scan to the approximate path. (The fixture codebook is
+    seeded-random, not k-means-trained, so LOW recall here is the
+    expected, honest reading — the audit exists precisely to expose
+    that; training the codebook is ``embedding_kmeans_step``'s job.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_top = (
+        emb.selectExpr("vec_id", f"{_exact_q_dist_sql(True)} AS d")
+        .orderBy("d", "vec_id")
+        .limit(ADC_TOPK)
+        .select("vec_id")
+    )
+    adc_top = similarity_pq_topk(spark, sf_dir).select("vec_id")
+    joined = adc_top.join(F.broadcast(exact_top), "vec_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.lit(ADC_TOPK).cast("bigint").alias("k"),
+        (F.count(F.lit(1)).cast("double") / ADC_TOPK).alias("recall_at_k"),
+    )
