@@ -296,6 +296,16 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = 0
 _STREAM_SRC_CACHE: dict[tuple[str, str], str] = {}
 
+#: Watermark for the bounded VERIFICATION drains: wider than the
+#: dataset's whole time span. The rewritten source files arrive in
+#: arbitrary (repartitioned) order, and a production-sized lateness
+#: bound would silently drop "late" rows that are merely unordered
+#: arrival — session windows and stream-stream joins enforce the
+#: watermark even under availableNow. Multi-batch STATE FOLDING is
+#: still fully exercised; the late-data-drop semantics are pinned
+#: separately by tests/test_streaming.py over time-ordered sources.
+_VERIFY_WATERMARK = "365 days"
+
 
 def _bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open the events table as a file-source stream.
@@ -317,6 +327,10 @@ def _bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             load_table(spark, sf_dir, "events")
             .withColumn("ts", F.col("ts").cast("timestamp"))
+            # 32 files → ≥4 microbatches at maxFilesPerTrigger=8, so every
+            # bounded-stream query exercises MULTI-batch state folding even
+            # where the source table is a single small file
+            .repartition(32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -368,7 +382,8 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin ``events_hourly_counts`` — the driver-checked identity
     batch == final streamed state."""
     out = _drain_to_memory(
-        hourly_counts(_bounded_event_stream(spark, sf_dir)), "stream_hourly"
+        hourly_counts(_bounded_event_stream(spark, sf_dir), watermark=_VERIFY_WATERMARK),
+        "stream_hourly"
     )
     return out.select(_ntz("window_start"), "event_type", "n_events", "total_value")
 
@@ -396,7 +411,8 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group within the watermark horizon). Oracle reconstructs Spark's
     epoch-aligned window expansion — same as batch ``events_hopping_counts``."""
     out = _drain_to_memory(
-        hopping_counts(_bounded_event_stream(spark, sf_dir)), "stream_hopping"
+        hopping_counts(_bounded_event_stream(spark, sf_dir), watermark=_VERIFY_WATERMARK),
+        "stream_hopping"
     )
     return out.select(_ntz("window_start"), "event_type", "n_events", "total_value")
 
@@ -430,7 +446,8 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sessions MERGE as late-but-in-watermark rows bridge gaps). Drained
     final state must equal the batch gap/running-sum oracle."""
     out = _drain_to_memory(
-        session_agg(_bounded_event_stream(spark, sf_dir)), "stream_sessions"
+        session_agg(_bounded_event_stream(spark, sf_dir), watermark=_VERIFY_WATERMARK),
+        "stream_sessions"
     )
     return out.select("user_id", "n_events", _ntz("first_ts"), _ntz("last_ts"))
 
@@ -485,7 +502,9 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-back rows), so the availableNow drain yields the complete pair
     set — hash-equal to the batch interval join."""
     out = _drain_to_memory(
-        stream_stream_purchase_click(_bounded_event_stream(spark, sf_dir)),
+        stream_stream_purchase_click(
+            _bounded_event_stream(spark, sf_dir), watermark=_VERIFY_WATERMARK
+        ),
         "stream_ssjoin",
         mode="append",
     )
@@ -519,3 +538,87 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_type, value AS last_value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC apply, driver-attested: the event stream upserts a
+    keep-latest-per-user lake table one microbatch at a time — the
+    reference's streaming-merge-into-lake loop
+    (``mage_demo/custom/delta_table_write.py`` intent) on the parquet
+    fallback. Each batch compacts to its per-user latest, merges with the
+    prior state snapshot, and writes a NEW versioned snapshot dir
+    (read-modify-write to a fresh path — never overwriting a path mid-
+    read; with Delta jars this inner merge is one ``MERGE INTO``,
+    ``operators/cdc.py:cdc_upsert_delta``).
+
+    Correctness does not depend on how the drain splits batches:
+    keep-latest by (ts, event_id) is ASSOCIATIVE, so folding it over any
+    microbatch partitioning equals the batch row_number oracle — the
+    exactly-once-apply identity the driver now checks. State size is
+    |users|; each merge shuffles only state ∪ batch-latest."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="deg04_cdc_apply_")
+    state_paths: list[str] = []
+
+    def keep_latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "event_type", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("m")
+            )
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("event_type"),
+                F.col("m.value").alias("value"),
+            )
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark  # session from closure; batch_df.sparkSession in cluster code
+        latest_new = keep_latest(
+            batch_df.select("user_id", "ts", "event_id", "event_type", "value")
+        )
+        if state_paths:
+            prev = s.read.parquet(state_paths[-1])
+            merged = keep_latest(prev.unionByName(latest_new))
+        else:
+            merged = latest_new
+        out = f"{base}/state_{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state_paths.append(out)
+
+    q = (
+        _bounded_event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    q.stop()
+    final = spark.read.parquet(state_paths[-1])
+    return final.select(
+        "user_id",
+        _ntz("ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    ).withColumnRenamed("ts", "last_ts")
