@@ -622,3 +622,33 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     ).withColumnRenamed("ts", "last_ts")
+
+
+@register(
+    "stream_dedup_union",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest under at-least-once delivery, driver-attested:
+    the same source is fed TWICE (union of two independent file streams
+    over one directory — every event arrives at least twice, split
+    across microbatches) and ``dropDuplicatesWithinWatermark`` on
+    event_id must emit each exactly once. Append mode emits on first
+    sight; the drained sink must equal the plain distinct-events oracle.
+
+    This is the idempotent-ingest half of the exactly-once story (the
+    checkpointed-offset half is tests/test_streaming.py's restart
+    tests). State is one key per event inside the watermark horizon —
+    production bounds it with the real lateness window; the verification
+    drain uses the wider-than-dataset watermark like the other bounded
+    drains (see _VERIFY_WATERMARK)."""
+    a = _bounded_event_stream(spark, sf_dir).withWatermark("ts", _VERIFY_WATERMARK)
+    b = _bounded_event_stream(spark, sf_dir).withWatermark("ts", _VERIFY_WATERMARK)
+    deduped = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
+    return _drain_to_memory(
+        deduped.select("event_id", "user_id", "event_type", "value"),
+        "stream_dedup",
+        mode="append",
+    )
