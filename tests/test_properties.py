@@ -485,3 +485,137 @@ def test_heavy_hitter_local_threshold_is_superset(toks, cuts):
             if c * HH_DENOM >= rows:
                 candidates.add(t)
     assert true_hh <= candidates
+
+
+# --------------------------------------------------------------------------
+# Bloom decontamination: no false negatives for ANY train/eval corpus —
+# pure-Python replication of the md5 bit positions (the exact logic in
+# operators/llm_extras.py bloom_decontamination_audit).
+# --------------------------------------------------------------------------
+
+def _bloom_positions(text: str, k: int, m: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"b{i}:{text}".encode()).hexdigest()[:12], 16) % m
+        for i in range(k)
+    ]
+
+
+bloom_texts = st.lists(st.text("abcd ", min_size=0, max_size=8), min_size=1, max_size=30)
+
+
+@given(train=bloom_texts, eval_=bloom_texts)
+@settings(max_examples=100, deadline=None)
+def test_bloom_no_false_negatives_pure(train, eval_):
+    from deg04_local_data_lake_spark.operators.llm_extras import BLOOM_K, BLOOM_M
+
+    bits = set()
+    for t in train:
+        bits.update(_bloom_positions(t, BLOOM_K, BLOOM_M))
+    for e in eval_:
+        if e in set(train):  # exact member ⇒ all its bits are set
+            assert all(p in bits for p in _bloom_positions(e, BLOOM_K, BLOOM_M))
+
+
+# --------------------------------------------------------------------------
+# Count-min: estimate ≥ exact for any key set, and cell-wise SUM of
+# per-partition sketches equals the whole sketch, for ANY partitioning —
+# pure-Python replication of the md5 bucket (operators/sketches.py).
+# --------------------------------------------------------------------------
+
+def _cm_bucket(d: int, key: int, width: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"cm{d}:{key}".encode()).hexdigest()[:12], 16) % width
+
+
+cm_keys = st.lists(st.integers(0, 9), min_size=1, max_size=60)
+cm_cut = st.integers(0, 59)
+
+
+@given(keys=cm_keys, cut=cm_cut)
+@settings(max_examples=100, deadline=None)
+def test_cm_sketch_invariants_pure(keys, cut):
+    from collections import Counter
+
+    from deg04_local_data_lake_spark.operators.sketches import CM_DEPTH, CM_WIDTH
+
+    def cells(ks):
+        c: dict = {}
+        for k in ks:
+            for d in range(CM_DEPTH):
+                cell = (d, _cm_bucket(d, k, CM_WIDTH))
+                c[cell] = c.get(cell, 0) + 1
+        return c
+
+    whole = cells(keys)
+    # merge = cell-wise sum over any split
+    lo, hi = cells(keys[: min(cut, len(keys))]), cells(keys[min(cut, len(keys)):])
+    merged: dict = dict(lo)
+    for cell, n in hi.items():
+        merged[cell] = merged.get(cell, 0) + n
+    assert merged == whole
+    # never undercount
+    exact = Counter(keys)
+    for k, n in exact.items():
+        est = min(whole[(d, _cm_bucket(d, k, CM_WIDTH))] for d in range(CM_DEPTH))
+        assert est >= n
+
+
+# --------------------------------------------------------------------------
+# SCD2 temporal join: the half-open version intervals partition each
+# user's timeline, so EVERY fact at/after the user's first change matches
+# exactly ONE version — for any event set, including equal-timestamp
+# changes (zero-length versions match nothing).
+# --------------------------------------------------------------------------
+
+scd_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # user
+        st.integers(0, 5),          # coarse ts (collisions likely)
+        st.sampled_from(["a", "b", "p"]),  # state stream incl. 'p' facts
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(ev=scd_events)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_interval_partition_unique_match(spark, ev):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, u, datetime.datetime(2024, 1, 1, 0, t), typ)
+        for i, (u, t, typ) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    w_rows = df.collect()
+    # reference: per user, ordered changes (compact consecutive dups)
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in sorted(w_rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        per_user[r.user_id].append(r)
+    SENTINEL = datetime.datetime(2099, 1, 1)
+    versions = defaultdict(list)  # user -> [(from, to)]
+    for u, rs in per_user.items():
+        changes = []
+        prev = None
+        for r in rs:
+            if prev is None or r.event_type != prev:
+                changes.append(r)
+            prev = r.event_type
+        for i, c in enumerate(changes):
+            end = changes[i + 1].ts if i + 1 < len(changes) else SENTINEL
+            versions[u].append((c.ts, end))
+    # property: every event matches exactly one [from, to) interval
+    for r in w_rows:
+        n = sum(1 for lo, hi in versions[r.user_id] if lo <= r.ts < hi)
+        assert n == 1, (r, versions[r.user_id])
