@@ -463,3 +463,41 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _riw_daily
         """
     )
+
+
+@register(
+    "sql_parameterized_entry",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_high,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice >= 100000.0
+GROUP BY 1
+""",
+)
+def sql_parameterized_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL entry (the injection-safe upgrade of the
+    reference's string-built ``spark.sql`` EP2): the statement text is a
+    constant with ``:name`` markers and values bind through
+    ``EXECUTE IMMEDIATE … USING``, so user input can never splice into
+    the SQL — the same plan as the literal query (parameters fold to
+    constants before optimization; pushdown and pruning are unaffected).
+    ``spark.sql(sql, args={...})`` is the equivalent host-language
+    binding, used throughout the tests."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "deg04_param_orders"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_high,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM deg04_param_orders
+           WHERE o_totalprice >= :min_price
+           GROUP BY o_orderpriority'
+        USING 100000.0 AS min_price
+        """
+    )
