@@ -501,3 +501,52 @@ def sql_parameterized_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 100000.0 AS min_price
         """
     )
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0.00
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       (SELECT avg_bal FROM thr) AS threshold
+FROM customer, thr
+WHERE CAST(c_acctbal AS DOUBLE) > thr.avg_bal
+GROUP BY c_mktsegment
+""",
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (BEGIN…END compound): DECLARE a session variable,
+    SET it from a scalar subquery, then use it in the result query — the
+    procedural two-step ("compute a data-driven threshold, then apply
+    it") that the reference scripts in Python driver code, expressed
+    entirely in SQL. The threshold is an exact-decimal mean cast to
+    double once, so both engines compare the identical value. Each
+    statement still plans through Catalyst individually; the script only
+    sequences them — nothing becomes driver-side row iteration."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "deg04_script_customer"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_bal DOUBLE;
+          SET avg_bal = (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+                        AS DOUBLE)
+            FROM deg04_script_customer WHERE c_acctbal > 0.00
+          );
+          SELECT c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS n_above,
+                 avg_bal AS threshold
+          FROM deg04_script_customer
+          WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+          GROUP BY c_mktsegment;
+        END
+        """
+    )
