@@ -23,10 +23,10 @@ stories the way a production lakehouse needs them:
 
 Scale notes: every query here is one or two window passes partitioned by a
 high-cardinality key (user_id / custkey) plus hash aggregates — shuffles
-are keyed, partial-aggregated, and skew-neutral. The one exception is
-``rfm_segments``'s global NTILE (a total order): at 100 TB replace it with
-approx-quantile cutpoints broadcast to a map-side bucket lookup — noted in
-the docstring; the quartile *semantics* stay identical.
+are keyed, partial-aggregated, and skew-neutral. ``rfm_segments``'s three
+NTILE(4)s run the distributed bucketed rank selection
+(``operators/rankdist``, approx-quantile cutpoints + exact refine) over a
+persisted per-customer base — no global sort anywhere.
 """
 
 from __future__ import annotations
@@ -182,8 +182,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot is derived deterministically in-query — see
     ``_NEW_SNAPSHOT_SQL``). Emits I/U/D ops with old/new column pairs."""
     cust = load_table(spark, sf_dir, "customer")
+    return snapshot_diff(cust, _derived_snapshot(cust), "c_custkey")
+
+
+def _derived_snapshot(cust: DataFrame) -> DataFrame:
+    """The deterministic 'new snapshot' of customer (`_NEW_SNAPSHOT_SQL`
+    as DataFrame ops): drop every 97th key, bump+retag every 13th,
+    insert a shifted copy of every 89th."""
     is_upd = F.col("c_custkey") % 13 == 0
-    new_snap = cust.filter(F.col("c_custkey") % 97 != 0).select(
+    return cust.filter(F.col("c_custkey") % 97 != 0).select(
         "c_custkey",
         "c_name",
         "c_nationkey",
@@ -198,7 +205,57 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ONBOARD").alias("c_mktsegment"),
         )
     )
-    return snapshot_diff(cust, new_snap, "c_custkey")
+
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH new_snap AS ({_NEW_SNAPSHOT_SQL}),
+diff AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN n.c_custkey IS NULL THEN 'D'
+              WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name)
+                OR NOT (o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey)
+                OR NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+                OR NOT (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+              THEN 'U' END AS op,
+         o.c_name AS old_c_name, o.c_nationkey AS old_c_nationkey,
+         o.c_acctbal AS old_c_acctbal, o.c_mktsegment AS old_c_mktsegment,
+         n.c_name AS new_c_name, n.c_nationkey AS new_c_nationkey,
+         n.c_acctbal AS new_c_acctbal, n.c_mktsegment AS new_c_mktsegment
+  FROM customer o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+)
+SELECT * FROM diff WHERE op IS NOT NULL
+"""
+
+
+@register("time_travel_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel, driver-attested: write customer
+    as snapshot v1, write the derived new snapshot as v2
+    (``sources.writers.write_versioned`` — atomic manifest publish), then
+    diff ``read_versioned(path, 1)`` (explicit TIME TRAVEL to the pinned
+    version) against ``read_versioned(path)`` (manifest latest). The
+    emitted I/U/D feed must equal the in-query snapshot diff — proving
+    the versioned write/read round-trip is lossless and the manifest
+    points where it should. A fresh table dir per invocation keeps the
+    version numbers (1, 2) invocation-independent. With Delta jars this
+    whole mechanism is ``VERSION AS OF``; the manifest scheme is the
+    same contract on plain parquet."""
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.writers import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_time_travel_")
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = write_versioned(cust, path)
+    v2 = write_versioned(_derived_snapshot(cust), path)
+    assert (v1, v2) == (1, 2)
+    old = read_versioned(spark, path, 1)   # time travel: pinned version
+    cur = read_versioned(spark, path)      # manifest latest (= v2)
+    return snapshot_diff(old, cur, "c_custkey")
 
 
 @register(
