@@ -190,3 +190,73 @@ def cube_returnflag_status(spark, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+ZORDER_BITS = 8
+
+
+def _zorder_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB twin of sources.writers.zorder_key: bit i of a → 2i, bit i
+    of b → 2i+1. Non-overlapping targets, so + is |."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} & {1 << i}) * {1 << i})")
+        terms.append(f"(({b} & {1 << i}) * {1 << (i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_locality_audit",
+    oracle=f"""
+WITH keyed AS (
+  SELECT o_custkey % 256 AS a,
+         CAST(epoch(CAST(o_orderdate AS DATE)) / 86400 AS BIGINT) % 256 AS b
+  FROM orders
+),
+z AS (SELECT a, b, {_zorder_sql('a', 'b')} AS zkey FROM keyed)
+SELECT zkey // 1024 AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(a) AS min_a, MAX(a) AS max_a, MAX(a) - MIN(a) AS span_a,
+       MIN(b) AS min_b, MAX(b) AS max_b, MAX(b) - MIN(b) AS span_b
+FROM z GROUP BY 1
+""",
+)
+def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve locality, measured: interleave two 8-bit keys with the
+    REAL write-path expression (``sources.writers.zorder_key`` — the
+    format-agnostic core of Delta's OPTIMIZE ZORDER) and aggregate each
+    contiguous z-range's bounding box. Every 1024-wide z-bucket covers a
+    small square in BOTH dimensions (span_a and span_b ≤ 31 for 8-bit
+    keys, vs a 1-D sort where the non-sort dimension's span is the full
+    256) — exactly the property that lets parquet min/max file stats
+    prune predicates on EITHER column of a z-ordered layout. Map-only
+    bit arithmetic + one low-cardinality aggregate; the oracle replicates
+    the interleave bit-for-bit."""
+    from deg04_local_data_lake_spark.sources.writers import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_custkey") % 256).alias("a"),
+        (
+            (
+                F.col("o_orderdate").cast("date").cast("timestamp").cast("long")
+                / 86400
+            ).cast("bigint")
+            % 256
+        ).alias("b"),
+    )
+    z = keyed.withColumn(
+        "zkey", zorder_key(F.col("a"), F.col("b"), ZORDER_BITS)
+    )
+    return (
+        z.groupBy((F.col("zkey") / 1024).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            (F.max("a") - F.min("a")).alias("span_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+        )
+    )
