@@ -260,3 +260,47 @@ def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("b") - F.min("b")).alias("span_b"),
         )
     )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(16 AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after
+FROM events GROUP BY 1
+""",
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip, driver-attested: fragment the
+    events table into 16 small files (the CDC-microbatch accumulation
+    shape), run ``sources.writers.compact_table`` (side-dir rewrite +
+    two-rename atomic swap — with Delta jars this is OPTIMIZE), and
+    aggregate the COMPACTED table. Content surviving the rewrite
+    bit-exactly is the parity check; the before/after file counts ride
+    along as asserted constants (16 fragments → 1 file at this scale,
+    ⌈bytes/target⌉ in general) so a silent change in write fan-out or
+    compaction math breaks the hash."""
+    import glob
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.writers import compact_table
+
+    path = tempfile.mkdtemp(prefix="deg04_compact_") + "/events"
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(16).write.mode("overwrite").parquet(path)
+    files_before = len(glob.glob(f"{path}/part-*"))
+    compact_table(spark, path)
+    files_after = len(glob.glob(f"{path}/part-*"))
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .withColumn("files_before", F.lit(files_before).cast("bigint"))
+        .withColumn("files_after", F.lit(files_after).cast("bigint"))
+    )
