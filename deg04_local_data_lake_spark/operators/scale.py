@@ -304,3 +304,55 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_before", F.lit(files_before).cast("bigint"))
         .withColumn("files_after", F.lit(files_after).cast("bigint"))
     )
+
+
+@register(
+    "restore_rollback_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       CAST(3 AS BIGINT) AS versions_written,
+       CAST(1 AS BIGINT) AS restored_to,
+       CAST(1 AS BIGINT) AS versions_vacuumed
+FROM customer GROUP BY 1
+""",
+)
+def restore_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + VACUUM on the versioned-snapshot layer, driver-attested:
+    write customer as v1, two derived snapshots as v2/v3, roll the
+    manifest back to v1 (``rollback_versioned`` — Delta RESTORE), vacuum
+    old snapshots (keeping the restored one: ``vacuum_versioned`` never
+    drops the manifest target), and aggregate the manifest-latest read.
+    The result must equal the ORIGINAL table — restore actually restored,
+    vacuum didn't eat the restored version — with the version bookkeeping
+    riding along as asserted constants so a manifest bug breaks the hash."""
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.writers import (
+        read_versioned,
+        rollback_versioned,
+        vacuum_versioned,
+        write_versioned,
+    )
+    from deg04_local_data_lake_spark.operators.lakehouse import _derived_snapshot
+
+    path = tempfile.mkdtemp(prefix="deg04_restore_") + "/customer"
+    cust = load_table(spark, sf_dir, "customer")
+    write_versioned(cust, path)
+    snap2 = _derived_snapshot(cust)
+    write_versioned(snap2, path)
+    v3 = write_versioned(_derived_snapshot(snap2), path)
+    rollback_versioned(path, 1)
+    doomed = vacuum_versioned(path, keep_last=1)  # keeps v3 AND the manifest's v1
+    return (
+        read_versioned(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .withColumn("versions_written", F.lit(v3).cast("bigint"))
+        .withColumn("restored_to", F.lit(1).cast("bigint"))
+        .withColumn("versions_vacuumed", F.lit(len(doomed)).cast("bigint"))
+    )
