@@ -356,3 +356,64 @@ def restore_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("restored_to", F.lit(1).cast("bigint"))
         .withColumn("versions_vacuumed", F.lit(len(doomed)).cast("bigint"))
     )
+
+
+@register(
+    "pyds_ticks_scan",
+    oracle="""
+WITH grid AS (
+  SELECT t.ticker, d.day, s.seq
+  FROM (SELECT unnest(['AAPL', 'MSFT', 'GOOG']) AS ticker) t,
+       (SELECT unnest(generate_series(0, 4)) AS day) d,
+       (SELECT unnest(generate_series(0, 9)) AS seq) s
+  WHERE d.day IN (1, 3)
+),
+ticks AS (
+  SELECT day, ticker,
+         100.0 + (('0x' || substr(md5(ticker || ':' || day || ':' || seq),
+                                  1, 8))::BIGINT % 10000) / 100.0 AS price,
+         1000 + ('0x' || substr(md5(ticker || ':' || day || ':' || seq),
+                                9, 8))::BIGINT % 100000 AS volume
+  FROM grid
+)
+SELECT ticker, day,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(volume) AS BIGINT) AS total_volume
+FROM ticks GROUP BY 1, 2
+""",
+)
+def pyds_ticks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API), driver-attested:
+    ``spark.read.format("deg04_ticks")`` fans out one InputPartition per
+    trading day and the ``day IN (1, 3)`` predicate reaches
+    ``pushFilters`` — three of five day-partitions are never generated
+    (source-side pruning, the contract a vendor-SDK wrapper needs). The
+    tick stream is md5-derived, so the DuckDB oracle regenerates the
+    exact rows the partitions emit: the hash match proves the custom
+    source's partition fan-out, filter pushdown, and row generation all
+    agree with the spec. Money sums ride exact decimals."""
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import TicksDataSource
+
+    ensure_workers_can_import(spark)
+    try:
+        spark.dataSource.register(TicksDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("deg04_ticks")
+        .option("days", 5)
+        .option("rowsperday", 10)
+        .load()
+        .filter(F.col("day").isin(1, 3))
+    )
+    return df.groupBy("ticker", "day").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum("volume").alias("total_volume"),
+    )

@@ -68,7 +68,10 @@ class TicksReader(DataSourceReader):
             if isinstance(f, EqualTo) and f.attribute == ("day",):
                 self.days = [d for d in self.days if d == f.value]
             elif isinstance(f, In) and f.attribute == ("day",):
-                self.days = [d for d in self.days if d in f.values]
+                # In.value is the tuple of values (the dataclass field is
+                # singular); `.values` raised and silently disabled IN
+                # pruning until the oracle query exercised it
+                self.days = [d for d in self.days if d in f.value]
             elif isinstance(f, EqualTo) and f.attribute == ("ticker",):
                 self.tickers = [t for t in self.tickers if t == f.value]
             else:
