@@ -417,3 +417,48 @@ def pyds_ticks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.sum("volume").alias("total_volume"),
     )
+
+
+@register(
+    "observed_write_audit",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS observed_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS observed_value,
+       CAST(COUNT(*) AS BIGINT) AS reread_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS reread_value
+FROM events
+""",
+)
+def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight write audit (``df.observe`` → ``Observation``),
+    driver-attested: quality metrics accumulate on the executors WHILE
+    the rows stream to the sink — zero extra scans — and the query emits
+    them beside a full re-read aggregate of the written table. All four
+    columns hash-matching the source oracle proves (a) the observed
+    metrics describe exactly what was written, and (b) the write was
+    lossless; at 100 TB you keep (a) and drop the re-read — that is the
+    point of observing in-flight."""
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.writers import write_observed
+
+    path = tempfile.mkdtemp(prefix="deg04_observed_") + "/events"
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    m = write_observed(
+        ev,
+        path,
+        {
+            "n": F.count(F.lit(1)),
+            "v": F.sum(dec("value")).cast("double"),
+        },
+    )
+    reread = spark.read.parquet(path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("reread_rows"),
+        F.sum(dec("value")).cast("double").alias("reread_value"),
+    )
+    return reread.select(
+        F.lit(m["n"]).cast("bigint").alias("observed_rows"),
+        F.lit(m["v"]).cast("double").alias("observed_value"),
+        "reread_rows",
+        "reread_value",
+    )
