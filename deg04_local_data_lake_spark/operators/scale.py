@@ -399,6 +399,9 @@ def pyds_ticks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deg04_local_data_lake_spark.sources.pyds import TicksDataSource
 
     ensure_workers_can_import(spark)
+    # the session factory enables this; a vanilla driver session may not —
+    # without it, a reader implementing pushFilters() refuses to plan
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(TicksDataSource)
     except Exception:
