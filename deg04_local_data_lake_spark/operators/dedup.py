@@ -970,7 +970,12 @@ def prefix_jaccard_pairs(
         )
     )
 
-    prefix_len = F.col("n") - F.floor(F.lit(t) * F.col("n")).cast("int")
+    # p = n − ⌈t·n⌉ + 1 (Chaudhuri et al.): a pair with J ≥ t shares ≥
+    # ⌈t·max(n_a,n_b)⌉ tokens, so prefixes of the first p rarest tokens
+    # MUST intersect. n − floor(t·n) is the same number except when t·n
+    # is an integer — there it is one SHORT and drops boundary pairs
+    # with Jaccard exactly t (hypothesis found {a} vs {a,b} at t=0.5).
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
     pref = ordered.select(
         "doc_id",
         "n",

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from deg04_local_data_lake_spark.operators.asof import asof_join
@@ -362,6 +362,9 @@ corpus = st.lists(
 
 
 @given(docs=corpus, t=st.sampled_from([0.3, 0.5, 0.6, 0.8]))
+# regression pin: Jaccard EXACTLY t with t·n integer — the boundary where
+# the old n − floor(t·n) prefix length was one token short
+@example(docs=[["a"], ["a", "b"]], t=0.5)
 @settings(**_SETTINGS)
 def test_prefix_jaccard_lossless_vs_bruteforce(spark, docs, t):
     """Prefix filtering must be LOSSLESS: the pair set equals brute-force
