@@ -206,3 +206,109 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gross"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+
+
+@register(
+    "directory_ingest_manifest",
+    oracle="""
+SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'region', COUNT(*) FROM region
+""",
+)
+def directory_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — directory → multi-table ingest, driver-attested: four tables
+    are exported as ``*.csv`` into one folder, ``ingest_csv_directory``
+    discovers them by file stem (the reference's multi-table loop,
+    ``custom/delta_table_write.py:49-56``), and the query emits one
+    manifest row per discovered table with its ingested row count. A
+    table lost in discovery or rows lost in the CSV round-trip break the
+    hash. The per-table counts union via a driver-side loop over a
+    4-entry dict — the LISTING is driver-side (tiny); each count is a
+    distributed job."""
+    import os
+
+    from deg04_local_data_lake_spark.sources.readers import (
+        ingest_csv_directory,
+    )
+
+    folder = _csv_path(sf_dir, "multi_table_dir")
+    for t in ("customer", "nation", "orders", "region"):
+        (
+            load_table(spark, sf_dir, t)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(os.path.join(folder, f"_{t}_staging"))
+        )
+        # Spark writes a directory; the ingest loop expects name.csv files
+    # consolidate each staged dir into a single name.csv file
+    import glob
+    import shutil
+
+    for t in ("customer", "nation", "orders", "region"):
+        staged = os.path.join(folder, f"_{t}_staging")
+        parts = sorted(glob.glob(os.path.join(staged, "part-*.csv")))
+        dest = os.path.join(folder, f"{t}.csv")
+        with open(dest, "wb") as out:
+            for i, p in enumerate(parts):
+                with open(p, "rb") as src:
+                    if i > 0:
+                        src.readline()  # drop repeated header
+                    shutil.copyfileobj(src, out)
+        shutil.rmtree(staged)
+
+    tables = ingest_csv_directory(spark, folder, header=True, infer_schema=True)
+    manifest = None
+    for name in sorted(tables):
+        row = tables[name].agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        manifest = row if manifest is None else manifest.unionByName(row)
+    return manifest
+
+
+@register(
+    "catalog_external_table_scan",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def catalog_external_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D3/S4 — catalog-addressed scan of an external table,
+    driver-attested: CREATE DATABASE + CREATE TABLE … USING parquet
+    LOCATION over the existing lake files (the reference's bronze DDL,
+    ``financial_dl_bronze.py:8,14-29``), then read through
+    ``spark.table`` — the catalog name, not the path. The location
+    points at the SAME files every path-addressed query scans, so the
+    hash match proves catalog resolution adds nothing and loses nothing.
+    DDL is idempotent (IF NOT EXISTS + DROP first) because the driver
+    may invoke the query repeatedly in one session."""
+    from deg04_local_data_lake_spark.sources import catalog as cat
+
+    cat.create_database(spark, "deg04_extcat")
+    cat.drop_table(spark, "deg04_extcat.orders_ext")
+    cat.create_table(
+        spark,
+        "deg04_extcat.orders_ext",
+        {
+            "o_orderkey": "bigint",
+            "o_custkey": "bigint",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderdate": "timestamp_ntz",
+            "o_orderpriority": "string",
+        },
+        location=f"{sf_dir}/orders.parquet",
+    )
+    df = spark.table("deg04_extcat.orders_ext")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
