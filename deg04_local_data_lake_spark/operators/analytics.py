@@ -1292,3 +1292,117 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("hhi"),
     )
+
+
+@register(
+    "local_clustering_topk",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+und AS (
+  SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY 1),
+tri AS (
+  -- each triangle at node v appears ONCE as an ordered neighbor pair
+  SELECT n.s AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und n
+  JOIN und m ON m.s = n.s AND n.d < m.d
+  JOIN edges e ON e.u = n.d AND e.v = m.d
+  GROUP BY n.s
+)
+SELECT d.node, d.degree,
+       coalesce(t.n_triangles * 2, 0) AS n_triangles_x2,
+       CAST(coalesce(t.n_triangles * 2, 0) AS DOUBLE)
+         / (d.degree * (d.degree - 1)) AS local_cc
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.degree > 1
+ORDER BY local_cc DESC, d.node
+LIMIT 20
+""",
+)
+def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient, top-20 — the node-level
+    refinement of ``triangle_count``'s global coefficient (which node's
+    neighborhood is closest to a clique). Triangles are enumerated ONCE
+    via the same degree-ordered orientation (each triangle as exactly one
+    (src→mid, mid→dst, src→dst) wedge closure), then credited to all
+    three corners by unioning the three corner projections — at 100 TB
+    this is the same bounded wedge join as the global count plus one
+    low-cardinality aggregate, never a per-node neighborhood expansion.
+    local_cc = 2·triangles(v) / (deg(v)·(deg(v)−1)); the numerator is
+    kept as the exact integer ``n_triangles_x2`` and the division is one
+    double op — bitwise cross-engine. Oracle recomputes per-node
+    triangles from the naive neighbor-pair join; the hash match proves
+    the oriented enumeration credits corners exactly. Ties rank by node
+    id; TakeOrderedAndProject, no global sort."""
+    from deg04_local_data_lake_spark.caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = persist_tracked(
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_first = (F.col("du.degree") < F.col("dv.degree")) | (
+        (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
+    )
+    oriented = persist_tracked(
+        edges.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    packed = oriented.select(
+        (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("code")
+    )
+    tri_corners = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            packed,
+            F.col("code") == F.shiftleft(F.col("e1.src"), 32) + F.col("e2.dst"),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    per_node = (
+        tri_corners.select(F.col("a").alias("node"))
+        .unionAll(tri_corners.select(F.col("b").alias("node")))
+        .unionAll(tri_corners.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg((F.count(F.lit(1)) * 2).alias("n_triangles_x2"))
+    )
+    return (
+        deg.filter(F.col("degree") > 1)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles_x2", F.lit(0)).cast("bigint").alias("n_triangles_x2"),
+            (
+                F.coalesce("n_triangles_x2", F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("local_cc"),
+        )
+        .orderBy(F.col("local_cc").desc(), "node")
+        .limit(20)
+    )
