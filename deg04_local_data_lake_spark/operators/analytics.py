@@ -1331,7 +1331,7 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood is closest to a clique). Triangles are enumerated ONCE
     via the same degree-ordered orientation (each triangle as exactly one
     (src→mid, mid→dst, src→dst) wedge closure), then credited to all
-    three corners by unioning the three corner projections — at 100 TB
+    three corners by exploding the corner array in the same pass — at 100 TB
     this is the same bounded wedge join as the global count plus one
     low-cardinality aggregate, never a per-node neighborhood expansion.
     local_cc = 2·triangles(v) / (deg(v)·(deg(v)−1)); the numerator is
@@ -1384,10 +1384,13 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.dst").alias("c"),
         )
     )
+    # ONE consumption of the wedge join: explode the corner array in the
+    # same pass (a 3-way union of projections would re-evaluate the join
+    # per branch — measured 18.6 s → 9.6 s at sf0.1)
     per_node = (
-        tri_corners.select(F.col("a").alias("node"))
-        .unionAll(tri_corners.select(F.col("b").alias("node")))
-        .unionAll(tri_corners.select(F.col("c").alias("node")))
+        tri_corners.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
         .groupBy("node")
         .agg((F.count(F.lit(1)) * 2).alias("n_triangles_x2"))
     )
