@@ -19,10 +19,13 @@ in tests).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
+_INVALIDATE: list[Callable[[], None]] = []
 
 
 def persist_tracked(
@@ -32,6 +35,17 @@ def persist_tracked(
     out = df.persist(level)
     _PERSISTED.append(out)
     return out
+
+
+def on_release(cb: Callable[[], None]) -> None:
+    """Register a callback run by :func:`release_caches` — for modules
+    that MEMOIZE persisted DataFrames (e.g. the shared triangle subtree):
+    after an unpersist their memo would silently hand out unpersisted
+    frames, so the memo must be dropped together with the cache.
+    Registration is idempotent; callbacks stay registered for the
+    session lifetime."""
+    if cb not in _INVALIDATE:
+        _INVALIDATE.append(cb)
 
 
 def release_caches() -> int:
@@ -44,4 +58,6 @@ def release_caches() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
+    for cb in _INVALIDATE:
+        cb()
     return n

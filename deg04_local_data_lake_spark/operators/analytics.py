@@ -885,6 +885,98 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) → (edges, deg, oriented) for the part
+#: co-purchase graph. ``triangle_count`` and ``local_clustering_topk``
+#: consume the SAME persisted frames in-session — without the memo each
+#: rebuilt its own copies under different column aliases, which defeats
+#: Spark's canonical-plan cache lookup and re-runs the expensive
+#: self-join + orientation (measured ~8 s + ~6.6 s rebuilt separately
+#: at sf0.1 in the r3 wide bench).
+_TRI_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _drop_tri_cache() -> None:
+    _TRI_CACHE.clear()
+
+
+def _co_purchase_oriented(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build (edges, deg, corners) for the part co-purchase graph, once
+    per (session, sf_dir), all persist_tracked:
+
+    - ``edges``: canonical u<v co-purchase pairs (orderkey self-join,
+      co-partitioned, distinct);
+    - ``deg`` (node, degree): undirected degrees;
+    - ``corners`` (a, b, c): one row per triangle in (degree, id)
+      orientation order, from the degree-ordered wedge join — every
+      node's out-degree is O(√m), so the enumeration is Σ outdeg(v)²
+      (the standard super-node mitigation)."""
+    from deg04_local_data_lake_spark.caching import on_release, persist_tracked
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRI_CACHE:
+        return _TRI_CACHE[key]
+    if not _TRI_CACHE:
+        on_release(_drop_tri_cache)  # memo dies with its persisted frames
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    edges = persist_tracked(
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_first = (F.col("du.degree") < F.col("dv.degree")) | (
+        (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
+    )
+    oriented = persist_tracked(
+        edges.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    # closing-edge check on a SINGLE packed key (src<<32 | dst): one hash
+    # column instead of a two-column join — measured 5.6× faster on the
+    # wedge-join stage at sf0.1, same result. Packing is valid while node
+    # ids < 2^31 (partkeys well inside; past ~2 B ids revert to the
+    # two-column conjunction). The corner frame (one row per triangle,
+    # three bigints) is persisted too: the wedge join is the dominant
+    # cost, and both consumers reduce the SAME corners — the global count
+    # aggregates them, the local coefficients explode them. A single
+    # standalone query at extreme scale can skip this persist and stream
+    # the corners straight into its aggregate.
+    packed = oriented.select(
+        (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("code")
+    )
+    corners = persist_tracked(
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            packed,
+            F.col("code") == F.shiftleft(F.col("e1.src"), 32) + F.col("e2.dst"),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    _TRI_CACHE[key] = (edges, deg, corners)
+    return edges, deg, corners
+
+
 @register(
     "triangle_count",
     oracle="""
@@ -934,57 +1026,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested loops (allowlisted: 1-row frames, constant cost).
 
     Cache lifecycle: the edge/oriented persists are registered with
-    ``caching.persist_tracked``; harnesses release them via
-    ``caching.release_caches()``."""
-    from deg04_local_data_lake_spark.caching import persist_tracked
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    # the canonical edge list feeds three consumers (degree build,
-    # orientation join, edge count); persist so the self-join+distinct
-    # runs once — measured 18.8s → ~6s at sf0.1 pre-orientation.
-    edges = persist_tracked(
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    u_first = (F.col("du.d") < F.col("dv.d")) | (
-        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
-    )
-    oriented = persist_tracked(
-        edges.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    # closing-edge check on a SINGLE packed key (src<<32 | dst): one hash
-    # column instead of a two-column join — measured 5.6× faster on the
-    # wedge-join stage at sf0.1, same count. Packing is valid while node
-    # ids < 2^31 (partkeys well inside; past ~2 B ids revert to the
-    # two-column conjunction).
-    packed = oriented.select(
-        (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("code")
-    )
-    tri = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
-        .select((F.shiftleft(F.col("e1.src"), 32) + F.col("e2.dst")).alias("code"))
-        .join(packed, "code")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    ``caching.persist_tracked`` (built once per session via
+    ``_co_purchase_oriented``, shared with ``local_clustering_topk``);
+    harnesses release them via ``caching.release_caches()``."""
+    edges, deg, corners = _co_purchase_oriented(spark, sf_dir)
+    tri = corners.agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_wedges"),
+        F.sum(F.expr("(degree * (degree - 1)) DIV 2")).alias("n_wedges"),
     )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
@@ -1339,51 +1388,10 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double op — bitwise cross-engine. Oracle recomputes per-node
     triangles from the naive neighbor-pair join; the hash match proves
     the oriented enumeration credits corners exactly. Ties rank by node
-    id; TakeOrderedAndProject, no global sort."""
-    from deg04_local_data_lake_spark.caching import persist_tracked
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    edges = persist_tracked(
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    u_first = (F.col("du.degree") < F.col("dv.degree")) | (
-        (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
-    )
-    oriented = persist_tracked(
-        edges.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    packed = oriented.select(
-        (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("code")
-    )
-    tri_corners = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
-        .join(
-            packed,
-            F.col("code") == F.shiftleft(F.col("e1.src"), 32) + F.col("e2.dst"),
-        )
-        .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
-        )
-    )
+    id; TakeOrderedAndProject, no global sort. The edge/degree/corner
+    frames are the session-shared persisted subtree of ``triangle_count``
+    (``_co_purchase_oriented``) — running both costs ONE wedge join."""
+    edges, deg, tri_corners = _co_purchase_oriented(spark, sf_dir)
     # ONE consumption of the wedge join: explode the corner array in the
     # same pass (a 3-way union of projections would re-evaluate the join
     # per branch — measured 18.6 s → 9.6 s at sf0.1)

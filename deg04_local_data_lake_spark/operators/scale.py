@@ -269,7 +269,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        CAST(16 AS BIGINT) AS files_before,
-       CAST(1 AS BIGINT) AS files_after
+       TRUE AS files_as_expected
 FROM events GROUP BY 1
 """,
 )
@@ -279,31 +279,51 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), run ``sources.writers.compact_table`` (side-dir rewrite +
     two-rename atomic swap — with Delta jars this is OPTIMIZE), and
     aggregate the COMPACTED table. Content surviving the rewrite
-    bit-exactly is the parity check; the before/after file counts ride
-    along as asserted constants (16 fragments → 1 file at this scale,
-    ⌈bytes/target⌉ in general) so a silent change in write fan-out or
-    compaction math breaks the hash."""
+    bit-exactly is the parity check. ``files_before`` is 16 by
+    construction (we fragment with ``repartition(16)``); the after-count
+    is asserted as the INVARIANT ``files_after == ⌈bytes/target⌉`` rather
+    than a literal, so the query stays green at any scale factor (at
+    sf0.01 that's 1 file; at larger SFs it grows with the data, which a
+    hardcoded constant would spuriously fail)."""
     import glob
+    import math
+    import os
+    import shutil
     import tempfile
 
     from deg04_local_data_lake_spark.sources.writers import compact_table
 
-    path = tempfile.mkdtemp(prefix="deg04_compact_") + "/events"
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    ev.repartition(16).write.mode("overwrite").parquet(path)
-    files_before = len(glob.glob(f"{path}/part-*"))
-    compact_table(spark, path)
-    files_after = len(glob.glob(f"{path}/part-*"))
-    return (
-        spark.read.parquet(path)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+    base = tempfile.mkdtemp(prefix="deg04_compact_")
+    path = base + "/events"
+    target = 128 * 1024 * 1024
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        ev.repartition(16).write.mode("overwrite").parquet(path)
+        files_before = len(glob.glob(f"{path}/part-*"))
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
         )
-        .withColumn("files_before", F.lit(files_before).cast("bigint"))
-        .withColumn("files_after", F.lit(files_after).cast("bigint"))
-    )
+        expected_after = max(1, math.ceil(size / target))
+        compact_table(spark, path, target_file_bytes=target)
+        files_after = len(glob.glob(f"{path}/part-*"))
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+            .withColumn("files_before", F.lit(files_before).cast("bigint"))
+            .withColumn(
+                "files_as_expected", F.lit(files_after == expected_after)
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
@@ -337,25 +357,32 @@ def restore_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from deg04_local_data_lake_spark.operators.lakehouse import _derived_snapshot
 
-    path = tempfile.mkdtemp(prefix="deg04_restore_") + "/customer"
-    cust = load_table(spark, sf_dir, "customer")
-    write_versioned(cust, path)
-    snap2 = _derived_snapshot(cust)
-    write_versioned(snap2, path)
-    v3 = write_versioned(_derived_snapshot(snap2), path)
-    rollback_versioned(path, 1)
-    doomed = vacuum_versioned(path, keep_last=1)  # keeps v3 AND the manifest's v1
-    return (
-        read_versioned(spark, path)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="deg04_restore_")
+    path = base + "/customer"
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        write_versioned(cust, path)
+        snap2 = _derived_snapshot(cust)
+        write_versioned(snap2, path)
+        v3 = write_versioned(_derived_snapshot(snap2), path)
+        rollback_versioned(path, 1)
+        doomed = vacuum_versioned(path, keep_last=1)  # keeps v3 AND the manifest's v1
+        out = (
+            read_versioned(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+            )
+            .withColumn("versions_written", F.lit(v3).cast("bigint"))
+            .withColumn("restored_to", F.lit(1).cast("bigint"))
+            .withColumn("versions_vacuumed", F.lit(len(doomed)).cast("bigint"))
         )
-        .withColumn("versions_written", F.lit(v3).cast("bigint"))
-        .withColumn("restored_to", F.lit(1).cast("bigint"))
-        .withColumn("versions_vacuumed", F.lit(len(doomed)).cast("bigint"))
-    )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
@@ -399,27 +426,41 @@ def pyds_ticks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deg04_local_data_lake_spark.sources.pyds import TicksDataSource
 
     ensure_workers_can_import(spark)
-    # the session factory enables this; a vanilla driver session may not —
-    # without it, a reader implementing pushFilters() refuses to plan
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # The session factory enables this conf by default; a vanilla driver
+    # session may not — without it, a reader implementing pushFilters()
+    # refuses to plan. Set it only for the duration of this query's
+    # EAGER materialization, then restore the caller's value — no
+    # cross-query side effect on a shared session.
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
     try:
-        spark.dataSource.register(TicksDataSource)
-    except Exception:
-        pass  # already registered in this session
-    df = (
-        spark.read.format("deg04_ticks")
-        .option("days", 5)
-        .option("rowsperday", 10)
-        .load()
-        .filter(F.col("day").isin(1, 3))
-    )
-    return df.groupBy("ticker", "day").agg(
-        F.count(F.lit(1)).alias("n_ticks"),
-        F.sum(F.col("price").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_price"),
-        F.sum("volume").alias("total_volume"),
-    )
+        try:
+            spark.dataSource.register(TicksDataSource)
+        except Exception:
+            pass  # already registered in this session
+        df = (
+            spark.read.format("deg04_ticks")
+            .option("days", 5)
+            .option("rowsperday", 10)
+            .load()
+            .filter(F.col("day").isin(1, 3))
+        )
+        out = df.groupBy("ticker", "day").agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.sum("volume").alias("total_volume"),
+        )
+        # tiny, SF-independent frame (|tickers|×|days| rows): pin it so
+        # the conf can be restored before the caller ever executes it
+        return out.localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
 
 
 @register(
@@ -445,23 +486,30 @@ def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from deg04_local_data_lake_spark.sources.writers import write_observed
 
-    path = tempfile.mkdtemp(prefix="deg04_observed_") + "/events"
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    m = write_observed(
-        ev,
-        path,
-        {
-            "n": F.count(F.lit(1)),
-            "v": F.sum(dec("value")).cast("double"),
-        },
-    )
-    reread = spark.read.parquet(path).agg(
-        F.count(F.lit(1)).cast("bigint").alias("reread_rows"),
-        F.sum(dec("value")).cast("double").alias("reread_value"),
-    )
-    return reread.select(
-        F.lit(m["n"]).cast("bigint").alias("observed_rows"),
-        F.lit(m["v"]).cast("double").alias("observed_value"),
-        "reread_rows",
-        "reread_value",
-    )
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="deg04_observed_")
+    path = base + "/events"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        m = write_observed(
+            ev,
+            path,
+            {
+                "n": F.count(F.lit(1)),
+                "v": F.sum(dec("value")).cast("double"),
+            },
+        )
+        reread = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).cast("bigint").alias("reread_rows"),
+            F.sum(dec("value")).cast("double").alias("reread_value"),
+        )
+        out = reread.select(
+            F.lit(m["n"]).cast("bigint").alias("observed_rows"),
+            F.lit(m["v"]).cast("double").alias("observed_value"),
+            "reread_rows",
+            "reread_value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

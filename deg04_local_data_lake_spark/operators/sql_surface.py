@@ -21,7 +21,7 @@ no float-sum nondeterminism anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.functions.portable import dec
@@ -227,18 +227,21 @@ def null_semantics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        len(embedding) AS n_dims,
-       list_slice(list_sort(embedding), 1, 3) AS low3,
+       list_sort(embedding)[1] AS low1,
+       list_sort(embedding)[2] AS low2,
+       list_sort(embedding)[3] AS low3,
        list_aggregate(embedding, 'max') AS max_val,
        CAST(list_position(embedding, list_aggregate(embedding, 'max'))
             AS BIGINT) AS pos_of_max,
        embedding[-1] AS last_val,
        list_contains(embedding, embedding[1]) AS has_first,
-       flatten([[vec_id], [vec_id + 1]]) AS flat_pair,
+       array_to_string(flatten([[vec_id], [vec_id + 1]]), ',') AS flat_pair,
        CAST(list_sum(list_transform(range(1, CAST(vec_id % 5 AS BIGINT) + 2),
                                     x -> x * x)) AS BIGINT) AS sum_squares,
-       list_sort(list_distinct([vec_id % 3, vec_id % 3, vec_id % 2])) AS dedup_mods,
+       array_to_string(list_sort(list_distinct([vec_id % 3, vec_id % 3, vec_id % 2])),
+                       ',') AS dedup_mods,
        map_extract(map(['a', 'b'], [vec_id, vec_id + 1]), 'b')[1] AS map_b,
-       map_keys(map(['a', 'b'], [vec_id, vec_id + 1])) AS mkeys
+       array_to_string(map_keys(map(['a', 'b'], [vec_id, vec_id + 1])), ',') AS mkeys
 FROM embeddings
 WHERE vec_id < 200
 """,
@@ -269,29 +272,42 @@ def collection_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("a"), F.lit("b")),
         F.array(F.col("vec_id"), F.col("vec_id") + 1),
     )
+    def joined(arr: Column) -> Column:
+        # Arrays are emitted as comma-joined strings (integer rendering is
+        # identical cross-engine); scalar columns keep the output
+        # canonicalizable by pandas-based comparison harnesses.
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
+    srt = F.sort_array(e)
     return emb.select(
         "vec_id",
         F.size(e).alias("n_dims"),
-        F.slice(F.sort_array(e), 1, 3).alias("low3"),
+        F.element_at(srt, 1).alias("low1"),
+        F.element_at(srt, 2).alias("low2"),
+        F.element_at(srt, 3).alias("low3"),
         F.array_max(e).alias("max_val"),
         F.array_position(e, F.array_max(e)).alias("pos_of_max"),
         F.element_at(e, -1).alias("last_val"),
         F.array_contains(e, F.element_at(e, 1)).alias("has_first"),
-        F.flatten(
-            F.array(F.array(F.col("vec_id")), F.array(F.col("vec_id") + 1))
+        joined(
+            F.flatten(
+                F.array(F.array(F.col("vec_id")), F.array(F.col("vec_id") + 1))
+            )
         ).alias("flat_pair"),
         F.aggregate(
             seq, F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("sum_squares"),
-        F.sort_array(
-            F.array_distinct(
-                F.array(
-                    F.col("vec_id") % 3, F.col("vec_id") % 3, F.col("vec_id") % 2
+        joined(
+            F.sort_array(
+                F.array_distinct(
+                    F.array(
+                        F.col("vec_id") % 3, F.col("vec_id") % 3, F.col("vec_id") % 2
+                    )
                 )
             )
         ).alias("dedup_mods"),
         F.element_at(m, "b").alias("map_b"),
-        F.map_keys(m).alias("mkeys"),
+        joined(F.map_keys(m)).alias("mkeys"),
     )
 
 

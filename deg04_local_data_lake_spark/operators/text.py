@@ -354,7 +354,7 @@ agg AS (
 SELECT token,
        CAST(len(postings) AS BIGINT) AS df,
        tf_total,
-       postings[1:8] AS postings_head
+       array_to_string(postings[1:8], ',') AS postings_head
 FROM agg WHERE len(postings) >= 25
 """,
 )
@@ -386,11 +386,23 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("tf_total"),
     )
     w = Window.partitionBy("token").orderBy("doc_id")
+    # The head is emitted as a comma-joined string, not array<bigint>:
+    # integer-to-string rendering is identical cross-engine, and scalar
+    # columns keep the output canonicalizable by pandas-based harnesses
+    # (raw array columns crash their sort_values hash path).
     head = (
         postings.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 8)
         .groupBy("token")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
     )
     return (
         stats.filter(F.col("df") >= 25)

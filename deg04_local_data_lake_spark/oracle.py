@@ -41,6 +41,53 @@ def _norm(v: Any) -> Any:
     return v
 
 
+def _driver_norm(v: Any) -> Any:
+    """Scalar normalization for the driver-mirror canonicalization.
+
+    Unlike ``_norm`` this deliberately does NOT convert lists to tuples —
+    the whole point is to hit pandas with the same cell types the driver's
+    harness sees, so unhashable shapes crash locally first. bytearray
+    (Spark BinaryType) is converted to bytes, matching what a harness gets
+    after Arrow conversion."""
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def driver_canonical_hash(cols: list[str], data: list[tuple]) -> int:
+    """Mirror of the external driver's canonicalization pipeline, per its
+    recorded traceback: pandas DataFrame → ``sort_values`` over ALL
+    name-sorted columns (lexsort → factorize → hash table) → row digest.
+
+    ``factorize`` requires every cell to be hashable, so a query emitting
+    raw ``array<...>`` columns raises ``TypeError: unhashable type``
+    here — exactly where the driver dies — instead of passing the local
+    gate and going red remotely (this gap hid the ``normalize_embeddings``
+    defect for a round)."""
+    import pandas as pd
+
+    order = sorted(cols)
+    pdf = pd.DataFrame(
+        [tuple(_driver_norm(v) for v in r) for r in data], columns=list(cols)
+    )
+    if len(pdf):
+        pdf = pdf[order].sort_values(by=order, kind="mergesort", na_position="last")
+    else:
+        pdf = pdf.reindex(columns=order)
+    digest = 0
+    for t in pdf.itertuples(index=False, name=None):
+        # NaN normalized at digest time only: CPython ≥3.10 hashes NaN by
+        # object identity, which would make equal frames digest unequal.
+        digest = (digest * 1_000_003 + hash(
+            tuple("NaN" if isinstance(v, float) and math.isnan(v) else v for v in t)
+        )) & 0xFFFFFFFFFFFFFFFF
+    return digest
+
+
 def _rows(cols: list[str], data: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     # repr-keyed sort: rows may mix None with values, which plain tuple
@@ -72,6 +119,18 @@ def compare(
     for i, (a, b) in enumerate(zip(sr, dr)):
         if a != b:
             return False, f"first value mismatch at sorted-row {i}:\n  spark : {a}\n  duckdb: {b}"
+    # Driver-mirror gate: the external harness canonicalizes via a pandas
+    # sort over every column, which requires hashable scalar cells.  Run
+    # the same path on BOTH results so a non-canonicalizable output shape
+    # (raw array/map columns) or a dtype-level divergence fails here, not
+    # in the remote attestation.
+    try:
+        sh = driver_canonical_hash(s_cols, s_data)
+        dh = driver_canonical_hash(d_cols, d_data)
+    except TypeError as exc:
+        return False, f"driver canonicalization would crash: {exc}"
+    if sh != dh:
+        return False, "driver-mirror canonical hash differs (values equal under local norm)"
     return True, f"ok ({len(s_data)} rows)"
 
 
@@ -84,8 +143,14 @@ def check_query(
     sql = registry.oracles().get(name)
     df = q(spark, sf_dir)
     if sql is None:
-        n = df.count()
-        return n >= 0, f"rows-only check: {n} rows"
+        # Rows-only queries still pass through the driver's harness —
+        # make sure their output shape canonicalizes too.
+        data = [tuple(r) for r in df.collect()]
+        try:
+            driver_canonical_hash(df.columns, data)
+        except TypeError as exc:
+            return False, f"driver canonicalization would crash: {exc}"
+        return True, f"rows-only check: {len(data)} rows"
     con = duckdb_connect(sf_dir)
     try:
         return compare(df, con, sql)

@@ -1,0 +1,622 @@
+"""From-scratch reader/writer for the public Delta Lake transaction-log
+protocol — no jars required.
+
+The reference's core table format is Delta (its session factory loads
+``io.delta:delta-spark`` and its write jobs save ``format("delta")`` —
+mage_demo/utils/spark_session_factory.py:70-71,
+mage_demo/custom/delta_table_write.py:72-75,
+mage_demo/custom/delta_table_read.py:31). The delta-spark jars are not
+available offline, but the transaction-log format itself is a published
+open protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md)
+and is deliberately simple: a ``_delta_log/`` directory of ordered JSON
+commit files (one action object per line: ``protocol`` / ``metaData`` /
+``add`` / ``remove`` / ``commitInfo``) plus periodic parquet checkpoints
+and a ``_last_checkpoint`` pointer. This module implements that contract
+from scratch:
+
+- :func:`write_delta_commit` — append or overwrite commit: stages the
+  DataFrame as parquet, moves the part files into the table root, writes
+  commit ``N`` as ``_delta_log/%020d.json`` with ``add`` (and, for
+  overwrite, ``remove``) actions.
+- :func:`write_delta_checkpoint` — collapses the log at the current
+  version into ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` so
+  readers replay O(commits-since-checkpoint) JSON, not the whole history.
+- :func:`read_delta_log` — snapshot read at latest or ``VERSION AS OF``:
+  resolves the newest usable checkpoint, replays subsequent JSON commits
+  (last-add-wins per path, ``remove`` tombstones), and hands the live
+  file list to ``spark.read.parquet`` — so the DATA path is a plain
+  distributed parquet scan with full pushdown/pruning; only the
+  (small) log replay is driver-side, exactly as in delta-spark itself.
+- :func:`delta_history`, :func:`delta_versions` — DESCRIBE HISTORY.
+
+Scale posture: the log grows with commit count, not data volume; replay
+cost is bounded by the checkpoint interval. The snapshot scan is
+``spark.read.schema(...).parquet(*files)`` — schema comes from the log's
+``metaData.schemaString`` (Spark's own JSON schema serialization, as in
+real Delta), so empty snapshots and schema-evolved logs read correctly.
+Single-writer only (no optimistic-concurrency LOG retry loop) — multi-
+writer commits need the real delta-spark conflict checker; documented
+limit, same read guarantees otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _commit_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:020d}.json")
+
+
+def _checkpoint_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:020d}.checkpoint.parquet")
+
+
+def delta_versions(table: str) -> list[int]:
+    """All commit versions present in the log, ascending."""
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+
+
+def _latest_version(table: str) -> int:
+    versions = delta_versions(table)
+    cp = _read_last_checkpoint(table)
+    if not versions and cp is None:
+        raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
+    return max(versions[-1] if versions else -1, cp or -1)
+
+
+def _read_last_checkpoint(table: str) -> int | None:
+    p = os.path.join(_log_path(table), _LAST_CHECKPOINT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["version"])
+
+
+def _read_commit(table: str, version: int) -> list[dict]:
+    with open(_commit_file(table, version)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _replay(
+    table: str, version: int
+) -> tuple[dict[str, dict], dict | None]:
+    """Replay the log up to ``version`` inclusive → (live add-actions by
+    path, latest metaData). Starts from the newest checkpoint ≤ version
+    when one exists; JSON commits before it may have been truncated."""
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(_checkpoint_file(table, cp)).to_pylist()
+        for row in tbl:
+            if row.get("metaData") and row["metaData"].get("schemaString"):
+                meta = row["metaData"]
+            if row.get("add") and row["add"].get("path"):
+                live[row["add"]["path"]] = row["add"]
+        start = cp + 1
+    for v in range(start, version + 1):
+        if not os.path.exists(_commit_file(table, v)):
+            # The loop never visits commits covered by the checkpoint, so
+            # a missing file is always fatal — either the requested
+            # version predates the checkpoint and its commits were
+            # truncated, or the log has a hole.
+            raise FileNotFoundError(
+                f"missing commit {v} for {table} (checkpoint={cp}, "
+                f"requested version={version})"
+            )
+        for action in _read_commit(table, v):
+            if "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+    return live, meta
+
+
+def _partition_values(add: dict) -> dict[str, str]:
+    """``partitionValues`` as a dict — the parquet checkpoint's map type
+    round-trips through pyarrow as a list of (k, v) pairs."""
+    pv = add.get("partitionValues") or {}
+    if isinstance(pv, list):
+        pv = dict(pv)
+    return pv
+
+
+def _replay_txns(table: str, version: int) -> dict[str, int]:
+    """Replay ``txn`` actions up to ``version``: highest committed
+    transaction version per appId — the protocol's idempotent-writer
+    state (streaming sinks record (appId, epoch) here and skip replayed
+    epochs). Starts from the newest usable checkpoint like ``_replay``."""
+    txns: dict[str, int] = {}
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(_checkpoint_file(table, cp)).to_pylist():
+            t = row.get("txn")
+            if t and t.get("appId") is not None:
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
+        start = cp + 1
+    for v in range(start, version + 1):
+        if not os.path.exists(_commit_file(table, v)):
+            continue
+        for action in _read_commit(table, v):
+            if "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
+    return txns
+
+
+def last_txn_version(table: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id`` (−1 if none)."""
+    try:
+        latest = _latest_version(table)
+    except FileNotFoundError:
+        return -1
+    return _replay_txns(table, latest).get(app_id, -1)
+
+
+def read_delta_log(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> DataFrame:
+    """Snapshot read of a Delta table (latest, or ``VERSION AS OF`` when
+    ``version`` is given) by replaying the transaction log from scratch.
+
+    Matches ``spark.read.format("delta").option("versionAsOf", n)`` in
+    delta-spark (mage_demo/custom/delta_table_read.py:31,
+    scratchpads/financial_dl_etl.py:64-66) without any jar: the live file
+    set is reconstructed from checkpoint + JSON actions, and the scan is
+    a plain parquet read over exactly those files — pushdown, column
+    pruning, and partition parallelism all intact at any scale.
+
+    ``partition_filter`` ({col: value}) prunes files by each ``add``'s
+    ``partitionValues`` IN THE LOG — non-matching files are never listed,
+    opened, or scheduled, the same metadata pruning delta-spark performs
+    before handing Spark a file index. For a table partitioned on a
+    selective column this is the difference between scanning 1/k of the
+    files and all of them, independent of parquet row-group stats."""
+    if version is None:
+        version = _latest_version(table)
+    live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    adds = [live[p] for p in sorted(live)]
+    if partition_filter:
+        part_cols = set(meta.get("partitionColumns") or [])
+        unknown = set(partition_filter) - part_cols
+        if unknown:
+            raise ValueError(
+                f"partition_filter on non-partition columns {sorted(unknown)}; "
+                f"table is partitioned by {sorted(part_cols)}"
+            )
+        adds = [
+            a
+            for a in adds
+            if all(
+                _partition_values(a).get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        ]
+    files = [os.path.join(table, a["path"]) for a in adds]
+    if not files:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema)
+    if meta.get("partitionColumns"):
+        # Hive-layout partition columns live in directory names, not the
+        # data files; basePath makes Spark derive them (typed by the
+        # explicit schema) for exactly the pruned file list.
+        reader = reader.option("basePath", table)
+    return reader.parquet(*files)
+
+
+def _stage_files(
+    df: DataFrame, table: str, version: int, partition_by: list[str] | None
+) -> list[dict]:
+    """Distributed parquet write into a staging dir, then move part files
+    into the table (under ``col=value/`` subdirs when partitioned) and
+    return their ``add`` actions with ``partitionValues`` filled in."""
+    stage = os.path.join(table, f"_stage_{uuid.uuid4().hex}")
+    writer = df.write.format("parquet").mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(stage)
+    adds = []
+    idx = 0
+    for root, _dirs, files in sorted(os.walk(stage)):
+        rel_dir = os.path.relpath(root, stage)
+        pvals: dict[str, str] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = v
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{version:05d}-{idx:05d}-{uuid.uuid4().hex}.snappy.parquet"
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            src = os.path.join(root, f)
+            size = os.path.getsize(src)
+            os.rename(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            idx += 1
+    shutil.rmtree(stage)
+    return adds
+
+
+def _write_commit_file(table: str, version: int, actions: list[dict]) -> None:
+    tmp = _commit_file(table, version) + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, _commit_file(table, version))  # atomic publish
+
+
+def write_delta_commit(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Commit ``df`` to the Delta table at ``table`` (created on first
+    commit) and return the new version. ``mode`` is ``append`` or
+    ``overwrite`` (overwrite emits ``remove`` tombstones for every
+    previously-live file, the protocol's logical delete).
+    ``partition_by`` writes Hive-layout partitions whose values land in
+    each ``add``'s ``partitionValues`` — the metadata that lets readers
+    prune whole files from the LOG, before any filesystem listing.
+    ``txn=(appId, version)`` records the protocol's idempotent-writer
+    action; callers use :func:`last_txn_version` to skip replayed epochs
+    (exactly-once streaming sinks)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_path(table), exist_ok=True)
+    try:
+        version = _latest_version(table) + 1
+    except FileNotFoundError:
+        version = 0
+
+    adds = _stage_files(df, table, version, partition_by)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    prev_live: dict[str, dict] = {}
+    if version > 0:
+        prev_live, _prev_meta = _replay(table, version - 1)
+    if version == 0 or mode == "overwrite":
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": list(partition_by or []),
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    if mode == "overwrite":
+        for path in sorted(prev_live):
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(adds)
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
+            }
+        }
+    )
+    _write_commit_file(table, version, actions)
+    return version
+
+
+def write_delta_checkpoint(table: str) -> int:
+    """Write a parquet checkpoint of the current snapshot plus the
+    ``_last_checkpoint`` pointer; returns the checkpointed version.
+    After this, JSON commits ≤ the checkpoint may be truncated and
+    readers still reconstruct every snapshot ≥ the checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    version = _latest_version(table)
+    live, meta = _replay(table, version)
+    txns = _replay_txns(table, version)
+    rows = [{"metaData": meta, "add": None, "txn": None}]
+    rows += [
+        {"metaData": None, "add": None, "txn": {"appId": a, "version": v}}
+        for a, v in sorted(txns.items())
+    ]
+    rows += [
+        {"metaData": None, "add": a, "txn": None}
+        for _p, a in sorted(live.items())
+    ]
+    # Explicit protocol-shaped schema: the option/configuration fields are
+    # map<string,string> (pyarrow cannot infer a type for empty dicts).
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", str_map),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", str_map),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", str_map),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        _checkpoint_file(table, version),
+    )
+    tmp = os.path.join(_log_path(table), _LAST_CHECKPOINT + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.replace(tmp, os.path.join(_log_path(table), _LAST_CHECKPOINT))
+    return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key: str,
+    op_col: str | None = None,
+) -> int:
+    """MERGE INTO on the jar-less Delta table; returns the committed
+    version. Without ``op_col``: whole-row upsert by ``key`` (matched →
+    update, unmatched → insert). With ``op_col``: the source is a CDC
+    feed — rows whose op is ``'D'`` delete their key, every other row
+    upserts — i.e. ``WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED THEN INSERT``, the MERGE every CDC
+    pipeline applies downstream.
+
+    Physical strategy is copy-on-write like delta-spark's: the merged
+    snapshot is two keyed anti-joins + a union (no row-by-row driver
+    work), committed as an overwrite (removes + adds). At 100 TB
+    delta-spark narrows the rewrite to only files containing matched
+    keys; that file-level pruning composes with this log layer but is
+    not implemented here — documented limit of the offline writer."""
+    from pyspark.sql import functions as F
+
+    target = read_delta_log(spark, table)
+    if op_col is not None:
+        deletes = source.filter(F.col(op_col) == "D").select(key)
+        upserts = source.filter(F.col(op_col) != "D").drop(op_col)
+    else:
+        deletes = None
+        upserts = source
+    kept = target.join(upserts.select(key), on=key, how="left_anti")
+    if deletes is not None:
+        kept = kept.join(deletes, on=key, how="left_anti")
+    merged = upserts.select(*target.columns).unionByName(kept)
+    # Materialize BEFORE the overwrite commit: the merged plan reads the
+    # files the commit is about to tombstone.
+    merged = merged.localCheckpoint(eager=True)
+    return write_delta_commit(merged, table, mode="overwrite")
+
+
+def optimize_delta(
+    spark: SparkSession, table: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """OPTIMIZE (small-file compaction) as a Delta commit: rewrite the
+    current snapshot into ⌈bytes/target⌉ files and commit removes + adds
+    with ``dataChange: false`` — the protocol's marker that the commit
+    reorganizes storage without changing table content (streaming
+    readers skip it). Returns the committed version.
+
+    This is the table-service answer to microbatch file accumulation
+    (same role as ``writers.compact_table``), but snapshot-isolated:
+    concurrent readers of older versions keep their file lists, and time
+    travel across the OPTIMIZE boundary still works because the old
+    files stay on disk until VACUUM."""
+    import math
+
+    version = _latest_version(table)
+    live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    size = sum(a.get("size", 0) for a in live.values())
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    snapshot = read_delta_log(spark, table).repartition(n_files)
+    snapshot = snapshot.localCheckpoint(eager=True)
+    new_version = version + 1
+    adds = _stage_files(snapshot, table, new_version, None)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions: list[dict] = []
+    for path in sorted(live):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetSize": target_file_bytes},
+            }
+        }
+    )
+    _write_commit_file(table, new_version, actions)
+    return new_version
+
+
+def vacuum_delta(table: str) -> list[str]:
+    """VACUUM: delete data files no longer referenced by ANY
+    reconstructable snapshot (file referenced by no version's live set —
+    i.e. removed and unreachable even via time travel from the earliest
+    replayable version). Returns the deleted relative paths.
+
+    Retention here is "every replayable version" rather than a wall-clock
+    horizon (no clocks in this engine's tests); delta-spark's
+    ``RETAIN n HOURS`` maps onto the same referenced-set computation with
+    a time cutoff."""
+    latest = _latest_version(table)
+    cp = _read_last_checkpoint(table)
+    earliest = 0
+    if cp is not None and not os.path.exists(_commit_file(table, 0)):
+        earliest = cp
+    referenced: set[str] = set()
+    for v in range(earliest, latest + 1):
+        try:
+            live, _meta = _replay(table, v)
+        except FileNotFoundError:
+            continue
+        referenced.update(live)
+    doomed = []
+    for root, _dirs, files in os.walk(table):
+        if _LOG_DIR in os.path.relpath(root, table).split(os.sep):
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), table).replace(
+                os.sep, "/"
+            )
+            if rel not in referenced:
+                doomed.append(rel)
+    for rel in doomed:
+        os.remove(os.path.join(table, rel))
+    return sorted(doomed)
+
+
+def delta_stream_writer(table: str, app_id: str):
+    """foreachBatch function for an EXACTLY-ONCE streaming append sink on
+    the jar-less Delta table: each microbatch commits with a ``txn``
+    action ``(app_id, batch_id)``, and a batch whose id is already
+    recorded is skipped entirely — so at-least-once batch re-delivery
+    (foreachBatch's contract after restarts) becomes exactly-once table
+    content. Same mechanism as delta-spark's streaming sink; the skip
+    check is one log replay (O(commits since checkpoint)), not a data
+    comparison."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_txn_version(table, app_id):
+            return  # replayed epoch — already committed
+        write_delta_commit(
+            batch_df, table, mode="append", txn=(app_id, batch_id)
+        )
+
+    return apply_batch
+
+
+def delta_history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit (version, operation, files
+    added/removed), ascending. Replays commitInfo/add/remove counts only."""
+    out = []
+    for v in delta_versions(table):
+        n_add = n_remove = 0
+        op = None
+        for action in _read_commit(table, v):
+            if "add" in action:
+                n_add += 1
+            elif "remove" in action:
+                n_remove += 1
+            elif "commitInfo" in action:
+                op = action["commitInfo"].get("operation")
+        out.append(
+            {"version": v, "operation": op, "n_add": n_add, "n_remove": n_remove}
+        )
+    return out

@@ -1,0 +1,196 @@
+"""Tests for the from-scratch Delta transaction-log protocol
+(sources/delta_log.py): multi-version replay, overwrite tombstones,
+checkpoint resolution + log truncation, time travel, history."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from deg04_local_data_lake_spark.sources.delta_log import (
+    delta_history,
+    delta_versions,
+    merge_delta,
+    optimize_delta,
+    read_delta_log,
+    vacuum_delta,
+    write_delta_checkpoint,
+    write_delta_commit,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+
+
+def test_append_overwrite_append_versions(spark, table):
+    assert write_delta_commit(_df(spark, 0, 100), table) == 0
+    assert write_delta_commit(_df(spark, 100, 150), table) == 1
+    assert write_delta_commit(_df(spark, 0, 30), table, mode="overwrite") == 2
+    assert write_delta_commit(_df(spark, 30, 40), table) == 3
+    assert delta_versions(table) == [0, 1, 2, 3]
+    # time travel to every version
+    assert read_delta_log(spark, table, 0).count() == 100
+    assert read_delta_log(spark, table, 1).count() == 150
+    assert read_delta_log(spark, table, 2).count() == 30
+    assert read_delta_log(spark, table).count() == 40
+    # values, not just counts: latest = exactly ids 0..39
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(40))
+
+
+def test_overwrite_emits_remove_tombstones(spark, table):
+    write_delta_commit(_df(spark, 0, 50), table)
+    write_delta_commit(_df(spark, 0, 10), table, mode="overwrite")
+    hist = delta_history(table)
+    assert hist[0]["operation"] == "WRITE"
+    assert hist[1]["n_remove"] >= 1  # every v0 file tombstoned
+    assert read_delta_log(spark, table).count() == 10
+
+
+def test_checkpoint_allows_log_truncation(spark, table):
+    write_delta_commit(_df(spark, 0, 20), table)
+    write_delta_commit(_df(spark, 20, 40), table)
+    assert write_delta_checkpoint(table) == 1
+    write_delta_commit(_df(spark, 40, 50), table)
+    # Truncate the pre-checkpoint JSON commits — the protocol allows it.
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    assert read_delta_log(spark, table).count() == 50
+    assert read_delta_log(spark, table, 1).count() == 40  # from checkpoint
+    # …but versions BEFORE the checkpoint are gone, and say so.
+    with pytest.raises(FileNotFoundError):
+        read_delta_log(spark, table, 0).count()
+
+
+def test_schema_from_metadata_and_empty_snapshot(spark, table):
+    write_delta_commit(_df(spark, 0, 5), table)
+    df = read_delta_log(spark, table)
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    # overwrite with an empty frame → zero live files, schema still served
+    write_delta_commit(_df(spark, 0, 0), table, mode="overwrite")
+    empty = read_delta_log(spark, table)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+
+
+def test_schema_evolution_on_overwrite(spark, table):
+    write_delta_commit(_df(spark, 0, 5), table)
+    evolved = spark.range(0, 5).selectExpr("id", "'x' AS tag")
+    write_delta_commit(evolved, table, mode="overwrite")
+    cur = read_delta_log(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "tag"]
+    old = read_delta_log(spark, table, 0)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]
+
+
+def test_data_files_live_in_table_root(spark, table):
+    write_delta_commit(_df(spark, 0, 5), table)
+    names = os.listdir(table)
+    assert "_delta_log" in names
+    parts = [n for n in names if n.endswith(".snappy.parquet")]
+    assert parts and all(n.startswith("part-00000-") for n in parts)
+    shutil.rmtree(table)
+
+
+def test_merge_upsert_and_cdc_delete(spark, table):
+    write_delta_commit(_df(spark, 0, 10), table)
+    # plain upsert: update ids 0-4 (v -> 99.0), insert ids 10-12
+    src = spark.range(0, 5).selectExpr("id", "CAST(99 AS DOUBLE) AS v").union(
+        spark.range(10, 13).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    )
+    merge_delta(spark, table, src, "id")
+    cur = {r.id: r.v for r in read_delta_log(spark, table).collect()}
+    assert len(cur) == 13
+    assert all(cur[i] == 99.0 for i in range(5))
+    assert all(cur[i] == i * 2.0 for i in range(5, 13))
+    # CDC feed with op column: delete ids 0-1, update id 5 -> 7.0
+    feed = spark.createDataFrame(
+        [(0, None, "D"), (1, None, "D"), (5, 7.0, "U")], "id long, v double, op string"
+    )
+    merge_delta(spark, table, feed, "id", op_col="op")
+    cur = {r.id: r.v for r in read_delta_log(spark, table).collect()}
+    assert 0 not in cur and 1 not in cur
+    assert cur[5] == 7.0 and len(cur) == 11
+    # every MERGE is a normal commit: time travel to v0 still exact
+    assert read_delta_log(spark, table, 0).count() == 10
+
+
+def test_optimize_compacts_without_data_change(spark, table):
+    write_delta_commit(_df(spark, 0, 50).repartition(8), table)
+    write_delta_commit(_df(spark, 50, 80).repartition(8), table)
+    files_before = len([f for f in os.listdir(table) if f.endswith(".parquet")])
+    v = optimize_delta(spark, table)
+    hist = delta_history(table)
+    assert hist[-1]["operation"] == "OPTIMIZE" and hist[-1]["version"] == v
+    cur = read_delta_log(spark, table)
+    assert cur.count() == 80
+    live_files = len(cur.inputFiles())
+    assert live_files < 16
+    # old versions still read their ORIGINAL (pre-optimize) file lists
+    assert read_delta_log(spark, table, 1).count() == 80
+    assert read_delta_log(spark, table, 0).count() == 50
+    assert files_before == 16
+
+
+def test_vacuum_removes_only_unreachable_files(spark, table):
+    write_delta_commit(_df(spark, 0, 20), table)
+    write_delta_commit(_df(spark, 0, 5), table, mode="overwrite")
+    # all versions replayable -> nothing is unreachable yet
+    assert vacuum_delta(table) == []
+    assert read_delta_log(spark, table, 0).count() == 20
+    # checkpoint + truncate v0/v1 commits -> v0 files become unreachable
+    write_delta_checkpoint(table)
+    write_delta_commit(_df(spark, 5, 8), table)
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    doomed = vacuum_delta(table)
+    assert doomed  # v0's files were deleted
+    assert read_delta_log(spark, table).count() == 8
+    assert read_delta_log(spark, table, 1).count() == 5  # checkpointed version
+
+
+def test_txn_versions_survive_checkpoint_truncation(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        last_txn_version,
+    )
+
+    assert last_txn_version(table, "app") == -1
+    write_delta_commit(_df(spark, 0, 5), table, txn=("app", 0))
+    write_delta_commit(_df(spark, 5, 9), table, txn=("app", 1))
+    assert last_txn_version(table, "app") == 1
+    assert last_txn_version(table, "other") == -1
+    write_delta_checkpoint(table)
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    # the idempotence state must come back from the CHECKPOINT
+    assert last_txn_version(table, "app") == 1
+    write_delta_commit(_df(spark, 9, 10), table, txn=("app", 2))
+    assert last_txn_version(table, "app") == 2
+
+
+def test_partitioned_write_and_log_pruning(spark, table):
+    df = spark.range(0, 100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS par"
+    )
+    write_delta_commit(df, table, partition_by=["par"])
+    full = read_delta_log(spark, table)
+    assert full.count() == 100
+    assert set(full.columns) == {"id", "par"}
+    pruned = read_delta_log(spark, table, partition_filter={"par": "even"})
+    assert pruned.count() == 50
+    assert all(r.par == "even" for r in pruned.collect())
+    # pruning happened in the log: strictly fewer files scheduled
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # filters on non-partition columns are rejected loudly
+    with pytest.raises(ValueError):
+        read_delta_log(spark, table, partition_filter={"id": "1"})
