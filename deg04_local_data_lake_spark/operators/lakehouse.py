@@ -314,6 +314,49 @@ def delta_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@register("iceberg_offline_time_travel", oracle=_SNAPSHOT_DIFF_ORACLE)
+def iceberg_offline_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-spec time travel WITHOUT jars, driver-attested: commit
+    customer as snapshot 1 through the from-scratch Iceberg layer
+    (``sources/iceberg_tables.py`` — vN.metadata.json, Avro manifest
+    list + manifests via the spec-pinned Avro codec, version-hint
+    commit), APPEND the derived snapshot's inserted rows and OVERWRITE
+    with the full derived state (snapshot 3), then diff snapshot 1
+    against the current read. The result must hash-equal the in-query
+    snapshot diff — proving the metadata → manifest-list → manifest →
+    data-file resolution chain and snapshot isolation round-trip.
+
+    Closes the reference's Iceberg surface (iceberg_demo_write.py:57,
+    74-75; iceberg_data_lake.py:43,65) for jar-less environments; a
+    jarful cluster runs the same queries through the Iceberg runtime."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        iceberg_history,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_iceberg_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        derived = _derived_snapshot(cust)
+        s1 = write_iceberg_commit(cust, path)
+        write_iceberg_commit(
+            derived.filter(F.col("c_custkey") >= 10000000), path, mode="append"
+        )
+        write_iceberg_commit(derived, path, mode="overwrite")
+        assert [h["operation"] for h in iceberg_history(path)] == [
+            "append", "append", "overwrite",
+        ]
+        old = read_iceberg(spark, path, s1)   # time travel: snapshot 1
+        cur = read_iceberg(spark, path)       # current snapshot (= 3)
+        return snapshot_diff(old, cur, "c_custkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register("delta_log_merge_upsert", oracle=_NEW_SNAPSHOT_SQL)
 def delta_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the jar-less Delta table, driver-attested: commit

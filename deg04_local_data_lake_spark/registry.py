@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "delta_log_partition_prune",
     "delta_log_optimize_stats",
     "stream_delta_sink_exactly_once",
+    "iceberg_offline_time_travel",
 ]
 
 
