@@ -2,10 +2,10 @@
 third-party avro package.
 
 Why this exists: the Iceberg table spec stores its manifest lists and
-manifest files as Avro (spec: https://iceberg.apache.org/spec/), and this
+manifest files as Avro (per the Apache Iceberg Table Spec), and this
 container has neither the Iceberg runtime jars nor spark-avro nor a Python
 avro package. The Avro 1.x binary encoding and container format are a
-public, small spec (https://avro.apache.org/docs/current/specification/),
+public, small spec (the Apache Avro 1.x specification),
 so this module implements the subset Iceberg metadata needs:
 
 - primitives: null, boolean, int, long (zigzag varint), float, double,

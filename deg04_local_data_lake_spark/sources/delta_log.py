@@ -7,7 +7,7 @@ mage_demo/utils/spark_session_factory.py:70-71,
 mage_demo/custom/delta_table_write.py:72-75,
 mage_demo/custom/delta_table_read.py:31). The delta-spark jars are not
 available offline, but the transaction-log format itself is a published
-open protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md)
+open protocol (PROTOCOL.md in the public delta-io/delta repository)
 and is deliberately simple: a ``_delta_log/`` directory of ordered JSON
 commit files (one action object per line: ``protocol`` / ``metaData`` /
 ``add`` / ``remove`` / ``commitInfo``) plus periodic parquet checkpoints
@@ -34,9 +34,13 @@ cost is bounded by the checkpoint interval. The snapshot scan is
 ``spark.read.schema(...).parquet(*files)`` — schema comes from the log's
 ``metaData.schemaString`` (Spark's own JSON schema serialization, as in
 real Delta), so empty snapshots and schema-evolved logs read correctly.
-Single-writer only (no optimistic-concurrency LOG retry loop) — multi-
-writer commits need the real delta-spark conflict checker; documented
-limit, same read guarantees otherwise.
+Multi-writer commits serialize through optimistic concurrency: the
+commit publish is PUT-IF-ABSENT (``_try_publish_commit``), so a losing
+writer rebases on the new head and retries — appends rebase trivially
+(they only add files), overwrites rebuild their tombstone set
+(last-writer-wins, the semantics of a blind overwrite). The full
+delta-spark conflict matrix (e.g. failing serializable overwrite-vs-
+append races) is not reproduced — documented limit.
 """
 
 from __future__ import annotations
@@ -290,11 +294,38 @@ def _stage_files(
 
 
 def _write_commit_file(table: str, version: int, actions: list[dict]) -> None:
-    tmp = _commit_file(table, version) + ".tmp"
+    if not _try_publish_commit(table, version, actions):
+        raise FileExistsError(
+            f"commit {version} already exists for {table} (concurrent writer)"
+        )
+
+
+def _try_publish_commit(
+    table: str, version: int, actions: list[dict]
+) -> bool:
+    """PUT-IF-ABSENT publish of commit ``version`` — the atomicity
+    primitive the Delta protocol requires of its log store. ``os.link``
+    fails with EEXIST if another writer already claimed the version, so
+    two concurrent committers can never both succeed at the same version
+    (``os.replace`` would silently clobber the loser). Object-store
+    deployments substitute the store's conditional-put here."""
+    tmp = _commit_file(table, version) + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    os.replace(tmp, _commit_file(table, version))  # atomic publish
+    try:
+        os.link(tmp, _commit_file(table, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+#: Automatic checkpoint cadence (delta-spark's default): every Nth
+#: commit collapses the log so replay cost stays bounded however long
+#: a table (e.g. a streaming sink) keeps committing.
+CHECKPOINT_INTERVAL = 10
 
 
 def write_delta_commit(
@@ -303,6 +334,7 @@ def write_delta_commit(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -324,51 +356,61 @@ def write_delta_commit(
 
     adds = _stage_files(df, table, version, partition_by)
 
-    actions: list[dict] = []
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-    prev_live: dict[str, dict] = {}
-    if version > 0:
-        prev_live, _prev_meta = _replay(table, version - 1)
-    if version == 0 or mode == "overwrite":
-        actions.append(
-            {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": list(partition_by or []),
-                    "configuration": {},
-                    "createdTime": 0,
-                }
-            }
-        )
-    if mode == "overwrite":
-        for path in sorted(prev_live):
+    while True:
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        prev_live: dict[str, dict] = {}
+        if version > 0:
+            prev_live, _prev_meta = _replay(table, version - 1)
+        if version == 0 or mode == "overwrite":
             actions.append(
                 {
-                    "remove": {
-                        "path": path,
-                        "deletionTimestamp": 0,
-                        "dataChange": True,
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": list(partition_by or []),
+                        "configuration": {},
+                        "createdTime": 0,
                     }
                 }
             )
-    actions.extend(adds)
-    if txn is not None:
-        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
-    actions.append(
-        {
-            "commitInfo": {
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode},
+        if mode == "overwrite":
+            for path in sorted(prev_live):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": path,
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(adds)
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode},
+                }
             }
-        }
-    )
-    _write_commit_file(table, version, actions)
-    return version
+        )
+        if _try_publish_commit(table, version, actions):
+            if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+                write_delta_checkpoint(table)
+            return version
+        # Optimistic-concurrency retry: another writer claimed this
+        # version. Appends are conflict-free (they only add files) and
+        # rebase cleanly onto the new head; overwrites rebuild their
+        # tombstone set against the new state (last-writer-wins, the
+        # semantics of a blind overwrite). The staged data files are
+        # already in place and carry over untouched.
+        version = _latest_version(table) + 1
 
 
 def write_delta_checkpoint(table: str) -> int:

@@ -6,7 +6,7 @@ The reference writes Iceberg v2 tables through the Spark runtime jars
 .createOrReplace()`` against a Hadoop catalog;
 ``scratchpads/iceberg_data_lake.py:43,65``). Those jars are unfetchable
 offline, but the table format itself is a published spec
-(https://iceberg.apache.org/spec/): JSON table metadata + Avro manifest
+(the Apache Iceberg Table Spec): JSON table metadata + Avro manifest
 lists + Avro manifests + parquet data, resolved through a
 ``version-hint.text`` pointer in a Hadoop-catalog layout. This module
 implements that contract with the from-scratch Avro codec

@@ -80,9 +80,41 @@ def read_lake_table(
     """Lake-table scan: by path for delta/parquet (S3:
     custom/delta_table_read.py:31), by catalog name for managed/Iceberg
     tables (S4/S5: financial_dl_etl.py:46, custom/iceberg_demo_read.py:33).
-    """
+
+    ``delta`` and ``iceberg`` paths work with OR without the runtime
+    jars: when the format's DataSource is not on the classpath, the scan
+    falls back to the from-scratch spec implementations
+    (``sources/delta_log.py`` / ``sources/iceberg_tables.py``) — the
+    same table layouts the jars produce, resolved offline. A path that
+    contains a ``_delta_log`` / ``metadata/version-hint.text`` routes
+    directly to the log reader even before trying the jar, so behavior
+    is deterministic in both environments."""
+    import os
+
     if fmt == "catalog":
         return spark.table(path_or_name)
+    if fmt == "delta" and os.path.isdir(
+        os.path.join(path_or_name, "_delta_log")
+    ):
+        try:
+            return spark.read.format("delta").load(path_or_name)
+        except Exception:
+            from deg04_local_data_lake_spark.sources.delta_log import (
+                read_delta_log,
+            )
+
+            return read_delta_log(spark, path_or_name)
+    if fmt == "iceberg" and os.path.exists(
+        os.path.join(path_or_name, "metadata", "version-hint.text")
+    ):
+        try:
+            return spark.read.format("iceberg").load(path_or_name)
+        except Exception:
+            from deg04_local_data_lake_spark.sources.iceberg_tables import (
+                read_iceberg,
+            )
+
+            return read_iceberg(spark, path_or_name)
     return spark.read.format(fmt).load(path_or_name)
 
 

@@ -365,7 +365,7 @@ def _drain_to_memory(
     df: DataFrame,
     prefix: str,
     mode: str = "complete",
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a bounded streaming query to a memory sink; return the result.
 
@@ -378,11 +378,13 @@ def _drain_to_memory(
     ``shuffle_partitions`` sizes the query's STATE STORE instance count
     (Structured Streaming pins it per query from the session conf at
     start). Each microbatch pays fixed per-instance maintenance, so a
-    heavy stateful drain over a small bounded source wants fewer, fuller
+    stateful drain over a small bounded source wants fewer, fuller
     instances (the stream-stream join measured 15.9 s at 32 → 6.1 s at
-    8, same ≥4-batch drain). At 100 TB this is precisely the knob you
-    size to state volume; the session value is restored after the drain
-    — no cross-query side effect."""
+    8, same ≥4-batch drain; the whole family improves similarly) —
+    hence the default of 8 for these VERIFICATION drains. At 100 TB
+    this is precisely the knob you size to state volume (pass ``None``
+    to inherit the session value); the session value is restored after
+    the drain — no cross-query side effect."""
     global _STREAM_SEQ
     _STREAM_SEQ += 1
     name = f"{prefix}_{_STREAM_SEQ}"
@@ -561,7 +563,6 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "stream_ssjoin",
         mode="append",
-        shuffle_partitions=8,  # join state sized to the bounded drain
     )
     return out.select(
         "purchase_id", "user_id", _ntz("purchase_ts"), "click_id", _ntz("click_ts")
@@ -588,6 +589,10 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_stats(_bounded_event_stream(spark, sf_dir)),
         "stream_ustats",
         mode="update",
+        # applyInPandasWithState runs one Arrow/Python worker per state
+        # partition — unlike the JVM state stores, MORE partitions means
+        # more Python-side parallelism, so inherit the session's width
+        shuffle_partitions=None,
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

@@ -159,6 +159,55 @@ def test_vacuum_removes_only_unreachable_files(spark, table):
     assert read_delta_log(spark, table, 1).count() == 5  # checkpointed version
 
 
+def test_automatic_checkpoint_every_interval(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _read_last_checkpoint,
+    )
+
+    for i in range(12):
+        write_delta_commit(_df(spark, i, i + 1), table)
+    assert _read_last_checkpoint(table) == 10  # auto at the interval
+    # reader resolves through the auto checkpoint transparently
+    assert read_delta_log(spark, table).count() == 12
+
+
+def test_concurrent_appends_serialize_without_loss(spark, table):
+    """Optimistic concurrency: N writers committing appends at once must
+    all land, each at a distinct contiguous version — the put-if-absent
+    publish forbids two writers sharing a version (os.replace would
+    silently drop one)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    batches = [(100 + 10 * i, 110 + 10 * i) for i in range(6)]
+    frames = [_df(spark, lo, hi).localCheckpoint(eager=True) for lo, hi in batches]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = list(
+            ex.map(lambda fr: write_delta_commit(fr, table), frames)
+        )
+    assert sorted(versions) == [1, 2, 3, 4, 5, 6]  # contiguous, no clobber
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    expect = sorted(
+        list(range(10)) + [i for lo, hi in batches for i in range(lo, hi)]
+    )
+    assert got == expect  # every append landed exactly once
+
+
+def test_read_lake_table_front_door_falls_back_without_jars(spark, table, tmp_path):
+    """`read_lake_table(fmt="delta"|"iceberg")` must serve jar-less
+    environments through the from-scratch spec readers."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        write_iceberg_commit,
+    )
+    from deg04_local_data_lake_spark.sources.readers import read_lake_table
+
+    write_delta_commit(_df(spark, 0, 7), table)
+    assert read_lake_table(spark, table, fmt="delta").count() == 7
+    ice = str(tmp_path / "ice")
+    write_iceberg_commit(_df(spark, 0, 9), ice)
+    assert read_lake_table(spark, ice, fmt="iceberg").count() == 9
+
+
 def test_txn_versions_survive_checkpoint_truncation(spark, table):
     from deg04_local_data_lake_spark.sources.delta_log import (
         last_txn_version,
