@@ -469,6 +469,79 @@ def delta_log_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_data_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       TRUE AS files_were_skipped
+FROM events WHERE value BETWEEN 100.0 AND 150.0
+""",
+)
+def delta_log_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping from the transaction log,
+    driver-attested: events land in a Delta table, a clustered OPTIMIZE
+    (``optimize_delta(cluster_by=["value"])``) rewrites it so each file
+    covers a narrow ``value`` range with per-file min/max ``stats`` in
+    its ``add`` action, and the reader's ``column_ranges`` drops files
+    provably outside ``value BETWEEN 100 AND 150`` during log replay —
+    before any listing or scheduling. The aggregate over (pruned scan +
+    the real predicate) must equal the plain WHERE oracle, and
+    ``files_were_skipped`` asserts the file list strictly shrank.
+
+    This is delta-spark's OPTIMIZE ZORDER + data-skipping pipeline on
+    the jar-less log: unlike partition pruning it works on ANY
+    stats-carrying column, which at 100 TB is what turns a selective
+    range predicate into an O(matching-files) scan."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay,
+        optimize_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_skip_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_delta_commit(ev.repartition(16), path)
+        total_bytes = sum(
+            a["size"] for a in _replay(path, 0)[0].values()
+        )
+        v = optimize_delta(
+            spark,
+            path,
+            target_file_bytes=max(1, total_bytes // 16),
+            cluster_by=["value"],
+        )
+        live, _m = _replay(path, v)
+        pruned = read_delta_log(
+            spark, path, column_ranges={"value": (100.0, 150.0)}
+        )
+        pruned_live = len(pruned.inputFiles())
+        out = (
+            pruned.filter(F.col("value").between(100.0, 150.0))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .withColumn(
+                "files_were_skipped", F.lit(0 < pruned_live < len(live))
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_optimize_stats",
     oracle="""
 SELECT event_type,

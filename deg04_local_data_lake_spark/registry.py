@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     "delta_log_optimize_stats",
     "stream_delta_sink_exactly_once",
     "iceberg_offline_time_travel",
+    "delta_log_data_skipping",
 ]
 
 

@@ -190,11 +190,35 @@ def last_txn_version(table: str, app_id: str) -> int:
     return _replay_txns(table, latest).get(app_id, -1)
 
 
+def _stats_skip(add: dict, column_ranges: dict[str, tuple]) -> bool:
+    """True if the file can be PROVEN to contain no row satisfying
+    ``col BETWEEN lo AND hi`` for some filtered column — i.e. its stats
+    range lies entirely outside the query range. Missing/unparseable
+    stats keep the file (skipping must be conservative); the caller
+    still applies the real predicate to whatever is scanned."""
+    raw = add.get("stats")
+    if not raw:
+        return False
+    try:
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+        mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    except (ValueError, AttributeError):
+        return False
+    for col, (lo, hi) in column_ranges.items():
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return True
+    return False
+
+
 def read_delta_log(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    column_ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table (latest, or ``VERSION AS OF`` when
     ``version`` is given) by replaying the transaction log from scratch.
@@ -211,7 +235,16 @@ def read_delta_log(
     opened, or scheduled, the same metadata pruning delta-spark performs
     before handing Spark a file index. For a table partitioned on a
     selective column this is the difference between scanning 1/k of the
-    files and all of them, independent of parquet row-group stats."""
+    files and all of them, independent of parquet row-group stats.
+
+    ``column_ranges`` ({col: (lo, hi), None = unbounded side}) is DATA
+    SKIPPING on the per-file ``stats`` the writer records: files whose
+    min/max range cannot contain a matching row are dropped during log
+    replay. Unlike partition pruning this works on ANY stats-carrying
+    column, and after a clustered OPTIMIZE (``optimize_delta(...,
+    cluster_by=...)``) the per-file ranges are narrow, so a selective
+    range predicate scans O(matching files) — delta-spark's
+    OPTIMIZE ZORDER + data-skipping story, reproduced on the log."""
     if version is None:
         version = _latest_version(table)
     live, meta = _replay(table, version)
@@ -235,6 +268,12 @@ def read_delta_log(
                 for k, v in partition_filter.items()
             )
         ]
+    if column_ranges:
+        # Data skipping from the log's per-file stats: files provably
+        # outside every ``col BETWEEN lo AND hi`` range are never listed,
+        # opened, or scheduled. The caller STILL applies the predicate —
+        # skipping narrows the scan, it never replaces the filter.
+        adds = [a for a in adds if not _stats_skip(a, column_ranges)]
     files = [os.path.join(table, a["path"]) for a in adds]
     if not files:
         return spark.createDataFrame([], schema)
@@ -247,12 +286,54 @@ def read_delta_log(
     return reader.parquet(*files)
 
 
+def _file_stats(path: str) -> str | None:
+    """Per-file column statistics as the protocol's ``stats`` JSON
+    (numRecords / minValues / maxValues / nullCount), aggregated from the
+    parquet footer's row-group statistics — zero data reads. Columns
+    whose footer lacks min/max are simply omitted (readers must treat
+    missing stats as "cannot skip")."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: out of scope
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        default=str,  # timestamps/dates serialize as ISO strings
+    )
+
+
 def _stage_files(
     df: DataFrame, table: str, version: int, partition_by: list[str] | None
 ) -> list[dict]:
     """Distributed parquet write into a staging dir, then move part files
     into the table (under ``col=value/`` subdirs when partitioned) and
-    return their ``add`` actions with ``partitionValues`` filled in."""
+    return their ``add`` actions with ``partitionValues`` and per-file
+    column ``stats`` filled in."""
     stage = os.path.join(table, f"_stage_{uuid.uuid4().hex}")
     writer = df.write.format("parquet").mode("errorifexists")
     if partition_by:
@@ -276,6 +357,7 @@ def _stage_files(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             src = os.path.join(root, f)
             size = os.path.getsize(src)
+            stats = _file_stats(src)
             os.rename(src, dst)
             adds.append(
                 {
@@ -285,6 +367,7 @@ def _stage_files(
                         "size": size,
                         "modificationTime": 0,
                         "dataChange": True,
+                        "stats": stats,
                     }
                 }
             )
@@ -468,6 +551,7 @@ def write_delta_checkpoint(table: str) -> int:
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
                     ]
                 ),
             ),
@@ -534,13 +618,22 @@ def merge_delta(
 
 
 def optimize_delta(
-    spark: SparkSession, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (small-file compaction) as a Delta commit: rewrite the
     current snapshot into ⌈bytes/target⌉ files and commit removes + adds
     with ``dataChange: false`` — the protocol's marker that the commit
     reorganizes storage without changing table content (streaming
     readers skip it). Returns the committed version.
+
+    ``cluster_by`` range-partitions + sorts the rewrite on the given
+    keys, so each output file covers a narrow key range and the per-file
+    ``stats`` become selective — the OPTIMIZE ZORDER move that turns
+    ``read_delta_log(column_ranges=...)`` data skipping into O(matching
+    files) scans for range predicates on those keys.
 
     This is the table-service answer to microbatch file accumulation
     (same role as ``writers.compact_table``), but snapshot-isolated:
@@ -555,7 +648,16 @@ def optimize_delta(
         raise ValueError(f"no metaData action in log for {table}")
     size = sum(a.get("size", 0) for a in live.values())
     n_files = max(1, math.ceil(size / target_file_bytes))
-    snapshot = read_delta_log(spark, table).repartition(n_files)
+    snapshot = read_delta_log(spark, table)
+    if cluster_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in cluster_by]
+        snapshot = snapshot.repartitionByRange(
+            n_files, *cols
+        ).sortWithinPartitions(*cols)
+    else:
+        snapshot = snapshot.repartition(n_files)
     snapshot = snapshot.localCheckpoint(eager=True)
     new_version = version + 1
     adds = _stage_files(snapshot, table, new_version, None)

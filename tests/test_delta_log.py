@@ -159,6 +159,44 @@ def test_vacuum_removes_only_unreachable_files(spark, table):
     assert read_delta_log(spark, table, 1).count() == 5  # checkpointed version
 
 
+def test_add_actions_carry_file_stats(spark, table):
+    import json
+
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    write_delta_commit(_df(spark, 0, 100), table)
+    live, _m = _replay(table, 0)
+    stats = [json.loads(a["stats"]) for a in live.values() if a.get("stats")]
+    assert stats
+    assert sum(s["numRecords"] for s in stats) == 100
+    all_mins = min(s["minValues"]["id"] for s in stats)
+    all_maxs = max(s["maxValues"]["id"] for s in stats)
+    assert (all_mins, all_maxs) == (0, 99)
+
+
+def test_data_skipping_is_conservative_and_exact(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import optimize_delta
+
+    write_delta_commit(_df(spark, 0, 1000).repartition(8), table)
+    # random layout: ranges overlap, little to skip — but results exact
+    r = read_delta_log(spark, table, column_ranges={"id": (100, 199)})
+    assert sorted(
+        x.id for x in r.filter("id BETWEEN 100 AND 199").collect()
+    ) == list(range(100, 200))
+    # clustered OPTIMIZE → narrow per-file ranges → real skipping
+    optimize_delta(spark, table, target_file_bytes=1, cluster_by=["id"])
+    full = read_delta_log(spark, table)
+    pruned = read_delta_log(spark, table, column_ranges={"id": (100, 199)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(
+        x.id for x in pruned.filter("id BETWEEN 100 AND 199").collect()
+    ) == list(range(100, 200))
+    # open-ended ranges work too
+    hi = read_delta_log(spark, table, column_ranges={"id": (900, None)})
+    assert len(hi.inputFiles()) < len(full.inputFiles())
+    assert hi.filter("id >= 900").count() == 100
+
+
 def test_automatic_checkpoint_every_interval(spark, table):
     from deg04_local_data_lake_spark.sources.delta_log import (
         _read_last_checkpoint,
