@@ -469,6 +469,58 @@ def delta_log_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_change_feed",
+    oracle=f"""
+WITH new_snap AS ({_NEW_SNAPSHOT_SQL})
+SELECT *, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM (SELECT * FROM new_snap EXCEPT ALL SELECT * FROM customer)
+UNION ALL
+SELECT *, 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM (SELECT * FROM customer EXCEPT ALL SELECT * FROM new_snap)
+""",
+)
+def delta_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the transaction log, driver-attested:
+    customer commits as version 0, the derived CDC feed MERGEs as
+    version 1, and ``read_delta_changes(0, 1)`` must emit exactly the
+    multiset difference of the two snapshots — every deleted/pre-update
+    row as 'delete', every inserted/post-update row as 'insert', tagged
+    with the committing version. The oracle states the same contract
+    directly as EXCEPT ALL both ways, so the hash match proves the CDF
+    reconstruction (snapshot diffing per rewriting commit) is exact.
+    This is ``table_changes`` for audit/backfill on the jar-less log;
+    see ``read_delta_changes`` for the commit-time-change-files design a
+    hot path would use instead."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        merge_delta,
+        read_delta_changes,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_cdf_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        write_delta_commit(cust, path)
+        derived = _derived_snapshot(cust)
+        upserts = derived.withColumn("op", F.lit("U"))
+        deletes = cust.filter(F.col("c_custkey") % 97 == 0).select(
+            "c_custkey",
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in cust.schema.fields if f.name != "c_custkey"],
+        ).withColumn("op", F.lit("D"))
+        v = merge_delta(
+            spark, path, upserts.unionByName(deletes), "c_custkey", op_col="op"
+        )
+        assert v == 1
+        return read_delta_changes(spark, path, 0, 1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_data_skipping",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "stream_delta_sink_exactly_once",
     "iceberg_offline_time_travel",
     "delta_log_data_skipping",
+    "delta_log_change_feed",
 ]
 
 

@@ -726,6 +726,71 @@ def vacuum_delta(table: str) -> list[str]:
     return sorted(doomed)
 
 
+def read_delta_changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change data feed (delta-spark's ``table_changes``) reconstructed
+    from the log: every row inserted or deleted by the commits in
+    ``(from_version, to_version]``, tagged with ``_change_type``
+    ('insert' | 'delete' — an update is its delete+insert pair, as in
+    Delta CDF without the pre/post-image flavor) and ``_commit_version``.
+
+    Per commit: a pure-append (`add` only, dataChange=true) feeds its new
+    files directly — no diffing; a rewriting commit (overwrite/merge)
+    yields the MULTISET difference of its adjacent snapshots
+    (``exceptAll`` both ways — exact under duplicate rows); a
+    dataChange=false commit (OPTIMIZE) emits nothing, by protocol.
+
+    Scale note: real Delta CDF persists change files AT COMMIT TIME so
+    reading changes never diffs snapshots; this offline reconstruction
+    pays two snapshot scans per rewriting commit instead — right for
+    audit/backfill jobs, wrong as a hot path, and said so here."""
+    from pyspark.sql import functions as F
+
+    out: DataFrame | None = None
+    for v in range(from_version + 1, to_version + 1):
+        actions = _read_commit(table, v)
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a for a in actions if "remove" in a]
+        data_change = any(a.get("dataChange", True) for a in adds) or any(
+            r["remove"].get("dataChange", True) for r in removes
+        )
+        if not data_change:
+            continue  # OPTIMIZE: storage reorganization, no table change
+        _live, meta = _replay(table, v)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if not removes:
+            # pure append: the added files ARE the inserted rows
+            files = [os.path.join(table, a["path"]) for a in adds]
+            delta = (
+                spark.read.schema(schema).parquet(*files)
+                .withColumn("_change_type", F.lit("insert"))
+                if files
+                else None
+            )
+        else:
+            prev = read_delta_log(spark, table, v - 1)
+            cur = read_delta_log(spark, table, v)
+            cols = cur.columns
+            ins = cur.exceptAll(prev.select(*cols)).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            dels = prev.select(*cols).exceptAll(cur).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            delta = ins.unionByName(dels)
+        if delta is None:
+            continue
+        delta = delta.withColumn("_commit_version", F.lit(v).cast("long"))
+        out = delta if out is None else out.unionByName(delta)
+    if out is None:
+        raise ValueError(
+            f"no data-changing commits in ({from_version}, {to_version}] "
+            f"for {table}"
+        )
+    return out
+
+
 def delta_stream_writer(table: str, app_id: str):
     """foreachBatch function for an EXACTLY-ONCE streaming append sink on
     the jar-less Delta table: each microbatch commits with a ``txn``

@@ -159,6 +159,36 @@ def test_vacuum_removes_only_unreachable_files(spark, table):
     assert read_delta_log(spark, table, 1).count() == 5  # checkpointed version
 
 
+def test_change_feed_appends_overwrites_and_optimize(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        optimize_delta,
+        read_delta_changes,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)           # v0
+    write_delta_commit(_df(spark, 10, 15), table)          # v1 append
+    write_delta_commit(_df(spark, 0, 3), table, "overwrite")  # v2
+    optimize_delta(spark, table)                           # v3: no change
+    # v1 alone: pure-append commit feeds its files straight through
+    ch1 = read_delta_changes(spark, table, 0, 1)
+    assert {(r.id, r._change_type) for r in ch1.collect()} == {
+        (i, "insert") for i in range(10, 15)
+    }
+    # v2: overwrite = delete 0..14, insert 0..2 (multiset diff nets 0..2
+    # insert-then-delete pairs at identical values? no — rows 0..2 keep
+    # the same (id, v) values, so the diff is exactly the dropped rows)
+    ch2 = read_delta_changes(spark, table, 1, 2)
+    got = {(r.id, r._change_type) for r in ch2.collect()}
+    assert got == {(i, "delete") for i in range(3, 15)}
+    # v3 (OPTIMIZE) emits nothing; a range of only-OPTIMIZE raises
+    with pytest.raises(ValueError):
+        read_delta_changes(spark, table, 2, 3)
+    # whole range tags each change with its committing version
+    all_ch = read_delta_changes(spark, table, 0, 3)
+    versions = {r._commit_version for r in all_ch.collect()}
+    assert versions == {1, 2}
+
+
 def test_add_actions_carry_file_stats(spark, table):
     import json
 
