@@ -174,9 +174,8 @@ def test_change_feed_appends_overwrites_and_optimize(spark, table):
     assert {(r.id, r._change_type) for r in ch1.collect()} == {
         (i, "insert") for i in range(10, 15)
     }
-    # v2: overwrite = delete 0..14, insert 0..2 (multiset diff nets 0..2
-    # insert-then-delete pairs at identical values? no — rows 0..2 keep
-    # the same (id, v) values, so the diff is exactly the dropped rows)
+    # v2 overwrite: rows 0..2 keep identical (id, v) values so the
+    # multiset diff cancels them — the feed is exactly the dropped rows
     ch2 = read_delta_changes(spark, table, 1, 2)
     got = {(r.id, r._change_type) for r in ch2.collect()}
     assert got == {(i, "delete") for i in range(3, 15)}
