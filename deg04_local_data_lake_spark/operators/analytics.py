@@ -1132,24 +1132,19 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic before any graph algorithm (is the degree sequence
     power-law? is there a hub that will skew joins?).
 
-    Shares the co-partitioned edge-build of ``pagerank_step`` (self-join
-    on the shared order key, one exchange); the per-node degree count then
-    re-keys on src and the histogram on degree — each stage's input is at
-    least an order of magnitude smaller than the last. In production the
-    degree table is the broadcast side of the skew-salting decision for
-    every other graph query."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    return deg.groupBy("degree").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
-    )
+    Consumes the session-shared persisted edge/degree subtree of the
+    triangle family (``_co_purchase_oriented`` — a node's undirected
+    degree IS its distinct-partner count, which is what the directed
+    both-ways formulation counts per src), so running any two of the
+    graph queries in one session builds the co-purchase edges once. The
+    histogram itself reduces |nodes| rows to |distinct degrees| — each
+    stage's input is at least an order of magnitude smaller than the
+    last. In production the degree table is the broadcast side of the
+    skew-salting decision for every other graph query."""
+    _edges, deg, _corners = _co_purchase_oriented(spark, sf_dir)
+    return deg.select(F.col("degree").cast("bigint").alias("degree")).groupBy(
+        "degree"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
 
 
 @register(
