@@ -14,15 +14,27 @@ import re
 from pyspark.sql import DataFrame
 
 
+def _fresh(df: DataFrame) -> DataFrame:
+    """A new QueryExecution over the same logical plan. A DataFrame that
+    has already been EXECUTED (session-memoized frames — the dedup chain,
+    the triangle subtree) caches its QueryExecution, and after execution
+    the explain output is the FINAL adaptive plan, whose node list
+    differs from the static one (AQE re-plans, extra shuffle-read
+    wrappers). Plan assertions are about the plan Spark would compile,
+    so wrap in an identity projection to force a fresh, un-executed
+    compile."""
+    return df.select("*")
+
+
 def formatted_plan(df: DataFrame) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+        _fresh(df).explain("formatted")
     return buf.getvalue()
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return _fresh(df)._jdf.queryExecution().executedPlan().toString()
 
 
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
