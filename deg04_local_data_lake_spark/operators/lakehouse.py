@@ -674,6 +674,183 @@ def _read_optimize_actions(table: str, version: int) -> list[dict]:
 
 
 @register(
+    "iceberg_partition_prune",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS pruned_in_manifest
+FROM events WHERE event_type = 'click'
+""",
+)
+def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning FROM THE ICEBERG MANIFESTS, driver-attested:
+    events commit through the jar-less Iceberg layer with an identity
+    partition spec on event_type (``partition-specs`` in the table
+    metadata, per-file partition values in each ``manifest_entry``), and
+    the reader's ``partition_filter`` drops non-matching files while
+    walking the manifests — before any listing, footer read, or task
+    scheduling. The aggregate over the pruned snapshot must equal the
+    WHERE-filtered oracle, and ``pruned_in_manifest`` asserts the file
+    list strictly shrank. This is the Iceberg library's
+    ManifestEvaluator contract (iceberg_demo_write.py:57's runtime does
+    exactly this on a jarful cluster): at 100 TB a per-partition query
+    stays O(partition) because pruning happens on kilobytes of Avro
+    metadata, never on the data."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_prune_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        write_iceberg_commit(ev, path, partition_by=["event_type"])
+        full_files = len(read_iceberg(spark, path).inputFiles())
+        clicks = read_iceberg(
+            spark, path, partition_filter={"event_type": "click"}
+        )
+        n_pruned = len(clicks.inputFiles())
+        out = clicks.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).withColumn("pruned_in_manifest", F.lit(0 < n_pruned < full_files))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "iceberg_data_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       TRUE AS files_were_skipped
+FROM events WHERE value BETWEEN 100.0 AND 150.0
+""",
+)
+def iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-based data skipping from the Iceberg manifests,
+    driver-attested: events land range-clustered on ``value``
+    (``repartitionByRange`` → each data file covers a narrow disjoint
+    range), the writer lifts per-column lower/upper bounds from every
+    parquet footer into the manifest (the spec's map<int,binary>
+    single-value serialization), and the reader's ``column_ranges``
+    drops files provably outside ``value BETWEEN 100 AND 150`` during
+    the manifest walk. The aggregate over (pruned scan + the real
+    predicate) must equal the plain WHERE oracle; ``files_were_skipped``
+    asserts the file list strictly shrank. This is Iceberg's
+    InclusiveMetricsEvaluator: works on ANY stats-carrying column — at
+    100 TB it turns a selective range predicate into an
+    O(matching-files) scan with zero data-side work for the rest."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_skip_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_iceberg_commit(ev.repartitionByRange(16, "value"), path)
+        full_files = len(read_iceberg(spark, path).inputFiles())
+        pruned = read_iceberg(
+            spark, path, column_ranges={"value": (100.0, 150.0)}
+        )
+        n_kept = len(pruned.inputFiles())
+        out = (
+            pruned.filter(F.col("value").between(100.0, 150.0))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .withColumn("files_were_skipped", F.lit(0 < n_kept < full_files))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "iceberg_schema_evolution",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,
+       CAST(2 AS INT) AS v1_cols,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS v1_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS v2_rows,
+       CAST(3 AS INT) AS v2_cols,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS v2_segments,
+       TRUE AS schemas_differ
+FROM customer
+""",
+)
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot schema resolution across an evolving table,
+    driver-attested: snapshot 1 commits customer as (c_custkey,
+    c_acctbal); an OVERWRITE evolves the schema to add c_mktsegment
+    (appended to the metadata's schema history with a fresh schema-id;
+    unchanged columns keep their field ids). Time travel to snapshot 1
+    must read under the ORIGINAL 2-column schema — not the current one,
+    which would misread old files — while the current read sees all 3
+    columns. The aggregates over both reads must match the oracle
+    computed straight from the source table, proving neither write nor
+    either schema resolution lost a row or a value. This is the spec's
+    snapshot→schema-id rule; without it a schema-changing overwrite
+    silently corrupts history."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_evolve_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        s1 = write_iceberg_commit(
+            cust.select("c_custkey", "c_acctbal"), path
+        )
+        write_iceberg_commit(
+            cust.select("c_custkey", "c_acctbal", "c_mktsegment"),
+            path,
+            mode="overwrite",
+        )
+        old = read_iceberg(spark, path, s1)
+        cur = read_iceberg(spark, path)
+        schemas_differ = old.columns != cur.columns
+        v1 = old.agg(
+            F.count(F.lit(1)).alias("v1_rows"),
+            F.sum(dec("c_acctbal")).cast("double").alias("v1_acctbal"),
+        ).withColumn("v1_cols", F.lit(len(old.columns)))
+        v2 = cur.agg(
+            F.count(F.lit(1)).alias("v2_rows"),
+            F.countDistinct("c_mktsegment").alias("v2_segments"),
+        ).withColumn("v2_cols", F.lit(len(cur.columns)))
+        out = v1.crossJoin(F.broadcast(v2)).select(
+            "v1_rows", "v1_cols", "v1_acctbal",
+            "v2_rows", "v2_cols", "v2_segments",
+        ).withColumn("schemas_differ", F.lit(schemas_differ))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "event_transitions",
     oracle="""
 WITH nxt AS (

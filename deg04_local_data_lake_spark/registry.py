@@ -83,24 +83,99 @@ def load_all() -> None:
 
 
 #: Queries pushed to the FRONT of ``queries()`` iteration order regardless
-#: of module import order.  Round 4: (a) the three queries that went
-#: driver-red in round 3 (now fixed — integer micro-unit ``adc_dist``;
-#: exploded scalar output for ``normalize_embeddings``) must land inside
-#: the driver's 50-query prefix sample so the fixes get re-attested, and
-#: (b) the new jar-less Delta transaction-log family (this round's
-#: headline capability) gets attested the round it ships.
+#: of module import order.  Round 5: the driver samples the first 50
+#: registered queries each round, so the front of this list is (a) the
+#: queries NEW this round (per-snapshot-schema / partitioned / bounds-
+#: skipping Iceberg — attested the round they ship), then (b) the
+#: never-driver-sampled backlog (80 queries after four rounds of
+#: rotation; compare CORRECTNESS_r0*.json keys against the registry).
+#: The ~30 that miss this round's 50-query window lead round 6.
 PRIORITY: list[str] = [
-    "similarity_pq_topk",
-    "similarity_ivfadc_topk",
-    "normalize_embeddings",
-    "delta_log_time_travel",
-    "delta_log_merge_upsert",
-    "delta_log_partition_prune",
-    "delta_log_optimize_stats",
-    "stream_delta_sink_exactly_once",
-    "iceberg_offline_time_travel",
-    "delta_log_data_skipping",
-    "delta_log_change_feed",
+    # --- new in round 5 ---
+    "iceberg_partition_prune",
+    "iceberg_data_skipping",
+    "iceberg_schema_evolution",
+    # --- never sampled in rounds 1-4 ---
+    "q2_cheapest_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_value_concentration",
+    "q12_late_priority_counts",
+    "q16_supplier_part_stats",
+    "q17_small_quantity_revenue",
+    "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "string_functions_parity",
+    "datetime_functions_parity",
+    "window_kitchen_sink",
+    "null_semantics_parity",
+    "collection_functions_parity",
+    "variant_props_extract",
+    "bitwise_functions_parity",
+    "not_in_null_semantics",
+    "range_interval_window",
+    "sql_parameterized_entry",
+    "sql_scripting_block",
+    "events_value_by_type_salted",
+    "events_tier_salted_join",
+    "cube_returnflag_status",
+    "zorder_locality_audit",
+    "compaction_roundtrip",
+    "restore_rollback_roundtrip",
+    "pyds_ticks_scan",
+    "observed_write_audit",
+    "listings_parse",
+    "orders_filter_project",
+    "events_json_extract",
+    "sql_entry_top_nations",
+    "events_props_from_json",
+    "union_account_balances",
+    "recursive_tree_depth",
+    "listagg_top_customers",
+    "udtf_chunk_text",
+    "silver_scd2_snapshot",
+    "sample_token_budget",
+    "pack_sequences",
+    "approx_distinct_calibration",
+    "approx_quantile_calibration",
+    "unpivot_event_matrix",
+    "expectations_audit",
+    "full_outer_wealth_by_nation",
+    "corr_price_quantity",
+    "ols_price_on_quantity",
+    "table_fingerprint",
+    "benford_first_digit",
+    "feature_minmax_scale",
+    "robust_outliers_mad",
+    "value_percentiles_by_type",
+    "cusum_changepoint",
+    "sample_stratified_fixed_k",
+    "sample_sqrt_temperature",
+    "weighted_median_price",
+    "fulfillment_lag_distribution",
+    "winsorized_value_mean",
+    "monthly_revenue_growth",
+    "ks_value_distribution",
+    "skyline_orders",
+    "grouping_sets_revenue",
+    "chi2_dow_event_mix",
+    "dedup_containment",
+    "dedup_prefix_jaccard",
+    "scd2_temporal_join",
+    "local_clustering_topk",
+    "langid_confusion",
+    "text_char_diversity",
+    "bm25_top_terms",
+    "vocab_oov_rate",
+    "vwap_daily",
+    "sma_crossover",
+    "rsi_14",
+    "price_momentum",
+    "max_drawdown",
+    "rolling_trend_daily_revenue",
+    "revenue_autocorr_lag1",
+    "weekday_seasonality",
+    "ewma_daily_revenue",
 ]
 
 

@@ -208,8 +208,15 @@ def _stats_skip(add: dict, column_ranges: dict[str, tuple]) -> bool:
         mn, mx = mins.get(col), maxs.get(col)
         if mn is None or mx is None:
             continue
-        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-            return True
+        # Footer stats for decimal/timestamp/date columns are serialized
+        # as strings (json.dumps(default=str)); comparing those against a
+        # numeric bound raises TypeError. Incomparable stats must mean
+        # "cannot prove exclusion" — keep the file, never crash the read.
+        try:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return True
+        except TypeError:
+            continue
     return False
 
 

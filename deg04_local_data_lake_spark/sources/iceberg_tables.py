@@ -13,31 +13,42 @@ implements that contract with the from-scratch Avro codec
 (``sources/avro_io.py``):
 
 - :func:`write_iceberg_commit` — append or overwrite snapshot: stage
-  parquet data files, write a manifest (one ``manifest_entry`` per file,
-  spec field ids included), a manifest list (``manifest_file`` records),
-  and the next ``vN.metadata.json`` with the full snapshot history;
-  flips ``version-hint.text`` atomically (the Hadoop catalog's commit).
+  parquet data files (optionally identity-partitioned: hive-style
+  ``data/col=val/`` layout with per-file partition values recorded in
+  the manifest), write a manifest (one ``manifest_entry`` per file,
+  spec field ids included, per-column lower/upper bounds from the
+  parquet footers), a manifest list (``manifest_file`` records), and
+  the next ``vN.metadata.json`` with the full snapshot history AND the
+  full schema history (each snapshot pins its ``schema-id``); flips
+  ``version-hint.text`` atomically (the Hadoop catalog's commit).
 - :func:`read_iceberg` — snapshot read at the current or any historical
   ``snapshot-id``: metadata → manifest list → manifests → live data
-  files → ``spark.read.parquet`` with the schema converted from the
-  Iceberg field-id schema. The DATA path is a plain distributed parquet
-  scan; metadata resolution is kilobytes, driver-side, exactly as in the
-  Iceberg library.
+  files → ``spark.read.parquet`` with the schema of THAT snapshot
+  (resolved via its ``schema-id`` — time travel across a
+  schema-changing overwrite reads each snapshot under the schema it was
+  written with). ``partition_filter`` prunes files by manifest
+  partition values; ``column_ranges`` data-skips on the recorded
+  bounds. The DATA path is a plain distributed parquet scan; metadata
+  resolution is kilobytes, driver-side, exactly as in the Iceberg
+  library.
 - :func:`iceberg_history` — the snapshot log.
 
-Deliberate subset: unpartitioned specs (partition pruning from file
-metadata is demonstrated on the Delta side, ``sources/delta_log.py``),
-single writer (no optimistic-concurrency version race loop), and
-column stats omitted from manifests (upper/lower bounds are optional in
-the spec). On a jarful cluster the same tables are what the Iceberg
-runtime itself manages.
+Deliberate subset: identity partition transforms only (bucket/truncate/
+temporal transforms are out), the partition spec is fixed at table
+creation, partition values must be non-null, and the table is
+single-writer (no optimistic-concurrency version race loop — the Delta
+side demonstrates put-if-absent commits, ``sources/delta_log.py``). On
+a jarful cluster the same tables are what the Iceberg runtime itself
+manages.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 import uuid
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -48,6 +59,11 @@ from deg04_local_data_lake_spark.sources.avro_io import (
 )
 
 # ------------------------------------------------------- schema mapping
+#
+# Spark `timestamp` is a UTC-adjusted instant → Iceberg `timestamptz`
+# (the spec's `timestamp` is WITHOUT timezone); Spark `timestamp_ntz` ↔
+# Iceberg `timestamp`. Mapping instants to the NTZ type would silently
+# turn values session-timezone-dependent across a write/read round trip.
 
 _SPARK_TO_ICE = {
     "long": "long",
@@ -57,7 +73,7 @@ _SPARK_TO_ICE = {
     "string": "string",
     "boolean": "boolean",
     "date": "date",
-    "timestamp": "timestamp",
+    "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp",
     "binary": "binary",
 }
@@ -69,25 +85,46 @@ _ICE_TO_SPARK = {
     "string": "string",
     "boolean": "boolean",
     "date": "date",
+    "timestamptz": "timestamp",
     "timestamp": "timestamp_ntz",
     "binary": "binary",
 }
 
 
-def _iceberg_schema(df_schema: StructType) -> dict:
+def _ice_type(field) -> str:
+    t = field.dataType.typeName()
+    if t.startswith("decimal"):
+        return f"decimal({field.dataType.precision}, {field.dataType.scale})"
+    if t in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[t]
+    raise ValueError(f"unsupported Spark type for Iceberg: {t}")
+
+
+def _iceberg_schema(
+    df_schema: StructType, schema_id: int = 0, prev_schema: dict | None = None,
+    first_field_id: int = 1,
+) -> dict:
+    """Convert a Spark schema to an Iceberg field-id schema. When
+    ``prev_schema`` is given, columns with an unchanged (name, type)
+    keep their previous field id (the spec's column-identity rule);
+    genuinely new columns get fresh ids from ``first_field_id``."""
+    prev_ids = {
+        (f["name"], f["type"]): f["id"]
+        for f in (prev_schema or {"fields": []})["fields"]
+    }
     fields = []
-    for i, f in enumerate(df_schema.fields, start=1):
-        t = f.dataType.typeName()
-        if t.startswith("decimal"):
-            ice_t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
-        elif t in _SPARK_TO_ICE:
-            ice_t = _SPARK_TO_ICE[t]
-        else:
-            raise ValueError(f"unsupported Spark type for Iceberg: {t}")
+    next_id = first_field_id
+    for f in df_schema.fields:
+        ice_t = _ice_type(f)
+        fid = prev_ids.get((f.name, ice_t))
+        if fid is None:
+            fid = next_id
+            next_id += 1
         fields.append(
-            {"id": i, "name": f.name, "required": not f.nullable, "type": ice_t}
+            {"id": fid, "name": f.name, "required": not f.nullable,
+             "type": ice_t}
         )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 
 def _spark_schema(ice_schema: dict) -> StructType:
@@ -101,40 +138,222 @@ def _spark_schema(ice_schema: dict) -> StructType:
     return _parse_datatype_string(", ".join(parts))
 
 
+def _same_shape(a: dict, b: dict) -> bool:
+    return [(f["name"], f["type"]) for f in a["fields"]] == [
+        (f["name"], f["type"]) for f in b["fields"]
+    ]
+
+
+def _schema_by_id(meta: dict, schema_id: int) -> dict:
+    for s in meta["schemas"]:
+        if s["schema-id"] == schema_id:
+            return s
+    # Tables written before schema history landed carry one entry.
+    return meta["schemas"][0]
+
+
+# --------------------------------------- single-value binary serialization
+#
+# The spec's bound maps (`lower_bounds`/`upper_bounds`,
+# map<int, binary>) store each value in "single-value serialization":
+# little-endian fixed width for numerics, UTF-8 for strings, minimal
+# big-endian two's complement for decimal unscaled values.
+
+
+def _encode_bound(ice_type: str, v) -> bytes | None:
+    import datetime
+
+    try:
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "date":
+            if isinstance(v, datetime.date):
+                v = (v - datetime.date(1970, 1, 1)).days
+            return struct.pack("<i", int(v))
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(v, datetime.datetime):
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=v.tzinfo
+                )
+                v = (v - epoch) // datetime.timedelta(microseconds=1)
+            return struct.pack("<q", int(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        if ice_type.startswith("decimal"):
+            unscaled = int(v.scaleb(-v.as_tuple().exponent)) if isinstance(
+                v, Decimal
+            ) else int(v)
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(n, "big", signed=True)
+    except (TypeError, ValueError, struct.error):
+        return None
+    return None
+
+
+def _decode_bound(ice_type: str, raw: bytes):
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    if ice_type == "int" or ice_type == "date":
+        return struct.unpack("<i", raw)[0]
+    if ice_type in ("long", "timestamp", "timestamptz"):
+        return struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8", errors="replace")
+    if ice_type.startswith("decimal"):
+        scale = int(ice_type.rstrip(")").split(",")[1])
+        return Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(-scale)
+    raise ValueError(f"undecodable bound type {ice_type}")
+
+
+def _file_bounds(parquet_path: str, ice_fields: list[dict]) -> tuple[list, list]:
+    """Per-column (lower, upper) bound entries for one data file, read
+    from the parquet footer row-group statistics. Columns without
+    complete stats are simply absent (the spec makes bounds optional;
+    readers must treat absence as 'cannot skip')."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(parquet_path)
+    by_name = {f["name"]: f for f in ice_fields}
+    mins: dict[int, bytes] = {}
+    maxs: dict[int, bytes] = {}
+    complete: dict[int, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            f = by_name.get(name)
+            if f is None:
+                continue
+            fid = f["id"]
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    complete[fid] = False
+                    continue
+                st_min, st_max = st.min, st.max
+            except Exception:
+                # pyarrow cannot extract stats for every physical type
+                # (ArrowNotImplementedError) — absent bounds, keep file.
+                complete[fid] = False
+                continue
+            lo = _encode_bound(f["type"], st_min)
+            hi = _encode_bound(f["type"], st_max)
+            if lo is None or hi is None:
+                complete[fid] = False
+                continue
+            dec = lambda b: _decode_bound(f["type"], b)  # noqa: E731
+            if fid not in mins or dec(lo) < dec(mins[fid]):
+                mins[fid] = lo
+            if fid not in maxs or dec(hi) > dec(maxs[fid]):
+                maxs[fid] = hi
+            complete.setdefault(fid, True)
+    lower = [
+        {"key": fid, "value": mins[fid]}
+        for fid in sorted(mins)
+        if complete.get(fid)
+    ]
+    upper = [
+        {"key": fid, "value": maxs[fid]}
+        for fid in sorted(maxs)
+        if complete.get(fid)
+    ]
+    return lower, upper
+
+
 # ------------------------------------------------- avro metadata schemas
 #
 # The spec's manifest_entry / manifest_file records with their REQUIRED
 # fields and spec-assigned field ids ("field-id" keys ride along in the
 # schema JSON; the codec encodes by position exactly as Avro requires).
+# The `partition` record and therefore the manifest_entry schema are
+# built PER TABLE from the partition spec (one field per identity
+# partition column); bound maps are the spec's array-of-k/v-record
+# encoding of map<int, binary>.
 
-_DATA_FILE = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ],
+_BOUNDS_ARRAY = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "k_v",
+        "fields": [
+            {"name": "key", "type": "int", "field-id": 117},
+            {"name": "value", "type": "bytes", "field-id": 118},
+        ],
+    },
 }
 
-_MANIFEST_ENTRY = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE, "field-id": 2},
-    ],
-}
+# identity-partition column avro types per Iceberg type
+_PART_AVRO = {"int": "int", "long": "long", "string": "string", "date": "int"}
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    partition_rec = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": _PART_AVRO[pf["ice_type"]],
+                "field-id": pf["field-id"],
+            }
+            for pf in part_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_rec, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", dict(_BOUNDS_ARRAY)],
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", dict(_BOUNDS_ARRAY)],
+                "field-id": 128,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
 
 _MANIFEST_FILE = {
     "type": "record",
@@ -180,15 +399,67 @@ def _load_metadata(table: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _spec_part_fields(meta: dict) -> list[dict]:
+    """The table's partition-spec fields, joined to the CURRENT schema
+    for names/types: [{name, ice_type, field-id(partition), source-id}]."""
+    spec = meta["partition-specs"][0]
+    schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = []
+    for pf in spec["fields"]:
+        src = by_id[pf["source-id"]]
+        out.append(
+            {
+                "name": pf["name"],
+                "ice_type": src["type"],
+                "field-id": pf["field-id"],
+                "source-id": pf["source-id"],
+            }
+        )
+    return out
+
+
+def _parse_part_value(ice_type: str, raw: str):
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "date":
+        import datetime
+
+        return (
+            datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
+        ).days
+    return raw
+
+
 def write_iceberg_commit(
-    df: DataFrame, table: str, mode: str = "append"
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the Iceberg table at
     ``table`` (created on first commit); returns the new snapshot id.
     ``append`` carries previous manifests forward in the new manifest
-    list; ``overwrite`` starts the snapshot from only the new manifest
-    (a snapshot's manifest list fully defines its content, so dropped
-    manifests ARE the logical delete; old snapshots keep theirs)."""
+    list and REQUIRES ``df``'s schema to match the table's current
+    schema (a silent schema drift on append corrupts every reader);
+    ``overwrite`` starts the snapshot from only the new manifest (a
+    snapshot's manifest list fully defines its content, so dropped
+    manifests ARE the logical delete; old snapshots keep theirs) and
+    MAY change the schema — the new schema is appended to the
+    metadata's schema history with a fresh ``schema-id`` and the
+    snapshot pins it, so time travel resolves per-snapshot schemas.
+
+    ``partition_by`` (first commit only) declares identity partition
+    transforms: data lands hive-style under ``data/col=val/``, each
+    manifest entry records the file's partition values, and
+    :func:`read_iceberg`'s ``partition_filter`` prunes files from the
+    manifests alone — no listing, no footer reads. Every data file also
+    carries per-column lower/upper bounds lifted from its parquet
+    footer (the spec's map<int,binary> single-value serialization) for
+    ``column_ranges`` data skipping."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     meta_dir = _meta_dir(table)
@@ -202,49 +473,164 @@ def write_iceberg_commit(
     seq = (prev["last-sequence-number"] + 1) if prev else 1
     snapshot_id = seq  # deterministic ids: sequence number doubles as id
 
-    # ---- stage data files
+    # ---- schema resolution (per-snapshot schema history)
+    if prev:
+        schemas = list(prev["schemas"])
+        cur_schema = _schema_by_id(prev, prev.get("current-schema-id", 0))
+        last_col_id = prev.get(
+            "last-column-id", max(f["id"] for f in cur_schema["fields"])
+        )
+        proposed = _iceberg_schema(
+            df.schema,
+            schema_id=cur_schema["schema-id"],
+            prev_schema=cur_schema,
+            first_field_id=last_col_id + 1,
+        )
+        if _same_shape(proposed, cur_schema):
+            schema = cur_schema
+        elif mode == "append":
+            raise ValueError(
+                "append schema mismatch: table has "
+                f"{[(f['name'], f['type']) for f in cur_schema['fields']]}, "
+                "df has "
+                f"{[(f['name'], f['type']) for f in proposed['fields']]}; "
+                "use mode='overwrite' to evolve the schema"
+            )
+        else:
+            proposed["schema-id"] = (
+                max(s["schema-id"] for s in schemas) + 1
+            )
+            schemas.append(proposed)
+            schema = proposed
+        last_col_id = max(
+            last_col_id, max(f["id"] for f in schema["fields"])
+        )
+    else:
+        schema = _iceberg_schema(df.schema, schema_id=0)
+        schemas = [schema]
+        last_col_id = max(f["id"] for f in schema["fields"])
+
+    # ---- partition spec (fixed at table creation)
+    if prev:
+        if partition_by is not None:
+            declared = [
+                pf["name"] for pf in prev["partition-specs"][0]["fields"]
+            ]
+            if list(partition_by) != declared:
+                raise ValueError(
+                    f"partition spec is fixed at creation: table has "
+                    f"{declared}, got {list(partition_by)}"
+                )
+        spec = prev["partition-specs"][0]
+        last_part_id = prev.get("last-partition-id", 999)
+    else:
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by or []):
+            src = by_name.get(col)
+            if src is None:
+                raise ValueError(f"partition column {col!r} not in schema")
+            if src["type"] not in _PART_AVRO:
+                raise ValueError(
+                    f"identity partition on {src['type']} not supported "
+                    f"(use int/long/string/date)"
+                )
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": src["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        spec = {"spec-id": 0, "fields": spec_fields}
+        last_part_id = 999 + len(spec_fields)
+
+    meta_for_spec = {
+        "partition-specs": [spec],
+        "schemas": schemas,
+        "current-schema-id": schema["schema-id"],
+    }
+    part_fields = _spec_part_fields(meta_for_spec)
+    part_cols = [pf["name"] for pf in part_fields]
+
+    # ---- stage data files (hive layout when partitioned)
     stage = os.path.join(table, f"_stage_{uuid.uuid4().hex}")
-    df.write.format("parquet").mode("errorifexists").save(stage)
+    writer = df.write.format("parquet").mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(stage)
     entries = []
     idx = 0
     n_rows_total = 0
-    for f in sorted(os.listdir(stage)):
-        if not f.endswith(".parquet"):
-            continue
-        import pyarrow.parquet as pq
+    data_fields = [
+        f for f in schema["fields"] if f["name"] not in part_cols
+    ]
+    for root, _dirs, fnames in sorted(os.walk(stage)):
+        rel = os.path.relpath(root, stage)
+        part_vals: dict[str, str] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    raise ValueError(
+                        f"unexpected staging dir {seg!r} (null partition "
+                        "values are not supported by this subset)"
+                    )
+                k, v = seg.split("=", 1)
+                part_vals[k] = v
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
 
-        name = f"{snapshot_id:05d}-{idx:05d}-{uuid.uuid4().hex}.parquet"
-        src, dst = os.path.join(stage, f), os.path.join(data_dir, name)
-        n_rows = pq.read_metadata(src).num_rows
-        if n_rows == 0:
-            continue  # never commit empty data files (empty partitions)
-        size = os.path.getsize(src)
-        os.rename(src, dst)
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,     # inherited from the manifest
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n_rows,
-                    "file_size_in_bytes": size,
-                },
+            name = f"{snapshot_id:05d}-{idx:05d}-{uuid.uuid4().hex}.parquet"
+            src = os.path.join(root, f)
+            n_rows = pq.read_metadata(src).num_rows
+            if n_rows == 0:
+                continue  # never commit empty data files (empty partitions)
+            size = os.path.getsize(src)
+            lower, upper = _file_bounds(src, data_fields)
+            dst_dir = (
+                os.path.join(data_dir, rel) if rel != "." else data_dir
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, name)
+            os.rename(src, dst)
+            partition = {
+                pf["name"]: _parse_part_value(
+                    pf["ice_type"], part_vals[pf["name"]]
+                )
+                for pf in part_fields
             }
-        )
-        n_rows_total += n_rows
-        idx += 1
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherited from the manifest
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": size,
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
+                    },
+                }
+            )
+            n_rows_total += n_rows
+            idx += 1
     import shutil
 
     shutil.rmtree(stage)
 
     # ---- manifest (avro)
     manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-    write_container(manifest_path, _MANIFEST_ENTRY, entries)
+    write_container(
+        manifest_path, _manifest_entry_schema(part_fields), entries
+    )
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -273,18 +659,13 @@ def write_iceberg_commit(
     write_container(mlist_path, _MANIFEST_FILE, manifests)
 
     # ---- table metadata (json)
-    schema = (
-        prev["schemas"][0]
-        if prev and mode == "append"
-        else _iceberg_schema(df.schema)
-    )
     snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": 0,
         "manifest-list": mlist_path,
         "summary": {"operation": mode},
-        "schema-id": 0,
+        "schema-id": schema["schema-id"],
     }
     meta = {
         "format-version": 2,
@@ -292,12 +673,12 @@ def write_iceberg_commit(
         "location": table,
         "last-sequence-number": seq,
         "last-updated-ms": 0,
-        "last-column-id": len(schema["fields"]),
-        "current-schema-id": 0,
-        "schemas": [schema],
+        "last-column-id": last_col_id,
+        "current-schema-id": schema["schema-id"],
+        "schemas": schemas,
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [spec],
+        "last-partition-id": last_part_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
@@ -328,18 +709,86 @@ def _snapshot(meta: dict, snapshot_id: int) -> dict:
     )
 
 
+def _entry_skipped(
+    entry: dict,
+    part_match: dict[str, object] | None,
+    range_bounds: list[tuple[int, str, object, object]] | None,
+) -> bool:
+    """True when the manifest PROVES this file cannot satisfy the
+    filters: a partition value differs, or a column's recorded
+    [lower, upper] lies entirely outside the query range. Absent or
+    incomparable bounds keep the file — skipping is conservative."""
+    df_ = entry["data_file"]
+    if part_match:
+        part = df_.get("partition") or {}
+        for col, want in part_match.items():
+            if col in part and part[col] != want:
+                return True
+    if range_bounds:
+        lower = {e["key"]: e["value"] for e in (df_.get("lower_bounds") or [])}
+        upper = {e["key"]: e["value"] for e in (df_.get("upper_bounds") or [])}
+        for fid, ice_t, lo, hi in range_bounds:
+            lo_b, hi_b = lower.get(fid), upper.get(fid)
+            if lo_b is None or hi_b is None:
+                continue
+            try:
+                mn = _decode_bound(ice_t, lo_b)
+                mx = _decode_bound(ice_t, hi_b)
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    return True
+            except (TypeError, ValueError, struct.error):
+                continue
+    return False
+
+
 def read_iceberg(
-    spark: SparkSession, table: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, object] | None = None,
+    column_ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``) by
     resolving version-hint → metadata.json → manifest list (avro) →
-    manifests (avro) → live parquet files. Matches
+    manifests (avro) → live parquet files, under the SCHEMA THAT
+    SNAPSHOT WAS WRITTEN WITH (its ``schema-id`` — an overwrite that
+    evolved the schema does not rewrite history). Matches
     ``spark.read.option("snapshot-id", …).table(...)`` on a jarful
-    cluster; the scan itself is plain distributed parquet."""
+    cluster; the scan itself is plain distributed parquet.
+
+    ``partition_filter`` ({col: value}) drops files whose manifest
+    partition record differs — pruning happens on kilobytes of
+    metadata, before any data file is listed or opened.
+    ``column_ranges`` ({col: (lo, hi), None = unbounded side}) drops
+    files whose recorded footer bounds cannot contain a matching row;
+    the caller still applies the real predicate to whatever is scanned.
+    Both mirror what the Iceberg library's ManifestEvaluator +
+    InclusiveMetricsEvaluator do."""
     meta = _load_metadata(table)
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = _snapshot(meta, snapshot_id)
+    ice_schema = _schema_by_id(meta, snap.get("schema-id", 0))
+    part_cols = {
+        pf["name"] for pf in meta["partition-specs"][0]["fields"]
+    }
+    if partition_filter:
+        unknown = set(partition_filter) - part_cols
+        if unknown:
+            raise ValueError(
+                f"partition_filter on non-partition columns {sorted(unknown)}"
+            )
+    range_bounds = None
+    if column_ranges:
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        range_bounds = []
+        for col, (lo, hi) in column_ranges.items():
+            f = by_name.get(col)
+            if f is None:
+                raise ValueError(f"column_ranges on unknown column {col!r}")
+            range_bounds.append((f["id"], f["type"], lo, hi))
     _s, manifests = read_container(snap["manifest-list"])
     files: list[str] = []
     for m in manifests:
@@ -351,11 +800,18 @@ def read_iceberg(
                 continue
             if e["data_file"]["content"] != 0:
                 continue
+            if _entry_skipped(e, partition_filter, range_bounds):
+                continue
             files.append(e["data_file"]["file_path"])
-    schema = _spark_schema(meta["schemas"][0])
+    schema = _spark_schema(ice_schema)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*sorted(files))
+    reader = spark.read.schema(schema)
+    if part_cols:
+        # Hive-style data layout: partition columns come from the path;
+        # basePath anchors discovery at the data root.
+        reader = reader.option("basePath", os.path.join(table, "data"))
+    return reader.parquet(*sorted(files))
 
 
 def iceberg_history(table: str) -> list[dict]:

@@ -98,7 +98,9 @@ def read_lake_table(
     ):
         try:
             return spark.read.format("delta").load(path_or_name)
-        except Exception:
+        except Exception as exc:
+            if not _is_missing_datasource(exc, "delta"):
+                raise
             from deg04_local_data_lake_spark.sources.delta_log import (
                 read_delta_log,
             )
@@ -109,13 +111,33 @@ def read_lake_table(
     ):
         try:
             return spark.read.format("iceberg").load(path_or_name)
-        except Exception:
+        except Exception as exc:
+            if not _is_missing_datasource(exc, "iceberg"):
+                raise
             from deg04_local_data_lake_spark.sources.iceberg_tables import (
                 read_iceberg,
             )
 
             return read_iceberg(spark, path_or_name)
     return spark.read.format(fmt).load(path_or_name)
+
+
+def _is_missing_datasource(exc: Exception, fmt: str) -> bool:
+    """True only when ``exc`` means the format's DataSource class is not
+    on the classpath (the jar-less case this module's fallback exists
+    for). Any OTHER failure — corrupt table, bad version, permissions —
+    must propagate: silently re-reading through the from-scratch layer
+    on a jarful cluster would mask the root cause and could return
+    different results."""
+    msg = str(exc)
+    markers = (
+        "DATA_SOURCE_NOT_FOUND",
+        "Failed to find data source",
+        "Failed to find the data source",
+        "ClassNotFoundException",
+        "NoClassDefFoundError",
+    )
+    return fmt in msg and any(m in msg for m in markers)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -347,6 +347,17 @@ def _bounded_event_stream(
         ).hexdigest()[:16]
         src = os.path.join(tempfile.gettempdir(), f"deg04_stream_src_{tag}")
         if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            # Publish-by-rename: build the rewrite in a process-unique
+            # staging dir, then atomically rename it into the shared
+            # deterministic path. Two concurrent processes that both miss
+            # _SUCCESS each build their own copy; exactly one rename wins
+            # and the loser discards its staging dir — no process ever
+            # overwrites a directory another session is streaming from.
+            stage = tempfile.mkdtemp(
+                prefix=f"deg04_stream_stage_{tag}_",
+                dir=tempfile.gettempdir(),
+            )
+            stage_out = os.path.join(stage, "out")
             (
                 load_table(spark, sf_dir, "events")
                 .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -355,8 +366,20 @@ def _bounded_event_stream(
                 # folding even where the source table is one small file
                 .repartition(32)
                 .write.mode("overwrite")
-                .parquet(src)
+                .parquet(stage_out)
             )
+            import shutil
+
+            try:
+                os.rename(stage_out, src)
+            except OSError:
+                # Another process published first (rename onto an
+                # existing non-empty dir fails) — use theirs. Any other
+                # rename failure leaves no usable source: surface it.
+                if not os.path.exists(os.path.join(src, "_SUCCESS")):
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
+            shutil.rmtree(stage, ignore_errors=True)
         _STREAM_SRC_CACHE[key] = src
     return read_event_stream(spark, src, max_files_per_trigger=files_per_trigger)
 

@@ -108,3 +108,149 @@ def test_missing_snapshot_raises(spark, table):
     write_iceberg_commit(_df(spark, 0, 5), table)
     with pytest.raises(FileNotFoundError):
         read_iceberg(spark, table, snapshot_id=999)
+
+
+def test_timestamp_round_trip(spark, table):
+    # Spark timestamp (instant) maps to Iceberg timestamptz and must come
+    # back as timestamp — NOT timestamp_ntz, which would make values
+    # session-timezone-dependent. NTZ maps to Iceberg timestamp.
+    df = spark.range(0, 3).selectExpr(
+        "id",
+        "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts",
+        "CAST(timestamp_micros(CAST(id * 1000000 AS LONG)) AS TIMESTAMP_NTZ)"
+        " AS ts_ntz",
+    )
+    write_iceberg_commit(df, table)
+    out = read_iceberg(spark, table)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "timestamp", "timestamp_ntz"
+    ]
+    meta = json.load(
+        open(os.path.join(table, "metadata", "v1.metadata.json"))
+    )
+    types = {f["name"]: f["type"] for f in meta["schemas"][0]["fields"]}
+    assert types["ts"] == "timestamptz"
+    assert types["ts_ntz"] == "timestamp"
+    got = {r.id: r.ts for r in out.collect()}
+    want = {r.id: r.ts for r in df.collect()}
+    assert got == want
+
+
+def test_schema_evolution_time_travel(spark, table):
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    evolved = spark.range(0, 5).selectExpr(
+        "id", "CAST(id * 3 AS DOUBLE) AS v", "CAST(id AS STRING) AS tag"
+    )
+    s2 = write_iceberg_commit(evolved, table, mode="overwrite")
+    # current read sees the evolved schema
+    cur = read_iceberg(spark, table)
+    assert cur.columns == ["id", "v", "tag"]
+    assert cur.count() == 5
+    # time travel to s1 resolves the ORIGINAL schema via its schema-id
+    old = read_iceberg(spark, table, s1)
+    assert old.columns == ["id", "v"]
+    assert old.count() == 10
+    meta = json.load(open(os.path.join(
+        table, "metadata", f"v2.metadata.json")))
+    assert len(meta["schemas"]) == 2
+    assert meta["current-schema-id"] == 1
+    ids = {s["snapshot-id"]: s["schema-id"] for s in meta["snapshots"]}
+    assert ids == {s1: 0, s2: 1}
+    # unchanged columns keep their field ids; the new column gets a fresh one
+    by_name = {f["name"]: f["id"] for f in meta["schemas"][1]["fields"]}
+    orig = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    assert by_name["id"] == orig["id"] and by_name["v"] == orig["v"]
+    assert by_name["tag"] > max(orig.values())
+
+
+def test_append_schema_mismatch_raises(spark, table):
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    bad = spark.range(0, 5).selectExpr("id", "CAST(id AS STRING) AS v")
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        write_iceberg_commit(bad, table, mode="append")
+
+
+def test_partitioned_write_and_prune(spark, table):
+    df = spark.range(0, 100).selectExpr(
+        "id",
+        "CAST(id % 4 AS STRING) AS bucket",
+        "CAST(id * 2 AS DOUBLE) AS v",
+    )
+    write_iceberg_commit(df, table, partition_by=["bucket"])
+    # hive-style layout on disk
+    assert os.path.isdir(os.path.join(table, "data", "bucket=0"))
+    # full read reconstitutes partition column values and types
+    full = read_iceberg(spark, table)
+    assert full.count() == 100
+    assert dict(full.dtypes)["bucket"] == "string"
+    # partition_filter prunes from the manifest alone
+    pruned = read_iceberg(spark, table, partition_filter={"bucket": "2"})
+    rows = pruned.collect()
+    assert len(rows) == 25 and all(r.bucket == "2" for r in rows)
+    # fewer input files than the full scan
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    with pytest.raises(ValueError, match="non-partition"):
+        read_iceberg(spark, table, partition_filter={"v": 1.0})
+    # spec is fixed at creation
+    with pytest.raises(ValueError, match="fixed at creation"):
+        write_iceberg_commit(df, table, partition_by=["v"])
+
+
+def test_partitioned_int_column_and_append(spark, table):
+    df = spark.range(0, 40).selectExpr(
+        "CAST(id % 4 AS INT) AS part", "id AS val"
+    )
+    write_iceberg_commit(df, table, partition_by=["part"])
+    write_iceberg_commit(df, table, mode="append")
+    out = read_iceberg(spark, table, partition_filter={"part": 3})
+    rows = out.collect()
+    assert len(rows) == 20 and all(r.part == 3 for r in rows)
+    assert dict(out.dtypes)["part"] == "int"
+
+
+def test_column_ranges_data_skipping(spark, table):
+    # one file per disjoint id range → bounds make skipping provable
+    for lo in (0, 1000, 2000, 3000):
+        write_iceberg_commit(
+            spark.range(lo, lo + 100).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS v"
+            ).coalesce(1),
+            table,
+            mode="append" if lo else "append",
+        )
+    full = read_iceberg(spark, table)
+    assert len(full.inputFiles()) == 4
+    skipped = read_iceberg(spark, table, column_ranges={"id": (1000, 1099)})
+    assert len(skipped.inputFiles()) == 1
+    assert sorted(r.id for r in skipped.collect()) == list(
+        range(1000, 1100))
+    # half-open ranges
+    ge = read_iceberg(spark, table, column_ranges={"id": (2000, None)})
+    assert len(ge.inputFiles()) == 2
+    # string bounds work too
+    # incomparable/absent bounds keep the file (conservative): filter on
+    # a column and range that excludes nothing
+    keep = read_iceberg(spark, table, column_ranges={"v": (None, 1e9)})
+    assert len(keep.inputFiles()) == 4
+
+
+def test_bounds_recorded_in_manifest(spark, table):
+    write_iceberg_commit(
+        spark.range(5, 50).selectExpr(
+            "id", "CAST(id AS STRING) AS s").coalesce(1),
+        table,
+    )
+    meta_dir = os.path.join(table, "metadata")
+    mpath = next(
+        os.path.join(meta_dir, n)
+        for n in os.listdir(meta_dir)
+        if n.endswith("-m0.avro")
+    )
+    _s, entries = read_container(mpath)
+    d = entries[0]["data_file"]
+    lower = {e["key"]: e["value"] for e in d["lower_bounds"]}
+    upper = {e["key"]: e["value"] for e in d["upper_bounds"]}
+    import struct as _struct
+    assert _struct.unpack("<q", lower[1])[0] == 5
+    assert _struct.unpack("<q", upper[1])[0] == 49
+    assert lower[2] == b"10"  # lexicographic string min of "5".."49"
