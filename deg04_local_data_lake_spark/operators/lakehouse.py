@@ -674,6 +674,72 @@ def _read_optimize_actions(table: str, version: int) -> list[dict]:
 
 
 @register(
+    "delta_log_deletion_vectors",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS no_file_rewritten,
+       TRUE AS time_travel_intact
+FROM events
+WHERE NOT (event_type = 'click' AND value < 50.0)
+""",
+)
+def delta_log_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via deletion vectors, driver-attested: events
+    commit as Delta version 0, ``delete_delta`` marks every
+    (click, value<50) row deleted WITHOUT rewriting a single data file —
+    touched files re-commit as the SAME path plus a Roaring-bitmap
+    deletionVector (``sources/roaring.py``, the portable serialization,
+    from scratch) — and the post-delete read must equal the oracle's
+    ``WHERE NOT (...)``. ``no_file_rewritten`` asserts the live data
+    file paths are IDENTICAL before and after the delete (the whole
+    point of DVs: a selective DELETE on a petabyte table writes
+    O(deleted rows) of compressed bitmap, not O(touched files) of
+    parquet); ``time_travel_intact`` asserts VERSION AS OF 0 still
+    reads the pre-delete row count. The read-side filter is a
+    broadcast-bitmap Arrow ``mapInPandas`` — map-only, zero shuffle, no
+    cost at all for files without a DV."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay,
+        delete_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_dv_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        n_total = ev.count()
+        write_delta_commit(ev.repartition(8), path)
+        v = delete_delta(
+            spark, path, "event_type = 'click' AND value < 50.0"
+        )
+        before, _m = _replay(path, 0)
+        after, _m = _replay(path, v)
+        no_rewrite = set(before) == set(after)
+        tt_rows = read_delta_log(spark, path, 0).count()
+        out = (
+            read_delta_log(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn("no_file_rewritten", F.lit(no_rewrite))
+            .withColumn("time_travel_intact", F.lit(tt_rows == n_total))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_partition_prune",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -92,6 +92,7 @@ def load_all() -> None:
 #: The ~30 that miss this round's 50-query window lead round 6.
 PRIORITY: list[str] = [
     # --- new in round 5 ---
+    "delta_log_deletion_vectors",
     "iceberg_partition_prune",
     "iceberg_data_skipping",
     "iceberg_schema_evolution",

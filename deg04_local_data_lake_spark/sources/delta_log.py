@@ -290,7 +290,284 @@ def read_delta_log(
         # data files; basePath makes Spark derive them (typed by the
         # explicit schema) for exactly the pruned file list.
         reader = reader.option("basePath", table)
-    return reader.parquet(*files)
+    scan = reader.parquet(*files)
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    if not dv_adds:
+        return scan
+    return _apply_deletion_vectors(spark, table, scan, dv_adds)
+
+
+# ---------------------------------------------------- deletion vectors
+#
+# The protocol's row-level deletes without file rewrites: an ``add``
+# action may carry a ``deletionVector`` descriptor whose payload is a
+# Roaring bitmap of the file's deleted row indexes
+# (``sources/roaring.py`` — the portable 32-bit serialization; row
+# indexes within one parquet file fit in 32 bits, so the spec's 64-bit
+# RoaringBitmapArray wrapper collapses to its single low bucket, stated
+# here as the documented subset). Storage follows the spec's two modes:
+# ``i`` inlines small bitmaps into the action (base85 text), ``u``
+# stores ``[version byte 1][size int32 BE][bitmap][crc32 int32 BE]`` in
+# a table-relative file (the spec derives the file name from a
+# z85-encoded UUID; we store the relative path directly in
+# ``pathOrInlineDv`` — same resolution semantics on the single-writer
+# tables this layer targets).
+
+_DV_DIR = "deletion_vectors"
+_DV_INLINE_MAX = 512
+
+_DV_FILE_COL = "__dv_file"
+_DV_POS_COL = "__dv_pos"
+
+
+def _dv_store(table: str, bitmap: bytes, cardinality: int) -> dict:
+    import base64
+    import struct
+    import zlib
+
+    if len(bitmap) <= _DV_INLINE_MAX:
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(bitmap).decode("ascii"),
+            "sizeInBytes": len(bitmap),
+            "cardinality": cardinality,
+        }
+    os.makedirs(os.path.join(table, _DV_DIR), exist_ok=True)
+    rel = f"{_DV_DIR}/deletion_vector_{uuid.uuid4().hex}.bin"
+    payload = (
+        b"\x01"
+        + struct.pack(">i", len(bitmap))
+        + bitmap
+        + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
+    )
+    with open(os.path.join(table, rel), "wb") as f:
+        f.write(payload)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": rel,
+        "offset": 1,
+        "sizeInBytes": len(bitmap),
+        "cardinality": cardinality,
+    }
+
+
+def _dv_load(table: str, desc: dict):
+    """Decode one deletionVector descriptor → sorted uint32 numpy array
+    of deleted row indexes (checksum-verified for on-disk storage)."""
+    import base64
+    import struct
+    import zlib
+
+    from deg04_local_data_lake_spark.sources import roaring
+
+    st = desc.get("storageType")
+    if st == "i":
+        data = base64.b85decode(desc["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        p = desc["pathOrInlineDv"]
+        if st == "u":
+            p = os.path.join(table, p)
+        with open(p, "rb") as f:
+            raw = f.read()
+        off = desc.get("offset") or 1
+        size, = struct.unpack_from(">i", raw, off)
+        if size != desc.get("sizeInBytes", size):
+            raise ValueError(
+                f"deletion vector size mismatch in {p}: file header {size}, "
+                f"descriptor {desc.get('sizeInBytes')}"
+            )
+        data = raw[off + 4: off + 4 + size]
+        crc, = struct.unpack_from(">I", raw, off + 4 + size)
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"deletion vector checksum mismatch in {p}")
+    else:
+        raise ValueError(f"unknown deletionVector storageType {st!r}")
+    return roaring.deserialize(data)
+
+
+def _tag_scan(scan: DataFrame) -> DataFrame:
+    """Attach (file basename, in-file row index) metadata columns — the
+    coordinates deletion vectors are expressed in."""
+    from pyspark.sql import functions as F
+
+    return scan.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias(_DV_FILE_COL),
+        F.col("_metadata.row_index").alias(_DV_POS_COL),
+    )
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession,
+    table: str,
+    scan: DataFrame,
+    dv_adds: list[dict],
+    keep_tags: bool = False,
+) -> DataFrame:
+    """Filter DV-deleted rows out of ``scan``. The bitmaps are decoded
+    ONCE on the driver (they are kilobytes of compressed metadata) and
+    broadcast; the filter itself is an Arrow-batched ``mapInPandas``
+    closure — a MAP-ONLY stage with zero shuffle, vectorized
+    ``np.isin`` per (batch × file), which is exactly how a jarful
+    reader's DV row filter composes with the scan. Files without a DV
+    never enter this path (the caller short-circuits), so unDV'd tables
+    pay nothing."""
+    dv = {
+        os.path.basename(a["path"]): _dv_load(table, a["deletionVector"])
+        for a in dv_adds
+    }
+    bc = spark.sparkContext.broadcast(dv)
+    tagged = _tag_scan(scan)
+    out_cols = tagged.columns if keep_tags else scan.columns
+    out_schema = tagged.schema if keep_tags else scan.schema
+
+    def drop_deleted(batches):
+        import numpy as np
+
+        dvs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fnames = pdf[_DV_FILE_COL].to_numpy()
+            mask = np.ones(len(pdf), dtype=bool)
+            for fname in np.unique(fnames):
+                arr = dvs.get(fname)
+                if arr is None:
+                    continue
+                sel = fnames == fname
+                mask[sel] = ~np.isin(
+                    pdf[_DV_POS_COL].to_numpy()[sel], arr
+                )
+            yield pdf.loc[mask, list(out_cols)]
+
+    return tagged.mapInPandas(drop_deleted, schema=out_schema)
+
+
+def delete_delta(spark: SparkSession, table: str, condition) -> int:
+    """Row-level DELETE via deletion vectors: mark the rows matching
+    ``condition`` (SQL string or Column) deleted WITHOUT rewriting any
+    data file. Touched files re-commit as ``remove`` + ``add`` of the
+    SAME path carrying a (merged) deletionVector; a file whose every
+    row is now deleted drops to a plain ``remove``. Untouched files are
+    not mentioned in the commit at all. Returns the committed version
+    (or the current one unchanged when nothing matches).
+
+    Why this shape at 100 TB: a selective DELETE over a petabyte table
+    rewrites nothing — the write cost is O(deleted rows) of compressed
+    bitmap, not O(touched files) of parquet. The per-file bitmaps are
+    built DISTRIBUTED (groupBy file → ``applyInPandas`` roaring
+    serialization — one shuffle of just the deleted row coordinates),
+    and only the finished descriptors come back to the driver, which is
+    the same commit-time flow delta-spark's DV writer runs. Repeated
+    deletes merge bitmaps (union) rather than chaining; OPTIMIZE
+    materializes DVs away (its rewrite reads the DV-filtered snapshot);
+    VACUUM reclaims unreferenced DV files."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    version = _latest_version(table)
+    live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    adds = [live[p] for p in sorted(live)]
+    files = [os.path.join(table, a["path"]) for a in adds]
+    if not files:
+        return version
+    reader = spark.read.schema(schema)
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", table)
+    scan = reader.parquet(*files)
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    if dv_adds:
+        # apply existing DVs first so already-deleted rows can't rematch
+        tagged = _apply_deletion_vectors(
+            spark, table, scan, dv_adds, keep_tags=True
+        )
+    else:
+        tagged = _tag_scan(scan)
+    ensure_workers_can_import(spark)
+    matched = tagged.filter(condition).select(_DV_FILE_COL, _DV_POS_COL)
+
+    def to_bitmap(pdf):
+        import pandas as pd
+
+        from deg04_local_data_lake_spark.sources import roaring
+
+        pos = pdf[_DV_POS_COL].to_numpy().astype("uint32")
+        return pd.DataFrame(
+            {
+                "file": [pdf[_DV_FILE_COL].iloc[0]],
+                "bitmap": [roaring.serialize(pos)],
+                "card": [int(len(set(pos.tolist())))],
+            }
+        )
+
+    per_file = (
+        matched.groupBy(_DV_FILE_COL)
+        .applyInPandas(to_bitmap, "file string, bitmap binary, card long")
+        .collect()
+    )
+    if not per_file:
+        return version
+    by_name = {os.path.basename(a["path"]): a for a in adds}
+    actions: list[dict] = []
+    n_removed_rows = 0
+    for row in per_file:
+        import numpy as np
+
+        from deg04_local_data_lake_spark.sources import roaring
+
+        old_add = by_name[row["file"]]
+        new_arr = roaring.deserialize(bytes(row["bitmap"]))
+        old_desc = old_add.get("deletionVector")
+        if old_desc:
+            new_arr = np.union1d(new_arr, _dv_load(table, old_desc))
+        card = int(len(new_arr))
+        n_removed_rows += int(row["card"])
+        num_records = None
+        try:
+            num_records = json.loads(old_add.get("stats") or "{}").get(
+                "numRecords"
+            )
+        except ValueError:
+            pass
+        actions.append(
+            {
+                "remove": {
+                    "path": old_add["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        if num_records is not None and card >= num_records:
+            continue  # every row dead: plain remove, no DV needed
+        new_add = {
+            k: v for k, v in old_add.items() if k != "deletionVector"
+        }
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = _dv_store(
+            table, roaring.serialize(new_arr), card
+        )
+        actions.append({"add": new_add})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": str(condition)},
+                "operationMetrics": {"numDeletedRows": n_removed_rows},
+            }
+        }
+    )
+    new_version = version + 1
+    _write_commit_file(table, new_version, actions)
+    return new_version
 
 
 def _file_stats(path: str) -> str | None:
@@ -559,6 +836,18 @@ def write_delta_checkpoint(table: str) -> int:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -716,12 +1005,18 @@ def vacuum_delta(table: str) -> list[str]:
         except FileNotFoundError:
             continue
         referenced.update(live)
+        for a in live.values():
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                # a live snapshot's deletion vector is part of that
+                # snapshot — reclaiming it would corrupt time travel
+                referenced.add(dv["pathOrInlineDv"])
     doomed = []
     for root, _dirs, files in os.walk(table):
         if _LOG_DIR in os.path.relpath(root, table).split(os.sep):
             continue
         for f in files:
-            if not f.endswith(".parquet"):
+            if not (f.endswith(".parquet") or f.endswith(".bin")):
                 continue
             rel = os.path.relpath(os.path.join(root, f), table).replace(
                 os.sep, "/"

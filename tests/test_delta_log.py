@@ -310,3 +310,157 @@ def test_partitioned_write_and_log_pruning(spark, table):
     # filters on non-partition columns are rejected loudly
     with pytest.raises(ValueError):
         read_delta_log(spark, table, partition_filter={"id": "1"})
+
+
+# ---------------------------------------------------- deletion vectors
+
+
+def _dv_imports():
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        read_delta_changes,
+    )
+
+    return delete_delta, read_delta_changes
+
+
+def test_delete_with_dv_rewrites_no_data_file(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 1000).repartition(4), table)
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    before, _m = _replay(table, 0)
+    v = delete_delta(spark, table, "id % 10 = 3")
+    assert v == 1
+    after, _m = _replay(table, v)
+    # same data file paths, now carrying deletionVector descriptors
+    assert set(after) == set(before)
+    assert all(a.get("deletionVector") for a in after.values())
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == [i for i in range(1000) if i % 10 != 3]
+
+
+def test_delete_time_travel_sees_pre_delete_rows(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 500), table)
+    delete_delta(spark, table, "id < 100")
+    assert read_delta_log(spark, table, 0).count() == 500
+    assert read_delta_log(spark, table).count() == 400
+
+
+def test_repeated_deletes_merge_bitmaps(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 300).coalesce(1), table)
+    delete_delta(spark, table, "id < 50")
+    delete_delta(spark, table, "id >= 250")
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(50, 250))
+    # one live file, one merged DV with both delete sets
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _dv_load,
+        _replay,
+    )
+
+    live, _m = _replay(table, 2)
+    assert len(live) == 1
+    (add,) = live.values()
+    arr = _dv_load(table, add["deletionVector"])
+    assert sorted(arr.tolist()) == list(range(50)) + list(range(250, 300))
+    assert add["deletionVector"]["cardinality"] == 100
+
+
+def test_fully_deleted_file_becomes_plain_remove(spark, table):
+    delete_delta, _ = _dv_imports()
+    # two files with disjoint ranges: deleting one range must DROP that
+    # file, not keep it behind an all-rows DV
+    write_delta_commit(_df(spark, 0, 100).coalesce(1), table)
+    write_delta_commit(_df(spark, 100, 200).coalesce(1), table)
+    v = delete_delta(spark, table, "id < 100")
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    live, _m = _replay(table, v)
+    assert len(live) == 1
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert read_delta_log(spark, table).count() == 100
+
+
+def test_delete_nothing_is_a_noop(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 50), table)
+    assert delete_delta(spark, table, "id > 1000000") == 0
+    assert delta_versions(table) == [0]
+
+
+def test_dv_survives_checkpoint(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 400).coalesce(2), table)
+    delete_delta(spark, table, "id % 7 = 0")
+    write_delta_checkpoint(table)
+    # truncate the JSON commits the checkpoint covers: replay must
+    # restore the DV descriptors from the checkpoint parquet alone
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    write_delta_commit(_df(spark, 400, 410), table)
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == [i for i in range(410) if i % 7 != 0 or i >= 400]
+
+
+def test_optimize_materializes_dvs(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 600).repartition(6), table)
+    delete_delta(spark, table, "id % 2 = 1")
+    v = optimize_delta(spark, table)
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    live, _m = _replay(table, v)
+    assert not any(a.get("deletionVector") for a in live.values())
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(0, 600, 2))
+
+
+def test_vacuum_keeps_referenced_dv_files(spark, table):
+    delete_delta, _ = _dv_imports()
+    # force on-disk DV storage with a large-cardinality delete
+    write_delta_commit(_df(spark, 0, 60000).coalesce(1), table)
+    delete_delta(spark, table, "id % 2 = 0")
+    dv_dir = os.path.join(table, "deletion_vectors")
+    assert os.path.isdir(dv_dir) and os.listdir(dv_dir)
+    deleted = vacuum_delta(table)
+    assert not any(p.endswith(".bin") for p in deleted)
+    assert read_delta_log(spark, table).count() == 30000
+    # after OPTIMIZE drops every version that referenced the DV... the
+    # bitmap file stays only while some replayable snapshot needs it
+    optimize_delta(spark, table)
+    # truncate history before the optimize so earlier snapshots (and the
+    # DV they reference) become unreachable
+    write_delta_checkpoint(table)
+    for v in (0, 1, 2):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    deleted = vacuum_delta(table)
+    assert any(p.endswith(".bin") for p in deleted)
+    assert read_delta_log(spark, table).count() == 30000
+
+
+def test_change_feed_sees_dv_delete(spark, table):
+    delete_delta, read_delta_changes = _dv_imports()
+    write_delta_commit(_df(spark, 0, 100), table)
+    delete_delta(spark, table, "id < 10")
+    ch = read_delta_changes(spark, table, 0, 1)
+    rows = ch.collect()
+    assert all(r._change_type == "delete" for r in rows)
+    assert sorted(r.id for r in rows) == list(range(10))
+
+
+def test_inline_dv_round_trip(spark, table):
+    delete_delta, _ = _dv_imports()
+    write_delta_commit(_df(spark, 0, 100).coalesce(1), table)
+    delete_delta(spark, table, "id = 42")
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    live, _m = _replay(table, 1)
+    (add,) = live.values()
+    # a 1-row bitmap is far under the inline threshold
+    assert add["deletionVector"]["storageType"] == "i"
+    assert add["deletionVector"]["cardinality"] == 1
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == [i for i in range(100) if i != 42]
