@@ -852,6 +852,68 @@ def iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_position_deletes",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS no_file_rewritten,
+       TRUE AS time_travel_intact
+FROM events
+WHERE NOT (event_type = 'view' AND value >= 400.0)
+""",
+)
+def iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read DELETE, driver-attested: events commit
+    as snapshot 1, ``delete_iceberg`` marks every (view, value≥400) row
+    deleted by appending a DELETE manifest of position-delete parquet
+    (file_path, pos) — no data file rewritten — and the post-delete
+    read must equal the oracle's ``WHERE NOT (...)``. The read-side
+    merge is a distributed LEFT ANTI join of the metadata-tagged scan
+    against the delete rows (AQE broadcasts it when small), the
+    complementary strategy to Delta's broadcast-bitmap deletion vectors:
+    anti-join scales to delete sets too big to broadcast. Invariants
+    assert the data file list is unchanged and time travel to the
+    pre-delete snapshot still sees every row."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_del_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        n_total = ev.count()
+        s1 = write_iceberg_commit(ev.repartition(8), path)
+        delete_iceberg(spark, path, "event_type = 'view' AND value >= 400.0")
+        before = sorted(read_iceberg(spark, path, s1).inputFiles())
+        after = sorted(
+            f for f in read_iceberg(spark, path).inputFiles()
+            if "-delete-" not in f
+        )
+        tt_rows = read_iceberg(spark, path, s1).count()
+        out = (
+            read_iceberg(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn("no_file_rewritten", F.lit(before == after))
+            .withColumn("time_travel_intact", F.lit(tt_rows == n_total))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_schema_evolution",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,

@@ -709,6 +709,149 @@ def _snapshot(meta: dict, snapshot_id: int) -> dict:
     )
 
 
+# ----------------------------------------------- position deletes (v2)
+#
+# Iceberg v2's merge-on-read row deletes: a POSITION DELETE FILE is a
+# plain parquet file of (file_path, pos) rows naming deleted row
+# positions of data files; it rides in a DELETE manifest (content=1 in
+# the manifest list, content=1 per data_file entry) and applies to the
+# snapshots whose manifest lists include it. Older snapshots never list
+# the delete manifest, so time travel is untouched; an overwrite starts
+# a fresh manifest list, dropping the deletes along with the data they
+# applied to. The read-side merge is a distributed anti-join of the
+# tagged scan against the delete rows on (file, pos) — the exact shape
+# the Iceberg Spark runtime executes for merge-on-read tables, and the
+# complementary strategy to the Delta layer's broadcast-bitmap deletion
+# vectors (``sources/delta_log.py``): anti-join scales to delete sets
+# too big to broadcast; bitmaps win when they fit. Subset: deletes are
+# written after the data they target (single-writer tables), so the
+# spec's sequence-number applicability check reduces to manifest-list
+# membership.
+
+_POS_DELETE_FILE_COL = "file_path"
+_POS_DELETE_POS_COL = "pos"
+
+
+def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
+    """Row-level DELETE via position delete files: mark the rows
+    matching ``condition`` (SQL string or Column) deleted WITHOUT
+    rewriting any data file — a new snapshot appends a delete manifest
+    pointing at parquet files of (file_path, pos) coordinates. Returns
+    the new snapshot id (or the current one unchanged when nothing
+    matches). Repeated deletes stack additional delete files; the read
+    path unions them (duplicate coordinates are harmless in an
+    anti-join). At 100 TB the write cost is O(deleted rows) of
+    two-column parquet and the commit is O(metadata)."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(table)
+    cur_id = meta["current-snapshot-id"]
+    tagged = _read_snapshot(spark, table, meta, cur_id, keep_tags=True)
+    matched = tagged.filter(condition).select(
+        F.col("__ice_file").alias(_POS_DELETE_FILE_COL),
+        F.col("__ice_pos").alias(_POS_DELETE_POS_COL),
+    )
+    # stage the delete parquet (distributed write, then adopt the files)
+    import shutil
+
+    data_dir = os.path.join(table, "data")
+    stage = os.path.join(table, f"_stage_del_{uuid.uuid4().hex}")
+    matched.write.format("parquet").mode("errorifexists").save(stage)
+    import pyarrow.parquet as pq
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    entries = []
+    n_rows_total = 0
+    idx = 0
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(stage, f)
+        n_rows = pq.read_metadata(src).num_rows
+        if n_rows == 0:
+            continue
+        name = f"{snapshot_id:05d}-delete-{idx:05d}-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(data_dir, name)
+        os.rename(src, dst)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+        n_rows_total += n_rows
+        idx += 1
+    shutil.rmtree(stage)
+    if not entries:
+        return cur_id  # nothing matched: no new snapshot
+
+    meta_dir = _meta_dir(table)
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    write_container(manifest_path, _manifest_entry_schema([]), entries)
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # DELETE manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows_total,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    cur_snap = _snapshot(meta, cur_id)
+    _s, prev_manifests = read_container(cur_snap["manifest-list"])
+    manifests = prev_manifests + [new_manifest]
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_container(mlist_path, _MANIFEST_FILE, manifests)
+
+    version = _current_version(table) + 1
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": cur_snap.get("schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": 0}
+    ]
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    tmp = _hint_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _hint_path(table))
+    return snapshot_id
+
+
 def _entry_skipped(
     entry: dict,
     part_match: dict[str, object] | None,
@@ -749,6 +892,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     partition_filter: dict[str, object] | None = None,
     column_ranges: dict[str, tuple] | None = None,
+    keep_tags: bool = False,
 ) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``) by
     resolving version-hint → metadata.json → manifest list (avro) →
@@ -791,12 +935,14 @@ def read_iceberg(
             range_bounds.append((f["id"], f["type"], lo, hi))
     _s, manifests = read_container(snap["manifest-list"])
     files: list[str] = []
+    delete_files: list[str] = []
     for m in manifests:
-        if m["content"] != 0:
-            continue
         _es, entries = read_container(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED
+                continue
+            if e["data_file"]["content"] == 1:  # position deletes
+                delete_files.append(e["data_file"]["file_path"])
                 continue
             if e["data_file"]["content"] != 0:
                 continue
@@ -805,13 +951,70 @@ def read_iceberg(
             files.append(e["data_file"]["file_path"])
     schema = _spark_schema(ice_schema)
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if keep_tags:
+            from pyspark.sql import functions as F
+
+            empty = empty.withColumn(
+                "__ice_file", F.lit(None).cast("string")
+            ).withColumn("__ice_pos", F.lit(None).cast("long"))
+        return empty
     reader = spark.read.schema(schema)
     if part_cols:
         # Hive-style data layout: partition columns come from the path;
         # basePath anchors discovery at the data root.
         reader = reader.option("basePath", os.path.join(table, "data"))
-    return reader.parquet(*sorted(files))
+    scan = reader.parquet(*sorted(files))
+    if not delete_files and not keep_tags:
+        return scan
+    return _merge_on_read(spark, scan, delete_files, keep_tags)
+
+
+def _merge_on_read(
+    spark: SparkSession,
+    scan: DataFrame,
+    delete_files: list[str],
+    keep_tags: bool,
+) -> DataFrame:
+    """Apply position delete files to ``scan``: tag every row with its
+    (file basename, in-file position) via parquet ``_metadata`` columns
+    and LEFT ANTI join against the union of the delete parquet files on
+    those coordinates. One keyed shuffle of (scan rows + delete rows);
+    AQE turns it into a broadcast anti-join whenever the delete set is
+    small. Files named by no delete row pass through untouched."""
+    from pyspark.sql import functions as F
+
+    tagged = scan.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__ice_file"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    if delete_files:
+        dels = spark.read.parquet(*sorted(delete_files)).select(
+            F.element_at(
+                F.split(F.col(_POS_DELETE_FILE_COL), "/"), -1
+            ).alias("__ice_file"),
+            F.col(_POS_DELETE_POS_COL).alias("__ice_pos"),
+        )
+        tagged = tagged.join(dels, ["__ice_file", "__ice_pos"], "left_anti")
+    if keep_tags:
+        return tagged
+    return tagged.drop("__ice_file", "__ice_pos")
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    snapshot_id: int,
+    keep_tags: bool = False,
+) -> DataFrame:
+    del meta  # resolved again inside read_iceberg (cheap, driver-side)
+    return read_iceberg(
+        spark, table, snapshot_id=snapshot_id, keep_tags=keep_tags
+    )
 
 
 def iceberg_history(table: str) -> list[dict]:

@@ -254,3 +254,98 @@ def test_bounds_recorded_in_manifest(spark, table):
     assert _struct.unpack("<q", lower[1])[0] == 5
     assert _struct.unpack("<q", upper[1])[0] == 49
     assert lower[2] == b"10"  # lexicographic string min of "5".."49"
+
+
+# ------------------------------------------- position deletes (v2 MoR)
+
+
+def test_position_delete_rewrites_no_data_file(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 1000), table)
+    data_before = sorted(read_iceberg(spark, table).inputFiles())
+    s2 = delete_iceberg(spark, table, "id % 10 = 3")
+    assert s2 == 2
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == [i for i in range(1000) if i % 10 != 3]
+    # data files untouched (inputFiles also lists the delete parquet the
+    # anti-join reads — exclude it); pre-delete snapshot intact
+    data_after = sorted(
+        f for f in read_iceberg(spark, table).inputFiles()
+        if "-delete-" not in f
+    )
+    assert data_after == data_before
+    assert read_iceberg(spark, table, 1).count() == 1000
+    hist = iceberg_history(table)
+    assert hist[-1]["operation"] == "delete"
+
+
+def test_repeated_position_deletes_stack(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 300), table)
+    delete_iceberg(spark, table, "id < 50")
+    delete_iceberg(spark, table, "id >= 250")
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(50, 250))
+    # second delete on an already-filtered snapshot: re-deleting the
+    # same rows is impossible (they no longer match any scan row)
+    delete_iceberg(spark, table, "id < 60")
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(60, 250))
+
+
+def test_position_delete_nothing_is_noop(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    assert delete_iceberg(spark, table, "id > 99") == s1
+    assert len(iceberg_history(table)) == 1
+
+
+def test_overwrite_drops_position_deletes(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 100), table)
+    delete_iceberg(spark, table, "id < 10")
+    write_iceberg_commit(_df(spark, 0, 20), table, mode="overwrite")
+    # fresh manifest list: old deletes apply to nothing
+    assert read_iceberg(spark, table).count() == 20
+
+
+def test_append_after_delete_keeps_delete_applicable(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 100), table)
+    delete_iceberg(spark, table, "id < 10")
+    write_iceberg_commit(_df(spark, 100, 120), table, mode="append")
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(10, 120))
+
+
+def test_position_delete_on_partitioned_table(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS bucket"
+    )
+    write_iceberg_commit(df, table, partition_by=["bucket"])
+    delete_iceberg(spark, table, "bucket = '1' AND id < 50")
+    rows = read_iceberg(spark, table).collect()
+    assert len(rows) == 100 - 13  # ids 1,5,...,49 in bucket 1
+    pruned = read_iceberg(spark, table, partition_filter={"bucket": "1"})
+    assert sorted(r.id for r in pruned.collect()) == [
+        i for i in range(50, 100) if i % 4 == 1
+    ]
