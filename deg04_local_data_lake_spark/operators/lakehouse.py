@@ -673,6 +673,44 @@ def _read_optimize_actions(table: str, version: int) -> list[dict]:
         return [_json.loads(line) for line in f if line.strip()]
 
 
+@register("delta_log_restore", oracle="SELECT * FROM customer")
+def delta_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF as a log commit, driver-attested: customer
+    commits as version 0, an overwrite replaces it with the derived
+    snapshot (v1), a deletion-vector DELETE trims that (v2), and
+    ``restore_delta(..., 0)`` rolls the table back (v3) — adds/removes
+    computed from two log replays, ZERO data movement. The restored
+    read must hash-equal the original table row-for-row (the strongest
+    possible restore attestation), and the pre-restore state must stay
+    reachable (history is append-only; the in-query asserts enforce
+    both directions). This is delta-spark's RESTORE TABLE, the rollback
+    primitive that costs O(metadata) instead of a full-table rewrite at
+    100 TB."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        read_delta_log,
+        restore_delta,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_restore_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        write_delta_commit(cust, path)
+        write_delta_commit(_derived_snapshot(cust), path, mode="overwrite")
+        delete_delta(spark, path, "c_custkey % 5 = 0")
+        v = restore_delta(spark, path, 0)
+        assert v == 3
+        # pre-restore state still reachable (history never rewritten)
+        assert read_delta_log(spark, path, 2).count() > 0
+        return read_delta_log(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register(
     "delta_log_deletion_vectors",
     oracle="""

@@ -983,6 +983,70 @@ def optimize_delta(
     return new_version
 
 
+def restore_delta(spark: SparkSession, table: str, version: int) -> int:
+    """RESTORE TABLE ... VERSION AS OF: commit a new version whose live
+    state equals snapshot ``version`` — adds back files the target had
+    (including their deletion-vector state), removes files added since,
+    and re-commits the target's metaData when the schema drifted. The
+    restore is itself a commit: history is never rewritten, time travel
+    to the pre-restore state still works, and a second RESTORE can undo
+    the first. Restored files must still exist on disk (not VACUUMed) —
+    the same constraint delta-spark's RESTORE enforces. Returns the new
+    version.
+
+    O(metadata) end to end: two log replays and one JSON commit, zero
+    data movement — which is why RESTORE is the right rollback tool at
+    100 TB (the alternative, re-writing the old snapshot's data, costs
+    a full table write)."""
+    del spark  # log-only operation; kept for API symmetry with readers
+    cur = _latest_version(table)
+    if version == cur:
+        return cur
+    target_live, target_meta = _replay(table, version)
+    cur_live, cur_meta = _replay(table, cur)
+    if target_meta is None:
+        raise ValueError(f"no metaData action at version {version}")
+    missing = [
+        p for p in target_live if not os.path.exists(os.path.join(table, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE {table} to {version}: {len(missing)} data "
+            f"file(s) were VACUUMed (e.g. {missing[0]})"
+        )
+    actions: list[dict] = []
+    if target_meta != cur_meta:
+        actions.append({"metaData": target_meta})
+    for path in sorted(set(cur_live) - set(target_live)):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    for path in sorted(target_live):
+        if target_live[path] != cur_live.get(path):
+            # absent now, or present with different state (e.g. another
+            # deletionVector): the add fully replaces last-add-wins
+            add = dict(target_live[path])
+            add["dataChange"] = True
+            actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    )
+    new_version = cur + 1
+    _write_commit_file(table, new_version, actions)
+    return new_version
+
+
 def vacuum_delta(table: str) -> list[str]:
     """VACUUM: delete data files no longer referenced by ANY
     reconstructable snapshot (file referenced by no version's live set —

@@ -464,3 +464,59 @@ def test_inline_dv_round_trip(spark, table):
     assert add["deletionVector"]["cardinality"] == 1
     got = sorted(r.id for r in read_delta_log(spark, table).collect())
     assert got == [i for i in range(100) if i != 42]
+
+
+# ------------------------------------------------------------- RESTORE
+
+
+def test_restore_rolls_back_overwrite(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import restore_delta
+
+    write_delta_commit(_df(spark, 0, 100), table)
+    write_delta_commit(_df(spark, 0, 10), table, mode="overwrite")
+    v = restore_delta(spark, table, 0)
+    assert v == 2
+    assert read_delta_log(spark, table).count() == 100
+    # history intact: the pre-restore state is still reachable
+    assert read_delta_log(spark, table, 1).count() == 10
+    assert delta_history(table)[-1]["operation"] == "RESTORE"
+
+
+def test_restore_restores_deletion_vector_state(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        restore_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 200).coalesce(1), table)
+    delete_delta(spark, table, "id < 50")       # v1: DV on the file
+    delete_delta(spark, table, "id >= 150")     # v2: merged DV
+    v = restore_delta(spark, table, 1)
+    assert v == 3
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(50, 200))
+    # restore to pre-delete state drops the DV entirely
+    restore_delta(spark, table, 0)
+    assert read_delta_log(spark, table).count() == 200
+
+
+def test_restore_after_vacuum_raises(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import restore_delta
+
+    write_delta_commit(_df(spark, 0, 100).coalesce(1), table)
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    (v0_path,) = _replay(table, 0)[0]
+    write_delta_commit(_df(spark, 0, 10), table, mode="overwrite")
+    # simulate a retention-expired vacuum reclaiming version 0's file
+    os.remove(os.path.join(table, v0_path))
+    with pytest.raises(FileNotFoundError, match="VACUUMed"):
+        restore_delta(spark, table, 0)
+
+
+def test_restore_to_current_is_noop(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import restore_delta
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    assert restore_delta(spark, table, 0) == 0
+    assert delta_versions(table) == [0]
