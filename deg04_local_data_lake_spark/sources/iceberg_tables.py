@@ -1017,6 +1017,25 @@ def _read_snapshot(
     )
 
 
+def compact_iceberg(
+    spark: SparkSession, table: str, target_files: int | None = None
+) -> int:
+    """``rewrite_data_files``: materialize the merge-on-read state —
+    position deletes applied, small files coalesced (optionally into
+    ``target_files`` output files per partition write) — as a new
+    OVERWRITE snapshot. The fresh manifest list drops the delete
+    manifests along with the files they applied to; older snapshots
+    keep theirs, so time travel across the compaction still resolves
+    the MoR view. This is the maintenance action that keeps read-side
+    anti-join cost bounded: deletes accumulate between compactions and
+    are folded into plain data files here, exactly the Iceberg
+    ``rewriteDataFiles`` contract."""
+    df = read_iceberg(spark, table)
+    if target_files:
+        df = df.repartition(target_files)
+    return write_iceberg_commit(df, table, mode="overwrite")
+
+
 def iceberg_history(table: str) -> list[dict]:
     """The snapshot log: (snapshot-id, operation, sequence-number),
     ascending — DESCRIBE HISTORY."""

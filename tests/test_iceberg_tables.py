@@ -349,3 +349,41 @@ def test_position_delete_on_partitioned_table(spark, table):
     assert sorted(r.id for r in pruned.collect()) == [
         i for i in range(50, 100) if i % 4 == 1
     ]
+
+
+def test_compaction_materializes_position_deletes(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        compact_iceberg,
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 500).repartition(8), table)
+    s_del = delete_iceberg(spark, table, "id % 3 = 0")
+    s_c = compact_iceberg(spark, table, target_files=2)
+    files = read_iceberg(spark, table).inputFiles()
+    # delete parquet no longer read; small files coalesced
+    assert not any("-delete-" in f for f in files)
+    assert len(files) == 2
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == [i for i in range(500) if i % 3 != 0]
+    # time travel to the MoR snapshot still resolves deletes
+    assert read_iceberg(spark, table, s_del).count() == len(got)
+    assert s_c == s_del + 1
+
+
+def test_compaction_preserves_partition_spec(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        compact_iceberg,
+        delete_iceberg,
+    )
+
+    df = spark.range(0, 80).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS bucket"
+    )
+    write_iceberg_commit(df, table, partition_by=["bucket"])
+    delete_iceberg(spark, table, "id < 10")
+    compact_iceberg(spark, table)
+    pruned = read_iceberg(spark, table, partition_filter={"bucket": "1"})
+    assert sorted(r.id for r in pruned.collect()) == [
+        i for i in range(10, 80) if i % 2 == 1
+    ]
