@@ -952,6 +952,66 @@ def iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_equality_deletes",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 97 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal + 1000.0 AS DOUBLE) AS c_acctbal,
+       'REINSTATED' AS c_mktsegment
+FROM customer WHERE c_custkey % 194 = 0
+""",
+)
+def iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY DELETES with the sequence rule,
+    driver-attested as a CDC round trip: customer commits as snapshot 1
+    (sequence 1); ``delete_iceberg_equality`` deletes every key ≡ 0
+    (mod 97) by KEY ONLY — no table scan, O(keys) commit (sequence 2);
+    an APPEND then re-inserts half of those keys (≡ 0 mod 194) with a
+    bumped balance (sequence 3). The read must show exactly: all
+    undeleted originals PLUS the re-inserted rows — the spec's
+    strictly-smaller-sequence applicability is what keeps a delete from
+    swallowing the rows re-inserted after it, which is precisely how
+    streaming CDC upsert writers (delete+insert pairs) stay correct.
+    The merge is an anti-join on (key, row_seq < delete_seq) with the
+    per-file sequence broadcast — one keyed shuffle; at 100 TB the
+    write cost of the delete is O(keys) parquet + metadata, zero data
+    scan, with read-side cost bounded by ``compact_iceberg``."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg_equality,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_eqdel_")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        write_iceberg_commit(cust, path)
+        keys = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+        delete_iceberg_equality(spark, path, keys, ["c_custkey"])
+        reinserted = (
+            cust.filter(F.col("c_custkey") % 194 == 0)
+            .withColumn(
+                "c_acctbal", (F.col("c_acctbal") + 1000.0).cast("double")
+            )
+            .withColumn("c_mktsegment", F.lit("REINSTATED"))
+        )
+        write_iceberg_commit(reinserted, path, mode="append")
+        return read_iceberg(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_schema_evolution",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,

@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "delta_log_deletion_vectors",
     "delta_log_restore",
     "iceberg_position_deletes",
+    "iceberg_equality_deletes",
     "iceberg_partition_prune",
     "iceberg_data_skipping",
     "iceberg_schema_evolution",

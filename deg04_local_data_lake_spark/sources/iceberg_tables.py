@@ -332,6 +332,11 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                 "type": ["null", dict(_BOUNDS_ARRAY)],
                 "field-id": 128,
             },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+            },
         ],
     }
     return {
@@ -617,6 +622,7 @@ def write_iceberg_commit(
                         "file_size_in_bytes": size,
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,
+                        "equality_ids": None,
                     },
                 }
             )
@@ -789,6 +795,7 @@ def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
                     "file_size_in_bytes": os.path.getsize(dst),
                     "lower_bounds": None,
                     "upper_bounds": None,
+                    "equality_ids": None,
                 },
             }
         )
@@ -797,7 +804,23 @@ def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
     shutil.rmtree(stage)
     if not entries:
         return cur_id  # nothing matched: no new snapshot
+    return _publish_delete_snapshot(
+        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total
+    )
 
+
+def _publish_delete_snapshot(
+    table: str,
+    meta: dict,
+    cur_id: int,
+    seq: int,
+    snapshot_id: int,
+    entries: list[dict],
+    n_rows_total: int,
+) -> int:
+    """Append a DELETE manifest (position or equality delete files) to
+    the current manifest list and publish the next snapshot + metadata
+    version — the shared commit tail of both row-level delete forms."""
     meta_dir = _meta_dir(table)
     manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
     write_container(manifest_path, _manifest_entry_schema([]), entries)
@@ -850,6 +873,95 @@ def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
         f.write(str(version))
     os.replace(tmp, _hint_path(table))
     return snapshot_id
+
+
+def delete_iceberg_equality(
+    spark: SparkSession, table: str, keys: DataFrame, equality_cols: list[str]
+) -> int:
+    """Iceberg v2 EQUALITY DELETES — the CDC-writer delete form: every
+    table row whose ``equality_cols`` values equal some row of ``keys``
+    is deleted, WITHOUT scanning the table at write time (contrast
+    position deletes, which need the matching row coordinates). The
+    commit stages ``keys[equality_cols]`` as parquet, records it in a
+    DELETE manifest with ``content=2`` and the spec's ``equality_ids``
+    (the field ids of the key columns), and publishes a new snapshot.
+    Returns the new snapshot id.
+
+    Sequence-number semantics (the heart of the spec's correctness
+    rule): an equality delete applies ONLY to data files with a STRICTLY
+    SMALLER data sequence number. A row re-inserted with the same key
+    AFTER the delete therefore survives — which is exactly what makes
+    streaming CDC upserts (Flink/Debezium writers) expressible as
+    delete+insert pairs. The read side enforces this with a
+    per-data-file sequence tag and a range-conditioned anti-join
+    (``_merge_on_read``).
+
+    At 100 TB this is THE low-latency delete path: commit cost is
+    O(delete keys) parquet + O(metadata), no table scan at all; the
+    deferred matching cost moves to reads until ``compact_iceberg``
+    folds the deletes in."""
+    meta = _load_metadata(table)
+    cur_id = meta["current-snapshot-id"]
+    schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    by_name = {f["name"]: f for f in schema["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in schema: {missing}")
+    eq_ids = [by_name[c]["id"] for c in equality_cols]
+
+    import shutil
+
+    data_dir = os.path.join(table, "data")
+    stage = os.path.join(table, f"_stage_eqdel_{uuid.uuid4().hex}")
+    keys.select(*equality_cols).dropDuplicates().write.format(
+        "parquet"
+    ).mode("errorifexists").save(stage)
+    import pyarrow.parquet as pq
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    entries = []
+    n_rows_total = 0
+    idx = 0
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(stage, f)
+        n_rows = pq.read_metadata(src).num_rows
+        if n_rows == 0:
+            continue
+        name = (
+            f"{snapshot_id:05d}-eqdelete-{idx:05d}-{uuid.uuid4().hex}.parquet"
+        )
+        dst = os.path.join(data_dir, name)
+        os.rename(src, dst)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+        n_rows_total += n_rows
+        idx += 1
+    shutil.rmtree(stage)
+    if not entries:
+        return cur_id  # empty key set: no new snapshot
+    return _publish_delete_snapshot(
+        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total
+    )
 
 
 def _entry_skipped(
@@ -935,20 +1047,32 @@ def read_iceberg(
             range_bounds.append((f["id"], f["type"], lo, hi))
     _s, manifests = read_container(snap["manifest-list"])
     files: list[str] = []
+    seq_by_file: dict[str, int] = {}
     delete_files: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for m in manifests:
+        mseq = m.get("sequence_number", 0)
         _es, entries = read_container(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
-            if e["data_file"]["content"] == 1:  # position deletes
-                delete_files.append(e["data_file"]["file_path"])
+            d = e["data_file"]
+            # files inherit the manifest's sequence number unless pinned
+            fseq = e.get("sequence_number") or mseq
+            if d["content"] == 1:  # position deletes
+                delete_files.append(d["file_path"])
                 continue
-            if e["data_file"]["content"] != 0:
+            if d["content"] == 2:  # equality deletes
+                eq_deletes.append(
+                    (d["file_path"], fseq, tuple(d.get("equality_ids") or ()))
+                )
+                continue
+            if d["content"] != 0:
                 continue
             if _entry_skipped(e, partition_filter, range_bounds):
                 continue
-            files.append(e["data_file"]["file_path"])
+            files.append(d["file_path"])
+            seq_by_file[os.path.basename(d["file_path"])] = fseq
     schema = _spark_schema(ice_schema)
     if not files:
         empty = spark.createDataFrame([], schema)
@@ -965,22 +1089,38 @@ def read_iceberg(
         # basePath anchors discovery at the data root.
         reader = reader.option("basePath", os.path.join(table, "data"))
     scan = reader.parquet(*sorted(files))
-    if not delete_files and not keep_tags:
+    if not delete_files and not eq_deletes and not keep_tags:
         return scan
-    return _merge_on_read(spark, scan, delete_files, keep_tags)
+    return _merge_on_read(
+        spark, scan, delete_files, eq_deletes, seq_by_file, ice_schema,
+        keep_tags,
+    )
 
 
 def _merge_on_read(
     spark: SparkSession,
     scan: DataFrame,
     delete_files: list[str],
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    seq_by_file: dict[str, int],
+    ice_schema: dict,
     keep_tags: bool,
 ) -> DataFrame:
-    """Apply position delete files to ``scan``: tag every row with its
-    (file basename, in-file position) via parquet ``_metadata`` columns
-    and LEFT ANTI join against the union of the delete parquet files on
-    those coordinates. One keyed shuffle of (scan rows + delete rows);
-    AQE turns it into a broadcast anti-join whenever the delete set is
+    """Apply row-level deletes to ``scan``:
+
+    - POSITION deletes: tag every row with its (file basename, in-file
+      position) via parquet ``_metadata`` columns and LEFT ANTI join
+      against the union of the delete parquet files on those
+      coordinates.
+    - EQUALITY deletes: anti-join on the key columns, guarded by the
+      spec's sequence rule — a delete with sequence number s applies
+      only to rows from data files with sequence < s, so rows
+      re-inserted after the delete survive. The per-file sequence rides
+      in as a broadcast (file → seq) join, and each distinct key-column
+      set anti-joins once with ``key-equal AND row_seq < delete_seq``.
+
+    Every anti-join is one keyed shuffle of (scan rows + delete rows);
+    AQE collapses it to a broadcast join whenever the delete set is
     small. Files named by no delete row pass through untouched."""
     from pyspark.sql import functions as F
 
@@ -999,6 +1139,35 @@ def _merge_on_read(
             F.col(_POS_DELETE_POS_COL).alias("__ice_pos"),
         )
         tagged = tagged.join(dels, ["__ice_file", "__ice_pos"], "left_anti")
+    if eq_deletes:
+        seq_df = F.broadcast(
+            spark.createDataFrame(
+                [(f, s) for f, s in sorted(seq_by_file.items())],
+                "__ice_file string, __ice_seq long",
+            )
+        )
+        tagged = tagged.join(seq_df, "__ice_file", "left")
+        name_by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        # group delete files by their key-column set (usually one)
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for path, dseq, ids in eq_deletes:
+            by_ids.setdefault(ids, []).append((path, dseq))
+        for ids, flist in sorted(by_ids.items()):
+            key_cols = [name_by_id[i] for i in ids]
+            dels = None
+            for path, dseq in sorted(flist):
+                one = spark.read.parquet(path).withColumn(
+                    "__ice_dseq", F.lit(dseq).cast("long")
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("l.__ice_seq") < F.col("r.__ice_dseq")
+            for c in key_cols:
+                cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+            tagged = (
+                tagged.alias("l")
+                .join(dels.alias("r"), cond, "left_anti")
+            )
+        tagged = tagged.drop("__ice_seq")
     if keep_tags:
         return tagged
     return tagged.drop("__ice_file", "__ice_pos")

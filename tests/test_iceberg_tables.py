@@ -387,3 +387,104 @@ def test_compaction_preserves_partition_spec(spark, table):
     assert sorted(r.id for r in pruned.collect()) == [
         i for i in range(10, 80) if i % 2 == 1
     ]
+
+
+# --------------------------------------------------- equality deletes
+
+
+def test_equality_delete_removes_matching_rows(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg_equality,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 100), table)
+    keys = spark.range(0, 100).filter("id % 10 = 0").select("id")
+    s2 = delete_iceberg_equality(spark, table, keys, ["id"])
+    assert s2 == 2
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # time travel to the pre-delete snapshot sees everything
+    assert read_iceberg(spark, table, 1).count() == 100
+
+
+def test_equality_delete_sequence_rule_reinsert_survives(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg_equality,
+    )
+
+    # CDC shape: rows written BEFORE the delete die; the same keys
+    # re-inserted AFTER the delete must survive (strictly-smaller
+    # sequence rule)
+    write_iceberg_commit(_df(spark, 0, 50), table)        # seq 1
+    keys = spark.range(0, 10).select("id")
+    delete_iceberg_equality(spark, table, keys, ["id"])   # seq 2
+    reinserted = spark.range(0, 5).selectExpr(
+        "id", "CAST(999.0 AS DOUBLE) AS v"
+    )
+    write_iceberg_commit(reinserted, table, mode="append")  # seq 3
+    rows = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    # ids 0-4: only the re-inserted versions; ids 5-9: gone; 10-49: orig
+    assert sorted(rows) == list(range(5)) + list(range(10, 50))
+    assert all(rows[i] == 999.0 for i in range(5))
+
+
+def test_equality_delete_multi_column_key(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg_equality,
+    )
+
+    df = spark.range(0, 60).selectExpr(
+        "id % 3 AS a", "id % 4 AS b", "id AS val"
+    )
+    write_iceberg_commit(df, table)
+    keys = spark.sql("SELECT 1 AS a, 2 AS b").selectExpr(
+        "CAST(a AS LONG) a", "CAST(b AS LONG) b"
+    )
+    delete_iceberg_equality(spark, table, keys, ["a", "b"])
+    rows = read_iceberg(spark, table).collect()
+    assert len(rows) == 60 - 5  # ids ≡ 10 (mod 12): 5 of 60
+    assert not any(r.a == 1 and r.b == 2 for r in rows)
+
+
+def test_equality_and_position_deletes_stack(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        delete_iceberg_equality,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 100), table)
+    delete_iceberg(spark, table, "id >= 90")
+    delete_iceberg_equality(
+        spark, table, spark.range(0, 10).select("id"), ["id"]
+    )
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(10, 90))
+
+
+def test_equality_delete_unknown_column_raises(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg_equality,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    with pytest.raises(ValueError, match="not in schema"):
+        delete_iceberg_equality(
+            spark, table, spark.range(1).selectExpr("id AS nope"), ["nope"]
+        )
+
+
+def test_compaction_materializes_equality_deletes(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        compact_iceberg,
+        delete_iceberg_equality,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 200), table)
+    delete_iceberg_equality(
+        spark, table, spark.range(0, 200, 2).select("id"), ["id"]
+    )
+    compact_iceberg(spark, table, target_files=1)
+    files = read_iceberg(spark, table).inputFiles()
+    assert len(files) == 1 and "eqdelete" not in files[0]
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(1, 200, 2))
