@@ -712,6 +712,57 @@ def delta_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_update",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(CASE WHEN event_type = 'click' AND value < 100.0
+                 THEN value * 2 ELSE value END AS DOUBLE) AS value,
+       event_type
+FROM events
+""",
+)
+def delta_log_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET via deletion vectors, driver-attested: events
+    commit as Delta version 0 and ``update_delta`` doubles the value of
+    every (click, value<100) row in ONE atomic commit — matched rows
+    marked dead by merged per-file Roaring bitmaps, their updated
+    versions appended as new files, untouched rows never rewritten.
+    The post-update snapshot must hash-equal the oracle's CASE
+    projection row-for-row (full-row attestation, not an aggregate).
+    Doubling a double is exact in both engines, so the comparison is
+    bitwise. Cost shape at 100 TB: O(matched rows) written +
+    O(coordinates) of bitmap — a selective UPDATE touches exactly the
+    rows it changes."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        read_delta_log,
+        update_delta,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_upd_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        write_delta_commit(ev.repartition(8), path)
+        v = update_delta(
+            spark,
+            path,
+            "event_type = 'click' AND value < 100.0",
+            {"value": "value * 2"},
+        )
+        assert v == 1
+        # time travel must still see the pre-update values
+        assert read_delta_log(spark, path, 0).count() == ev.count()
+        return read_delta_log(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_deletion_vectors",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

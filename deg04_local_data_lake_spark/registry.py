@@ -93,6 +93,7 @@ def load_all() -> None:
 PRIORITY: list[str] = [
     # --- new in round 5 ---
     "delta_log_deletion_vectors",
+    "delta_log_update",
     "delta_log_restore",
     "iceberg_position_deletes",
     "iceberg_equality_deletes",

@@ -464,8 +464,46 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
     deletes merge bitmaps (union) rather than chaining; OPTIMIZE
     materializes DVs away (its rewrite reads the DV-filtered snapshot);
     VACUUM reclaims unreferenced DV files."""
-    from pyspark.sql import functions as F
+    tagged, version, live, _meta = _dv_tagged_snapshot(spark, table)
+    if tagged is None:
+        return version
+    matched = tagged.filter(condition).select(_DV_FILE_COL, _DV_POS_COL)
+    actions, n_removed_rows = _dv_delete_actions(table, live, matched)
+    if not actions:
+        return version
+    actions.insert(0, dict(_DV_PROTOCOL_ACTION))
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": str(condition)},
+                "operationMetrics": {"numDeletedRows": n_removed_rows},
+            }
+        }
+    )
+    new_version = version + 1
+    _write_commit_file(table, new_version, actions)
+    return new_version
 
+
+#: Tables carrying deletion vectors require the protocol's DV table
+#: feature; re-asserting it in every DV commit is idempotent (last
+#: protocol action wins) and keeps jarful readers honest about what
+#: they must support before scanning.
+_DV_PROTOCOL_ACTION = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def _dv_tagged_snapshot(spark: SparkSession, table: str):
+    """Current snapshot as a coordinate-tagged scan (existing DVs
+    applied, so dead rows can't rematch) → (tagged, version, live,
+    meta); ``tagged`` is None for an empty table."""
     from deg04_local_data_lake_spark.operators.multimodal import (
         ensure_workers_can_import,
     )
@@ -478,21 +516,30 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
     adds = [live[p] for p in sorted(live)]
     files = [os.path.join(table, a["path"]) for a in adds]
     if not files:
-        return version
+        return None, version, live, meta
     reader = spark.read.schema(schema)
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table)
     scan = reader.parquet(*files)
     dv_adds = [a for a in adds if a.get("deletionVector")]
     if dv_adds:
-        # apply existing DVs first so already-deleted rows can't rematch
         tagged = _apply_deletion_vectors(
             spark, table, scan, dv_adds, keep_tags=True
         )
     else:
         tagged = _tag_scan(scan)
     ensure_workers_can_import(spark)
-    matched = tagged.filter(condition).select(_DV_FILE_COL, _DV_POS_COL)
+    return tagged, version, live, meta
+
+
+def _dv_delete_actions(
+    table: str, live: dict[str, dict], matched: DataFrame
+) -> tuple[list[dict], int]:
+    """remove/add actions marking ``matched`` (file, pos) coordinates
+    deleted via per-file deletion vectors — the shared core of DELETE
+    and UPDATE. Bitmaps build distributed (groupBy file →
+    ``applyInPandas`` roaring serialization); only finished descriptors
+    reach the driver. Returns ([], 0) when nothing matched."""
 
     def to_bitmap(pdf):
         import pandas as pd
@@ -514,8 +561,8 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
         .collect()
     )
     if not per_file:
-        return version
-    by_name = {os.path.basename(a["path"]): a for a in adds}
+        return [], 0
+    by_name = {os.path.basename(p): a for p, a in live.items()}
     actions: list[dict] = []
     n_removed_rows = 0
     for row in per_file:
@@ -556,16 +603,60 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
             table, roaring.serialize(new_arr), card
         )
         actions.append({"add": new_add})
+    return actions, n_removed_rows
+
+
+def update_delta(
+    spark: SparkSession, table: str, condition, set_exprs: dict[str, str]
+) -> int:
+    """UPDATE ... SET via deletion vectors, in ONE atomic commit: rows
+    matching ``condition`` are marked dead in their files (merged DV,
+    no rewrite of untouched rows) and re-written with ``set_exprs``
+    applied ({column: SQL expression over the pre-update row}) as new
+    data files — remove+add(DV)+add(new) land together, so readers see
+    either the whole UPDATE or none of it. Returns the committed
+    version (current one unchanged when nothing matches).
+
+    This is delta-spark's DV-enabled UPDATE shape: cost is O(matched
+    rows) written + O(deleted coordinates) of bitmap, never O(touched
+    files) of parquet — on a petabyte table a selective UPDATE touches
+    exactly the rows it changes."""
+    from pyspark.sql import functions as F
+
+    tagged, version, live, meta = _dv_tagged_snapshot(spark, table)
+    if tagged is None:
+        return version
+    bad = set(set_exprs) - {
+        f.name
+        for f in StructType.fromJson(json.loads(meta["schemaString"])).fields
+    }
+    if bad:
+        raise ValueError(f"SET on unknown columns: {sorted(bad)}")
+    matched_tagged = tagged.filter(condition).localCheckpoint(eager=True)
+    coords = matched_tagged.select(_DV_FILE_COL, _DV_POS_COL)
+    actions, n_matched = _dv_delete_actions(table, live, coords)
+    if not actions:
+        return version
+    updated = matched_tagged.drop(_DV_FILE_COL, _DV_POS_COL)
+    types = {f.name: f.dataType for f in updated.schema.fields}
+    for col, expr in set_exprs.items():
+        # UPDATE never changes a column's type: cast the SET expression
+        # to the existing type (a bare literal like `-1.0` would
+        # otherwise silently drift the column to decimal)
+        updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+    new_version = version + 1
+    part_cols = list(meta.get("partitionColumns") or []) or None
+    adds = _stage_files(updated, table, new_version, part_cols)
+    actions = [dict(_DV_PROTOCOL_ACTION)] + actions + adds
     actions.append(
         {
             "commitInfo": {
-                "operation": "DELETE",
+                "operation": "UPDATE",
                 "operationParameters": {"predicate": str(condition)},
-                "operationMetrics": {"numDeletedRows": n_removed_rows},
+                "operationMetrics": {"numUpdatedRows": n_matched},
             }
         }
     )
-    new_version = version + 1
     _write_commit_file(table, new_version, actions)
     return new_version
 
@@ -590,12 +681,19 @@ def _file_stats(path: str) -> str | None:
             name = col.path_in_schema
             if "." in name:
                 continue  # nested leaves: out of scope
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                st_min, st_max = st.min, st.max
+            except Exception:
+                # pyarrow cannot extract stats for every physical type
+                # (ArrowNotImplementedError) — omit, readers keep the file
                 bad.add(name)
                 continue
-            mins[name] = st.min if name not in mins else min(mins[name], st.min)
-            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            mins[name] = st_min if name not in mins else min(mins[name], st_min)
+            maxs[name] = st_max if name not in maxs else max(maxs[name], st_max)
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
     for name in bad:
         mins.pop(name, None)

@@ -520,3 +520,71 @@ def test_restore_to_current_is_noop(spark, table):
     write_delta_commit(_df(spark, 0, 10), table)
     assert restore_delta(spark, table, 0) == 0
     assert delta_versions(table) == [0]
+
+
+# -------------------------------------------------------------- UPDATE
+
+
+def test_update_rewrites_only_matched_rows(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import update_delta
+
+    write_delta_commit(_df(spark, 0, 1000).repartition(4), table)
+    v = update_delta(
+        spark, table, "id % 100 = 7", {"v": "v + 0.5"}
+    )
+    assert v == 1
+    rows = {r.id: r.v for r in read_delta_log(spark, table).collect()}
+    assert len(rows) == 1000
+    for i in range(1000):
+        assert rows[i] == i * 2 + (0.5 if i % 100 == 7 else 0.0)
+    # single atomic commit: DELETE-side DV adds + UPDATE-side new adds
+    assert delta_history(table)[-1]["operation"] == "UPDATE"
+    # time travel unaffected
+    assert read_delta_log(spark, table, 0).count() == 1000
+
+
+def test_update_nothing_is_noop(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import update_delta
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    assert update_delta(spark, table, "id > 100", {"v": "0.0"}) == 0
+    assert delta_versions(table) == [0]
+
+
+def test_update_unknown_column_raises(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import update_delta
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta(spark, table, "id = 1", {"nope": "1"})
+
+
+def test_update_composes_with_prior_deletes(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        update_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 100).coalesce(1), table)
+    delete_delta(spark, table, "id < 20")
+    update_delta(spark, table, "id < 40", {"v": "-1.0"})
+    rows = {r.id: r.v for r in read_delta_log(spark, table).collect()}
+    # deleted rows stay deleted; only surviving matches update
+    assert sorted(rows) == list(range(20, 100))
+    assert all(rows[i] == -1.0 for i in range(20, 40))
+    assert all(rows[i] == i * 2.0 for i in range(40, 100))
+
+
+def test_dv_commits_upgrade_protocol(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import delete_delta
+
+    write_delta_commit(_df(spark, 0, 50), table)
+    delete_delta(spark, table, "id = 1")
+    actions = []
+    import json as _json
+
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json")) as f:
+        actions = [_json.loads(line) for line in f if line.strip()]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
