@@ -588,3 +588,22 @@ def test_dv_commits_upgrade_protocol(spark, table):
     protos = [a["protocol"] for a in actions if "protocol" in a]
     assert protos and protos[0]["minReaderVersion"] == 3
     assert "deletionVectors" in protos[0]["readerFeatures"]
+
+
+# --------------------------------------------- plan-shape guarantees
+
+
+def test_dv_read_filter_is_map_only(spark, table):
+    """The deletion-vector read filter must add NO shuffle: bitmaps are
+    broadcast and applied in a mapInPandas stage fused onto the scan.
+    At 100 TB a DV'd table must scan exactly like an unDV'd one plus a
+    vectorized per-batch mask."""
+    from deg04_local_data_lake_spark.sources.delta_log import delete_delta
+
+    write_delta_commit(_df(spark, 0, 2000).repartition(4), table)
+    delete_delta(spark, table, "id % 3 = 0")
+    df = read_delta_log(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert df.count() == 2000 - 667

@@ -488,3 +488,23 @@ def test_compaction_materializes_equality_deletes(spark, table):
     assert len(files) == 1 and "eqdelete" not in files[0]
     got = sorted(r.id for r in read_iceberg(spark, table).collect())
     assert got == list(range(1, 200, 2))
+
+
+def test_position_delete_merge_broadcasts_small_delete_set(spark, table):
+    """A small position-delete set must resolve as a BROADCAST anti-join
+    (AQE or static planning) — the scan side never shuffles. At 100 TB
+    this is the difference between a metadata-sized merge and
+    re-shuffling the table."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 2000).repartition(4), table)
+    delete_iceberg(spark, table, "id < 10")
+    df = read_iceberg(spark, table)
+    n = df.count()  # executes; AQE finalizes the join strategy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # zero hash-partitioning shuffles: the scan side is never re-keyed
+    assert "Exchange hashpartitioning" not in plan
+    assert n == 1990
