@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "delta_log_restore",
     "iceberg_position_deletes",
     "iceberg_equality_deletes",
+    "stream_delta_source_incremental",
     "iceberg_partition_prune",
     "iceberg_data_skipping",
     "iceberg_schema_evolution",

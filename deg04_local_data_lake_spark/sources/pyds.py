@@ -208,3 +208,152 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlWriter:
         return JsonlWriter(self.options, overwrite)
+
+
+# ------------------------------------------------- Delta log as a stream
+#
+# ``spark.readStream.format("deg04_delta_stream")`` over a jar-less Delta
+# table (sources/delta_log.py): the structured-streaming source
+# delta-spark exposes, rebuilt on the Python Data Source API. Offsets ARE
+# log versions — initial −1, each trigger advances to the latest commit
+# (bounded by ``maxVersionsPerBatch`` to keep microbatches commit-sized),
+# and ``partitions`` fans the versions' ``add`` actions out one
+# InputPartition per data file, read executor-side as Arrow batches
+# straight from parquet. Replaying (version_lo, version_hi] always yields
+# the same files, so checkpointed restarts are exactly-once.
+#
+# Change semantics match delta-spark's source: ``dataChange=false``
+# commits (OPTIMIZE) are invisible; a commit that REMOVES files
+# (overwrite / DELETE / UPDATE) fails the stream unless
+# ``skipChangeCommits=true``, in which case it is skipped whole — a
+# streaming reader must never silently re-emit rewritten rows.
+#
+# The classes are built INSIDE a factory so cloudpickle serializes them
+# BY VALUE: Spark plans Python streaming sources in a separate
+# python_streaming_source_runner process that does not see
+# ``sc.addPyFile`` modules, so a module-top-level class (pickled by
+# reference) would fail to import there. For the same reason the reader
+# is fully self-contained — only stdlib + pyarrow, with the tiny
+# log-listing/commit-parsing bits inlined rather than imported from
+# ``sources.delta_log``.
+
+
+def make_delta_stream_source():
+    """Build the ``deg04_delta_stream`` DataSource class (see module
+    comment for why this is a factory). Register with
+    ``spark.dataSource.register(make_delta_stream_source())``."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource as _DataSource,
+        DataSourceStreamReader as _StreamReader,
+        InputPartition as _InputPartition,
+    )
+
+    def _latest_version(table):
+        log = _os.path.join(table, "_delta_log")
+        versions = [
+            int(f[:20])
+            for f in _os.listdir(log)
+            if f.endswith(".json") and f[:20].isdigit()
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no commits in {log}")
+        return max(versions)
+
+    def _read_commit(table, version):
+        p = _os.path.join(table, "_delta_log", f"{version:020d}.json")
+        with open(p) as f:
+            return [_json.loads(line) for line in f if line.strip()]
+
+    class DeltaCommitFilePartition(_InputPartition):
+        def __init__(self, path):
+            self.path = path
+
+    class DeltaLogStreamReader(_StreamReader):
+        def __init__(self, options):
+            self.table = options["path"]
+            self.per_batch = int(options.get("maxversionsperbatch", 1))
+            self.skip_change = (
+                str(options.get("skipchangecommits", "false")).lower()
+                == "true"
+            )
+            self.start_version = int(options.get("startingversion", 0))
+            self._cursor = self.start_version - 1
+
+        def initialOffset(self):
+            return {"version": self.start_version - 1}
+
+        def latestOffset(self):
+            latest = _latest_version(self.table)
+            self._cursor = max(
+                self._cursor, min(self._cursor + self.per_batch, latest)
+            )
+            return {"version": self._cursor}
+
+        def partitions(self, start, end):
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                actions = _read_commit(self.table, v)
+                adds = [
+                    a["add"]
+                    for a in actions
+                    if "add" in a and a["add"].get("dataChange", True)
+                ]
+                has_change = any(
+                    "remove" in a and a["remove"].get("dataChange", True)
+                    for a in actions
+                )
+                if has_change:
+                    if not self.skip_change:
+                        raise RuntimeError(
+                            f"commit {v} of {self.table} rewrites data "
+                            "(overwrite/DELETE/UPDATE); set "
+                            "skipChangeCommits=true to stream past it"
+                        )
+                    continue  # skipped whole, as delta-spark does
+                for add in adds:
+                    parts.append(
+                        DeltaCommitFilePartition(
+                            _os.path.join(self.table, add["path"])
+                        )
+                    )
+            return parts
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            yield from pq.ParquetFile(partition.path).iter_batches()
+
+        def commit(self, end):
+            pass
+
+        def stop(self):
+            pass
+
+    class DeltaLogStreamDataSource(_DataSource):
+        @classmethod
+        def name(cls):
+            return "deg04_delta_stream"
+
+        def schema(self):
+            from pyspark.sql.types import StructType
+
+            table = self.options["path"]
+            meta = None
+            for v in range(_latest_version(table) + 1):
+                try:
+                    for a in _read_commit(table, v):
+                        if "metaData" in a:
+                            meta = a["metaData"]
+                except FileNotFoundError:
+                    continue  # checkpoint-truncated prefix
+            if meta is None:
+                raise ValueError(f"no metaData action in log for {table}")
+            return StructType.fromJson(_json.loads(meta["schemaString"]))
+
+        def streamReader(self, schema):
+            return DeltaLogStreamReader(self.options)
+
+    return DeltaLogStreamDataSource

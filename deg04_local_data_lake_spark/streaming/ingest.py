@@ -814,3 +814,91 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_dedup",
         mode="append",
     )
+
+
+@register(
+    "stream_delta_source_incremental",
+    oracle="""
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, event_type
+FROM events
+""",
+)
+def stream_delta_source_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """readStream FROM the jar-less Delta table, driver-attested: events
+    land in a Delta log as FOUR append commits plus one UPDATE (a
+    change commit), and ``format("deg04_delta_stream")`` — the Python
+    Data Source streaming reader over the transaction log
+    (``sources/pyds.py``) — drains it with log versions as offsets, one
+    commit per microbatch (``maxVersionsPerBatch=1``), one
+    InputPartition per added file, Arrow batches executor-side. With
+    ``skipChangeCommits=true`` the UPDATE commit is skipped WHOLE (a
+    streaming reader must never re-emit rewritten rows), so the sink
+    must equal exactly the four appends — the original events table —
+    and the drain must take ≥4 non-empty microbatches (asserted
+    in-query). This is delta-spark's streaming source contract:
+    exactly-once via version offsets, append-only flow, loud failure on
+    rewrites unless explicitly skipped. At 100 TB each microbatch fans
+    out by file across the cluster; the log replay per trigger is
+    O(new commits), never O(table)."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        update_delta,
+        write_delta_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"stream_delta_src_{_STREAM_SEQ}"
+    path = tempfile.mkdtemp(prefix="deg04_delta_src_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            "event_type",
+        )
+        for quarter in range(4):
+            write_delta_commit(
+                ev.filter(F.col("event_id") % 4 == quarter), path
+            )
+        # a change commit the stream must skip, not re-emit
+        update_delta(
+            spark, path, "event_type = 'click'", {"value": "value * 2"}
+        )
+        try:
+            # factory-built class: pickles BY VALUE, so the streaming
+            # source runner process needs no package import at all
+            spark.dataSource.register(make_delta_stream_source())
+        except Exception:
+            pass  # already registered in this session
+        sdf = (
+            spark.readStream.format("deg04_delta_stream")
+            .option("path", path)
+            .option("maxVersionsPerBatch", 1)
+            .option("skipChangeCommits", "true")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(
+                [p for p in q.recentProgress if p["numInputRows"] > 0]
+            )
+        finally:
+            q.stop()
+        assert n_batches >= 4, f"expected >=4 microbatches, got {n_batches}"
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

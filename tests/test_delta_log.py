@@ -607,3 +607,90 @@ def test_dv_read_filter_is_map_only(spark, table):
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
     assert df.count() == 2000 - 667
+
+
+# ------------------------------------------- streaming source over log
+
+
+def _start_stream(spark, table, name, **opts):
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    try:
+        spark.dataSource.register(make_delta_stream_source())
+    except Exception:
+        pass
+    r = spark.readStream.format("deg04_delta_stream").option("path", table)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return (
+        r.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_delta_stream_source_one_batch_per_commit(spark, table):
+    write_delta_commit(_df(spark, 0, 30), table)
+    write_delta_commit(_df(spark, 30, 60), table)
+    write_delta_commit(_df(spark, 60, 90), table)
+    q = _start_stream(spark, table, "dls_batches", maxVersionsPerBatch=1)
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert len(batches) == 3
+    got = sorted(r.id for r in spark.table("dls_batches").collect())
+    assert got == list(range(90))
+
+
+def test_delta_stream_source_sees_new_commits(spark, table):
+    write_delta_commit(_df(spark, 0, 10), table)
+    q = _start_stream(spark, table, "dls_incr")
+    try:
+        q.processAllAvailable()
+        assert spark.table("dls_incr").count() == 10
+        # a commit made WHILE the stream runs is picked up incrementally
+        write_delta_commit(_df(spark, 10, 25), table)
+        q.processAllAvailable()
+        assert spark.table("dls_incr").count() == 25
+    finally:
+        q.stop()
+
+
+def test_delta_stream_source_fails_on_change_commit(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import delete_delta
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    write_delta_commit(_df(spark, 0, 20), table)
+    delete_delta(spark, table, "id < 5")
+    q = _start_stream(spark, table, "dls_fail")
+    try:
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_delta_stream_source_skip_change_commits(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import update_delta
+
+    write_delta_commit(_df(spark, 0, 20), table)
+    update_delta(spark, table, "id < 5", {"v": "0.0"})
+    write_delta_commit(_df(spark, 20, 30), table)
+    q = _start_stream(
+        spark, table, "dls_skip", skipChangeCommits="true"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the UPDATE commit is skipped whole: original values, plus the
+    # post-update append
+    rows = {r.id: r.v for r in spark.table("dls_skip").collect()}
+    assert sorted(rows) == list(range(30))
+    assert all(rows[i] == i * 2.0 for i in range(30))
