@@ -712,6 +712,66 @@ def delta_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_column_mapping",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(c_acctbal + CASE WHEN c_custkey % 10 = 0
+                             THEN 500.0 ELSE 0.0 END AS DOUBLE) AS balance
+FROM customer
+""",
+)
+def delta_log_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN without rewriting a byte,
+    driver-attested: the odd-keyed half of customer commits as version
+    0; ``rename_delta_column`` turns ``c_acctbal`` into ``balance`` as
+    a METADATA-ONLY commit (column mapping mode=name — every schema
+    field pins the physical parquet name, so old files stay valid); the
+    even-keyed half then APPENDS under the new logical name (stored
+    physically as the old one); and a DV UPDATE bumps every 10th key's
+    balance. The final read — physical scan projected back to logical
+    names — must hash-equal the oracle built straight from the source
+    table, and the in-query asserts pin that the rename rewrote zero
+    data files and that time travel still shows the old name. At 100 TB
+    a rename is one JSON commit; without column mapping it is a full
+    table rewrite — that asymmetry is the feature."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        read_delta_log,
+        rename_delta_column,
+        update_delta,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_cm_")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        write_delta_commit(cust.filter(F.col("c_custkey") % 2 == 1), path)
+        files_before = sorted(read_delta_log(spark, path).inputFiles())
+        rename_delta_column(spark, path, {"c_acctbal": "balance"})
+        files_after = sorted(read_delta_log(spark, path).inputFiles())
+        assert files_before == files_after  # metadata-only rename
+        assert read_delta_log(spark, path, 0).columns[-1] == "c_acctbal"
+        write_delta_commit(
+            cust.filter(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+                "c_acctbal", "balance"
+            ),
+            path,
+        )
+        update_delta(
+            spark, path, "c_custkey % 10 = 0", {"balance": "balance + 500.0"}
+        )
+        return read_delta_log(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_update",
     oracle="""
 SELECT event_id, user_id,

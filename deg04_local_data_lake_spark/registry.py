@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     # --- new in round 5 ---
     "delta_log_deletion_vectors",
     "delta_log_update",
+    "delta_log_column_mapping",
     "delta_log_restore",
     "iceberg_position_deletes",
     "iceberg_equality_deletes",

@@ -190,6 +190,124 @@ def last_txn_version(table: str, app_id: str) -> int:
     return _replay_txns(table, latest).get(app_id, -1)
 
 
+# ------------------------------------------------------ column mapping
+#
+# ``delta.columnMapping.mode=name``: every schema field carries a stable
+# PHYSICAL name (what the parquet files store) in its StructField
+# metadata, so a logical RENAME COLUMN is a metadata-only commit — zero
+# data rewritten, all history readable. Readers scan under the physical
+# schema and project back to logical names; writers translate logical →
+# physical before staging. Partition columns cannot be renamed in this
+# subset (their names are baked into directory layout and
+# partitionValues).
+
+_CM_MODE = "delta.columnMapping.mode"
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
+_CM_MAX = "delta.columnMapping.maxColumnId"
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """logical → physical column names, or None when mapping is off."""
+    if (meta.get("configuration") or {}).get(_CM_MODE) != "name":
+        return None
+    doc = json.loads(meta["schemaString"])
+    return {
+        f["name"]: (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+        for f in doc["fields"]
+    }
+
+
+def _physical_struct(meta: dict) -> StructType:
+    """The schema under the names the parquet files actually store."""
+    doc = json.loads(meta["schemaString"])
+    for f in doc["fields"]:
+        f["name"] = (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+    return StructType.fromJson(doc)
+
+
+def _to_logical(df: DataFrame, mapping: dict[str, str], keep=()) -> DataFrame:
+    """Project physical columns back to logical names, preserving any
+    extra (e.g. coordinate-tag) columns named in ``keep``."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(phys).alias(logical) for logical, phys in mapping.items()]
+    cols += [F.col(k) for k in keep]
+    return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(logical).alias(phys) for logical, phys in mapping.items()]
+    )
+
+
+def rename_delta_column(
+    spark: SparkSession, table: str, renames: dict[str, str]
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit: activate
+    column mapping on first use (existing columns keep their current
+    names as physical names, so every already-written file stays valid),
+    then change the logical field names in ``schemaString``. No data
+    file is touched — on a petabyte table the rename costs one JSON
+    commit — and time travel still resolves each version under the
+    names it had then, because every version's metaData carries its own
+    schema. Returns the committed version. Partition columns cannot be
+    renamed (directory layout + partitionValues carry their names)."""
+    del spark  # log-only operation; kept for API symmetry
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    doc = json.loads(meta["schemaString"])
+    part_cols = set(meta.get("partitionColumns") or [])
+    names = [f["name"] for f in doc["fields"]]
+    for old, new in renames.items():
+        if old in part_cols:
+            raise ValueError(f"cannot rename partition column {old!r}")
+        if old not in names:
+            raise ValueError(f"no such column {old!r} (have {names})")
+        if new in names and new != old:
+            raise ValueError(f"column {new!r} already exists")
+    config = dict(meta.get("configuration") or {})
+    if config.get(_CM_MODE) != "name":
+        config[_CM_MODE] = "name"
+        config[_CM_MAX] = str(len(doc["fields"]))
+        for i, f in enumerate(doc["fields"], start=1):
+            md = dict(f.get("metadata") or {})
+            md.setdefault(_CM_PHYS, f["name"])
+            md.setdefault(_CM_ID, i)
+            f["metadata"] = md
+    for f in doc["fields"]:
+        if f["name"] in renames:
+            f["name"] = renames[f["name"]]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(doc)
+    new_meta["configuration"] = config
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": ["columnMapping", "deletionVectors"],
+            }
+        },
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"renames": renames},
+            }
+        },
+    ]
+    new_version = version + 1
+    _write_commit_file(table, new_version, actions)
+    return new_version
+
+
 def _stats_skip(add: dict, column_ranges: dict[str, tuple]) -> bool:
     """True if the file can be PROVEN to contain no row satisfying
     ``col BETWEEN lo AND hi`` for some filtered column — i.e. its stats
@@ -275,16 +393,22 @@ def read_delta_log(
                 for k, v in partition_filter.items()
             )
         ]
+    mapping = _column_mapping(meta)
     if column_ranges:
         # Data skipping from the log's per-file stats: files provably
         # outside every ``col BETWEEN lo AND hi`` range are never listed,
         # opened, or scheduled. The caller STILL applies the predicate —
         # skipping narrows the scan, it never replaces the filter.
+        # Stats are keyed by PHYSICAL names under column mapping.
+        if mapping:
+            column_ranges = {
+                mapping.get(c, c): r for c, r in column_ranges.items()
+            }
         adds = [a for a in adds if not _stats_skip(a, column_ranges)]
     files = [os.path.join(table, a["path"]) for a in adds]
     if not files:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(_physical_struct(meta) if mapping else schema)
     if meta.get("partitionColumns"):
         # Hive-layout partition columns live in directory names, not the
         # data files; basePath makes Spark derive them (typed by the
@@ -292,9 +416,11 @@ def read_delta_log(
         reader = reader.option("basePath", table)
     scan = reader.parquet(*files)
     dv_adds = [a for a in adds if a.get("deletionVector")]
-    if not dv_adds:
-        return scan
-    return _apply_deletion_vectors(spark, table, scan, dv_adds)
+    if dv_adds:
+        scan = _apply_deletion_vectors(spark, table, scan, dv_adds)
+    if mapping:
+        scan = _to_logical(scan, mapping)
+    return scan
 
 
 # ---------------------------------------------------- deletion vectors
@@ -512,7 +638,12 @@ def _dv_tagged_snapshot(spark: SparkSession, table: str):
     live, meta = _replay(table, version)
     if meta is None:
         raise ValueError(f"no metaData action in log for {table}")
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    schema = (
+        _physical_struct(meta)
+        if mapping
+        else StructType.fromJson(json.loads(meta["schemaString"]))
+    )
     adds = [live[p] for p in sorted(live)]
     files = [os.path.join(table, a["path"]) for a in adds]
     if not files:
@@ -528,6 +659,11 @@ def _dv_tagged_snapshot(spark: SparkSession, table: str):
         )
     else:
         tagged = _tag_scan(scan)
+    if mapping:
+        # predicates and SET expressions speak LOGICAL names
+        tagged = _to_logical(
+            tagged, mapping, keep=(_DV_FILE_COL, _DV_POS_COL)
+        )
     ensure_workers_can_import(spark)
     return tagged, version, live, meta
 
@@ -644,6 +780,9 @@ def update_delta(
         # to the existing type (a bare literal like `-1.0` would
         # otherwise silently drift the column to decimal)
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+    mapping = _column_mapping(meta)
+    if mapping:
+        updated = _to_physical(updated, mapping)
     new_version = version + 1
     part_cols = list(meta.get("partitionColumns") or []) or None
     adds = _stage_files(updated, table, new_version, part_cols)
@@ -819,7 +958,46 @@ def write_delta_commit(
     except FileNotFoundError:
         version = 0
 
-    adds = _stage_files(df, table, version, partition_by)
+    # Under column mapping the parquet files store PHYSICAL names:
+    # translate before staging, and (on overwrite) preserve the mapping
+    # metadata for same-named columns so a schema overwrite never
+    # orphans the physical-name contract.
+    prev_meta0 = None
+    if version > 0:
+        _pl0, prev_meta0 = _replay(table, version - 1)
+    mapping0 = _column_mapping(prev_meta0) if prev_meta0 else None
+    schema_string = df.schema.json()
+    configuration: dict = {}
+    stage_df = df
+    if mapping0:
+        configuration = dict(prev_meta0.get("configuration") or {})
+        prev_doc = json.loads(prev_meta0["schemaString"])
+        prev_fields = {f["name"]: f for f in prev_doc["fields"]}
+        max_id = int(configuration.get(_CM_MAX, len(prev_fields)))
+        doc = json.loads(schema_string)
+        write_mapping: dict[str, str] = {}
+        for f in doc["fields"]:
+            old = prev_fields.get(f["name"])
+            md = dict(f.get("metadata") or {})
+            if old is not None:
+                md[_CM_PHYS] = (old.get("metadata") or {}).get(
+                    _CM_PHYS, f["name"]
+                )
+                md[_CM_ID] = (old.get("metadata") or {}).get(_CM_ID, 0)
+            else:
+                max_id += 1
+                md[_CM_PHYS] = f["name"]
+                md[_CM_ID] = max_id
+            f["metadata"] = md
+            write_mapping[f["name"]] = md[_CM_PHYS]
+        configuration[_CM_MAX] = str(max_id)
+        schema_string = json.dumps(doc)
+        if mode == "append":
+            stage_df = _to_physical(df, _column_mapping(prev_meta0))
+        else:
+            stage_df = _to_physical(df, write_mapping)
+
+    adds = _stage_files(stage_df, table, version, partition_by)
 
     while True:
         actions: list[dict] = []
@@ -836,9 +1014,9 @@ def write_delta_commit(
                     "metaData": {
                         "id": uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": schema_string,
                         "partitionColumns": list(partition_by or []),
-                        "configuration": {},
+                        "configuration": configuration,
                         "createdTime": 0,
                     }
                 }
@@ -1053,8 +1231,15 @@ def optimize_delta(
     else:
         snapshot = snapshot.repartition(n_files)
     snapshot = snapshot.localCheckpoint(eager=True)
+    mapping = _column_mapping(meta)
+    if mapping:
+        snapshot = _to_physical(snapshot, mapping)
     new_version = version + 1
-    adds = _stage_files(snapshot, table, new_version, None)
+    # a partitioned table must stay hive-partitioned through the rewrite
+    # or the new files lose their partitionValues (and the basePath read
+    # its directory-derived columns)
+    part_cols = list(meta.get("partitionColumns") or []) or None
+    adds = _stage_files(snapshot, table, new_version, part_cols)
     for a in adds:
         a["add"]["dataChange"] = False
     actions: list[dict] = []
@@ -1226,12 +1411,20 @@ def read_delta_changes(
         if not removes:
             # pure append: the added files ARE the inserted rows
             files = [os.path.join(table, a["path"]) for a in adds]
-            delta = (
-                spark.read.schema(schema).parquet(*files)
-                .withColumn("_change_type", F.lit("insert"))
-                if files
-                else None
-            )
+            mapping = _column_mapping(meta)
+            if not files:
+                delta = None
+            elif mapping:
+                delta = _to_logical(
+                    spark.read.schema(_physical_struct(meta)).parquet(*files),
+                    mapping,
+                ).withColumn("_change_type", F.lit("insert"))
+            else:
+                delta = (
+                    spark.read.schema(schema)
+                    .parquet(*files)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
         else:
             prev = read_delta_log(spark, table, v - 1)
             cur = read_delta_log(spark, table, v)

@@ -694,3 +694,109 @@ def test_delta_stream_source_skip_change_commits(spark, table):
     rows = {r.id: r.v for r in spark.table("dls_skip").collect()}
     assert sorted(rows) == list(range(30))
     assert all(rows[i] == i * 2.0 for i in range(30))
+
+
+# ------------------------------------------------------ column mapping
+
+
+def test_rename_column_is_metadata_only(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        rename_delta_column,
+    )
+
+    write_delta_commit(_df(spark, 0, 100), table)
+    files_before = sorted(read_delta_log(spark, table).inputFiles())
+    v = rename_delta_column(spark, table, {"v": "price"})
+    assert v == 1
+    cur = read_delta_log(spark, table)
+    assert cur.columns == ["id", "price"]
+    assert sorted(cur.inputFiles()) == files_before  # zero data rewritten
+    rows = {r.id: r.price for r in cur.collect()}
+    assert rows[7] == 14.0 and len(rows) == 100
+    # time travel reads the OLD logical names
+    assert read_delta_log(spark, table, 0).columns == ["id", "v"]
+
+
+def test_append_and_update_after_rename(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        rename_delta_column,
+        update_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 50), table)
+    rename_delta_column(spark, table, {"v": "price"})
+    # appends speak the NEW logical names; files store physical names
+    more = spark.range(50, 60).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS price"
+    )
+    write_delta_commit(more, table)
+    assert read_delta_log(spark, table).count() == 60
+    update_delta(spark, table, "price > 100.0", {"price": "price + 1"})
+    rows = {r.id: r.price for r in read_delta_log(spark, table).collect()}
+    assert rows[55] == 111.0 and rows[10] == 20.0
+
+
+def test_optimize_and_skipping_after_rename(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        rename_delta_column,
+    )
+
+    write_delta_commit(_df(spark, 0, 400).repartition(8), table)
+    rename_delta_column(spark, table, {"v": "price"})
+    v = optimize_delta(
+        spark, table, target_file_bytes=1200, cluster_by=["price"]
+    )
+    cur = read_delta_log(spark, table)
+    assert cur.columns == ["id", "price"]
+    assert cur.count() == 400
+    # data skipping under the LOGICAL name
+    pruned = read_delta_log(
+        spark, table, version=v, column_ranges={"price": (0.0, 10.0)}
+    )
+    assert len(pruned.inputFiles()) < len(cur.inputFiles())
+
+
+def test_rename_partition_column_raises(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        rename_delta_column,
+    )
+
+    df = spark.range(0, 20).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part"
+    )
+    write_delta_commit(df, table, partition_by=["part"])
+    with pytest.raises(ValueError, match="partition column"):
+        rename_delta_column(spark, table, {"part": "bucket"})
+    with pytest.raises(ValueError, match="no such column"):
+        rename_delta_column(spark, table, {"nope": "x"})
+
+
+def test_overwrite_after_rename_preserves_mapping(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        rename_delta_column,
+    )
+
+    write_delta_commit(_df(spark, 0, 30), table)
+    rename_delta_column(spark, table, {"v": "price"})
+    # overwrite keeps 'price' plus adds a new column
+    newdf = spark.range(0, 10).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS price", "CAST(id AS STRING) AS tag"
+    )
+    write_delta_commit(newdf, table, mode="overwrite")
+    cur = read_delta_log(spark, table)
+    assert cur.columns == ["id", "price", "tag"]
+    assert {r.id: r.price for r in cur.collect()}[3] == 3.0
+    # a second rename still works (mapping metadata survived overwrite)
+    rename_delta_column(spark, table, {"tag": "label"})
+    assert read_delta_log(spark, table).columns == ["id", "price", "label"]
+
+
+def test_optimize_preserves_partitioning(spark, table):
+    df = spark.range(0, 60).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS part"
+    )
+    write_delta_commit(df.repartition(6), table, partition_by=["part"])
+    optimize_delta(spark, table)
+    pruned = read_delta_log(spark, table, partition_filter={"part": "1"})
+    got = sorted(r.id for r in pruned.collect())
+    assert got == [i for i in range(60) if i % 3 == 1]
