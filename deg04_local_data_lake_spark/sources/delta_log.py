@@ -181,6 +181,32 @@ def _replay_txns(table: str, version: int) -> dict[str, int]:
     return txns
 
 
+def _replay_protocol(table: str, version: int) -> dict:
+    """Latest ``protocol`` action at ``version`` (last one wins). The
+    checkpoint must carry it — the spec makes protocol part of the
+    reconstructed state, and a jarful reader of a truncated log needs
+    the reader/writer feature floor (e.g. deletionVectors) to know what
+    it must support."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(_checkpoint_file(table, cp)).to_pylist():
+            p = row.get("protocol")
+            if p and p.get("minReaderVersion"):
+                proto = {k: v for k, v in p.items() if v is not None}
+        start = cp + 1
+    for v in range(start, version + 1):
+        if not os.path.exists(_commit_file(table, v)):
+            continue
+        for action in _read_commit(table, v):
+            if "protocol" in action:
+                proto = action["protocol"]
+    return proto
+
+
 def last_txn_version(table: str, app_id: str) -> int:
     """Highest committed ``txn`` version for ``app_id`` (−1 if none)."""
     try:
@@ -1067,13 +1093,22 @@ def write_delta_checkpoint(table: str) -> int:
     version = _latest_version(table)
     live, meta = _replay(table, version)
     txns = _replay_txns(table, version)
-    rows = [{"metaData": meta, "add": None, "txn": None}]
+    protocol = _replay_protocol(table, version)
+    rows = [
+        {"metaData": None, "add": None, "txn": None, "protocol": protocol},
+        {"metaData": meta, "add": None, "txn": None, "protocol": None},
+    ]
     rows += [
-        {"metaData": None, "add": None, "txn": {"appId": a, "version": v}}
+        {
+            "metaData": None,
+            "add": None,
+            "txn": {"appId": a, "version": v},
+            "protocol": None,
+        }
         for a, v in sorted(txns.items())
     ]
     rows += [
-        {"metaData": None, "add": a, "txn": None}
+        {"metaData": None, "add": a, "txn": None, "protocol": None}
         for _p, a in sorted(live.items())
     ]
     # Explicit protocol-shaped schema: the option/configuration fields are
@@ -1133,6 +1168,17 @@ def write_delta_checkpoint(table: str) -> int:
                     [
                         pa.field("appId", pa.string()),
                         pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),

@@ -800,3 +800,21 @@ def test_optimize_preserves_partitioning(spark, table):
     pruned = read_delta_log(spark, table, partition_filter={"part": "1"})
     got = sorted(r.id for r in pruned.collect())
     assert got == [i for i in range(60) if i % 3 == 1]
+
+
+def test_checkpoint_persists_protocol(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay_protocol,
+        delete_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 50), table)
+    delete_delta(spark, table, "id = 1")  # upgrades protocol for DVs
+    write_delta_checkpoint(table)
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    # protocol survives truncation via the checkpoint parquet
+    proto = _replay_protocol(table, 1)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert read_delta_log(spark, table).count() == 49
