@@ -1186,6 +1186,23 @@ def _read_snapshot(
     )
 
 
+def upsert_iceberg(
+    spark: SparkSession, table: str, source: DataFrame, key_cols: list[str]
+) -> int:
+    """CDC UPSERT the way streaming Iceberg writers (Flink/Debezium)
+    express it: an equality delete of the source keys followed by an
+    append of the source rows — existing versions of the keys die under
+    the sequence rule, the new versions survive. Returns the append
+    snapshot id. Two snapshots rather than the runtime's single
+    transaction (this layer is single-writer; a reader between the two
+    sees the deleted-but-not-yet-reinserted state, the documented
+    subset); write cost is O(source) with no table scan."""
+    delete_iceberg_equality(
+        spark, table, source.select(*key_cols), key_cols
+    )
+    return write_iceberg_commit(source, table, mode="append")
+
+
 def compact_iceberg(
     spark: SparkSession, table: str, target_files: int | None = None
 ) -> int:

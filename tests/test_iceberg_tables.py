@@ -508,3 +508,24 @@ def test_position_delete_merge_broadcasts_small_delete_set(spark, table):
     # zero hash-partitioning shuffles: the scan side is never re-keyed
     assert "Exchange hashpartitioning" not in plan
     assert n == 1990
+
+
+def test_upsert_via_equality_deletes(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        upsert_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 50), table)
+    src = spark.range(40, 70).selectExpr(
+        "id", "CAST(-1.0 AS DOUBLE) AS v"
+    )
+    upsert_iceberg(spark, table, src, ["id"])
+    rows = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    assert sorted(rows) == list(range(70))
+    assert all(rows[i] == i * 3.0 for i in range(40))      # untouched
+    assert all(rows[i] == -1.0 for i in range(40, 70))     # upserted
+    # idempotent re-apply: same source upserts to the same state
+    upsert_iceberg(spark, table, src, ["id"])
+    rows = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    assert sorted(rows) == list(range(70))
+    assert all(rows[i] == -1.0 for i in range(40, 70))
