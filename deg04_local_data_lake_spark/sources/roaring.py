@@ -1,9 +1,9 @@
 """From-scratch 32-bit Roaring bitmap codec (portable serialization).
 
 Deletion vectors in the Delta protocol store the deleted row indexes of
-one data file as a Roaring bitmap — the same compressed-set format
-RoaringBitmap/CRoaring publish as the "portable" interchange spec
-(github.com/RoaringBitmap/RoaringFormatSpec). This module implements
+one data file as a Roaring bitmap — the same compressed-set format the
+RoaringBitmap/CRoaring projects publish as the "portable" interchange
+spec (the public RoaringFormatSpec document). This module implements
 that wire format from scratch, writer and reader, with numpy-vectorized
 container packing:
 
