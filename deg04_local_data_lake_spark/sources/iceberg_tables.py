@@ -1222,6 +1222,79 @@ def compact_iceberg(
     return write_iceberg_commit(df, table, mode="overwrite")
 
 
+def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:
+    """``expire_snapshots``: drop all but the newest ``keep_last``
+    snapshots from the table metadata (the current snapshot is always
+    kept) and publish the next metadata version. Time travel to an
+    expired snapshot then fails loudly; the files it referenced become
+    reclaimable by :func:`remove_orphan_iceberg_files`. Returns the
+    expired snapshot ids. This is the retention half of Iceberg table
+    maintenance — metadata-only, O(snapshots), no data touched."""
+    meta = _load_metadata(table)
+    snaps = meta["snapshots"]
+    keep_last = max(1, keep_last)
+    kept = snaps[-keep_last:]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    kept_ids.add(meta["current-snapshot-id"])
+    expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in kept_ids]
+    if not expired:
+        return []
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in kept_ids
+    ]
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in kept_ids
+    ]
+    version = _current_version(table) + 1
+    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    tmp = _hint_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _hint_path(table))
+    return expired
+
+
+def remove_orphan_iceberg_files(table: str) -> list[str]:
+    """``remove_orphan_files``: delete data files and Avro metadata
+    files referenced by NO remaining snapshot (any mention in any kept
+    manifest — added, existing, or deleted status — counts as
+    referenced, the conservative direction). Run after
+    :func:`expire_iceberg_snapshots`; returns the deleted paths. The
+    walk is filesystem-metadata only — no file is opened, so cost
+    scales with file count, not data volume."""
+    meta = _load_metadata(table)
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        referenced.add(s["manifest-list"])
+        _s, manifests = read_container(s["manifest-list"])
+        for m in manifests:
+            referenced.add(m["manifest_path"])
+            _es, entries = read_container(m["manifest_path"])
+            for e in entries:
+                referenced.add(e["data_file"]["file_path"])
+    doomed: list[str] = []
+    data_dir = os.path.join(table, "data")
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") and p not in referenced:
+                doomed.append(p)
+    for f in os.listdir(_meta_dir(table)):
+        p = os.path.join(_meta_dir(table), f)
+        if f.endswith(".avro") and p not in referenced:
+            doomed.append(p)
+    for p in doomed:
+        os.remove(p)
+    return sorted(doomed)
+
+
 def iceberg_history(table: str) -> list[dict]:
     """The snapshot log: (snapshot-id, operation, sequence-number),
     ascending — DESCRIBE HISTORY."""

@@ -529,3 +529,48 @@ def test_upsert_via_equality_deletes(spark, table):
     rows = {r.id: r.v for r in read_iceberg(spark, table).collect()}
     assert sorted(rows) == list(range(70))
     assert all(rows[i] == -1.0 for i in range(40, 70))
+
+
+def test_expire_snapshots_and_orphan_removal(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        expire_iceberg_snapshots,
+        remove_orphan_iceberg_files,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 50), table)
+    write_iceberg_commit(_df(spark, 50, 80), table)
+    s3 = write_iceberg_commit(_df(spark, 0, 20), table, mode="overwrite")
+    expired = expire_iceberg_snapshots(table, keep_last=1)
+    assert expired == [1, 2]
+    # current read intact; expired snapshot unreachable, loudly
+    assert read_iceberg(spark, table).count() == 20
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, table, s1)
+    # the overwritten snapshots' data files are now orphans
+    doomed = remove_orphan_iceberg_files(table)
+    assert any(p.endswith(".parquet") for p in doomed)
+    assert any(p.endswith(".avro") for p in doomed)
+    got = sorted(r.id for r in read_iceberg(spark, table, s3).collect())
+    assert got == list(range(20))
+
+
+def test_orphan_removal_keeps_all_referenced(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        remove_orphan_iceberg_files,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 30), table)
+    write_iceberg_commit(_df(spark, 30, 60), table)
+    # nothing expired: every file referenced by some snapshot
+    assert remove_orphan_iceberg_files(table) == []
+    assert read_iceberg(spark, table).count() == 60
+
+
+def test_expire_keeps_current_at_minimum(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        expire_iceberg_snapshots,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    assert expire_iceberg_snapshots(table, keep_last=5) == []
+    assert read_iceberg(spark, table).count() == 10
