@@ -298,6 +298,86 @@ _BOUNDS_ARRAY = {
 # identity-partition column avro types per Iceberg type
 _PART_AVRO = {"int": "int", "long": "long", "string": "string", "date": "int"}
 
+# ---------------------------------------------- partition transforms
+#
+# ``partition_by`` terms are spec transforms: a bare column name is an
+# identity transform (hive-style layout, values derived from directory
+# names, partition columns omitted from the data files); ``day(col)`` /
+# ``month(col)`` / ``year(col)`` (temporal, int results counted from
+# epoch), ``truncate(W, col)`` (width truncation: floor-multiple for
+# ints, prefix for strings), and ``bucket(N, col)`` (hash bucket) keep
+# the SOURCE columns in the data files and store only the transform
+# results in the manifests — the files land FLAT under ``data/`` and
+# pruning is purely manifest-driven, which is the actual Iceberg model
+# (hive directories are an identity-only convenience). Deviation noted:
+# ``bucket`` uses Spark's murmur3 (``hash()``, seed 42), deterministic
+# and stable within this layer, not byte-identical to the Iceberg
+# library's seed-0 bucket hash.
+
+import re as _re
+
+_TERM_RE = _re.compile(
+    r"^\s*(year|month|day|truncate|bucket)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"([A-Za-z0-9_]+)\s*\)\s*$"
+)
+
+
+def _parse_partition_term(term: str) -> tuple[str, int | None, str, str]:
+    """'day(ts)' → (transform, param, source_col, spec_field_name)."""
+    m = _TERM_RE.match(term)
+    if m is None:
+        return "identity", None, term.strip(), term.strip()
+    tr, param, col = m.group(1), m.group(2), m.group(3)
+    if tr in ("truncate", "bucket"):
+        if param is None:
+            raise ValueError(f"{tr} transform needs a width/count: {term!r}")
+        return tr, int(param), col, f"{col}_{tr}"
+    if param is not None:
+        raise ValueError(f"{tr} transform takes one column only: {term!r}")
+    return tr, None, col, f"{col}_{tr}"
+
+
+def _transform_string(transform: str, param: int | None) -> str:
+    if transform in ("truncate", "bucket"):
+        return f"{transform}[{param}]"
+    return transform
+
+
+def _transform_expr(
+    transform: str, param: int | None, col: str, src_type: str
+) -> str:
+    """Spark SQL expression computing the transform's partition value."""
+    q = f"`{col}`"
+    if transform == "identity":
+        return q
+    if transform == "year":
+        return f"year({q}) - 1970"
+    if transform == "month":
+        return f"(year({q}) - 1970) * 12 + month({q}) - 1"
+    if transform == "day":
+        return f"datediff(CAST({q} AS DATE), DATE '1970-01-01')"
+    if transform == "truncate":
+        if src_type == "string":
+            return f"substring({q}, 1, {param})"
+        return f"{q} - ((({q} % {param}) + {param}) % {param})"
+    if transform == "bucket":
+        return f"pmod(hash({q}), {param})"
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _transform_result(transform: str, src_ice_type: str) -> tuple[str, str]:
+    """(avro type, parse kind) of a transform's partition value."""
+    if transform == "identity":
+        return _PART_AVRO[src_ice_type], src_ice_type
+    if transform in ("year", "month", "day", "bucket"):
+        return "int", "int"
+    if transform == "truncate":
+        return _PART_AVRO[src_ice_type], (
+            "string" if src_ice_type == "string" else "long"
+            if src_ice_type == "long" else "int"
+        )
+    raise ValueError(f"unknown transform {transform!r}")
+
 
 def _manifest_entry_schema(part_fields: list[dict]) -> dict:
     partition_rec = {
@@ -306,7 +386,7 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
         "fields": [
             {
                 "name": pf["name"],
-                "type": _PART_AVRO[pf["ice_type"]],
+                "type": pf["avro_type"],
                 "field-id": pf["field-id"],
             }
             for pf in part_fields
@@ -406,17 +486,31 @@ def _load_metadata(table: str, version: int | None = None) -> dict:
 
 def _spec_part_fields(meta: dict) -> list[dict]:
     """The table's partition-spec fields, joined to the CURRENT schema
-    for names/types: [{name, ice_type, field-id(partition), source-id}]."""
+    and resolved through their transforms: [{name, transform, param,
+    source_name, ice_type(source), avro_type, parse_kind,
+    field-id(partition), source-id}]."""
     spec = meta["partition-specs"][0]
     schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
     by_id = {f["id"]: f for f in schema["fields"]}
     out = []
     for pf in spec["fields"]:
         src = by_id[pf["source-id"]]
+        tr_str = pf.get("transform", "identity")
+        if "[" in tr_str:
+            tr, rest = tr_str.split("[", 1)
+            param = int(rest.rstrip("]"))
+        else:
+            tr, param = tr_str, None
+        avro_type, parse_kind = _transform_result(tr, src["type"])
         out.append(
             {
                 "name": pf["name"],
+                "transform": tr,
+                "param": param,
+                "source_name": src["name"],
                 "ice_type": src["type"],
+                "avro_type": avro_type,
+                "parse_kind": parse_kind,
                 "field-id": pf["field-id"],
                 "source-id": pf["source-id"],
             }
@@ -424,13 +518,20 @@ def _spec_part_fields(meta: dict) -> list[dict]:
     return out
 
 
-def _parse_part_value(ice_type: str, raw: str):
+def _spec_is_identity(spec: dict) -> bool:
+    return all(
+        pf.get("transform", "identity") == "identity"
+        for pf in spec["fields"]
+    )
+
+
+def _parse_part_value(parse_kind: str, raw: str):
     from urllib.parse import unquote
 
     raw = unquote(raw)
-    if ice_type in ("int", "long"):
+    if parse_kind in ("int", "long"):
         return int(raw)
-    if ice_type == "date":
+    if parse_kind == "date":
         import datetime
 
         return (
@@ -521,29 +622,53 @@ def write_iceberg_commit(
             declared = [
                 pf["name"] for pf in prev["partition-specs"][0]["fields"]
             ]
-            if list(partition_by) != declared:
+            proposed_names = [
+                _parse_partition_term(t)[3] for t in partition_by
+            ]
+            if proposed_names != declared:
                 raise ValueError(
                     f"partition spec is fixed at creation: table has "
-                    f"{declared}, got {list(partition_by)}"
+                    f"{declared}, got {proposed_names}"
                 )
         spec = prev["partition-specs"][0]
         last_part_id = prev.get("last-partition-id", 999)
     else:
         by_name = {f["name"]: f for f in schema["fields"]}
+        schema_names = set(by_name)
         spec_fields = []
-        for i, col in enumerate(partition_by or []):
+        for i, term in enumerate(partition_by or []):
+            tr, param, col, fname = _parse_partition_term(term)
             src = by_name.get(col)
             if src is None:
                 raise ValueError(f"partition column {col!r} not in schema")
-            if src["type"] not in _PART_AVRO:
+            if tr == "identity" and src["type"] not in _PART_AVRO:
                 raise ValueError(
                     f"identity partition on {src['type']} not supported "
                     f"(use int/long/string/date)"
                 )
+            if tr in ("year", "month", "day") and src["type"] not in (
+                "date", "timestamp", "timestamptz"
+            ):
+                raise ValueError(
+                    f"{tr} transform needs a date/timestamp column, "
+                    f"got {src['type']} for {col!r}"
+                )
+            if tr in ("truncate", "bucket") and src["type"] not in (
+                "int", "long", "string"
+            ):
+                raise ValueError(
+                    f"{tr} transform supports int/long/string, "
+                    f"got {src['type']} for {col!r}"
+                )
+            if tr != "identity" and fname in schema_names:
+                raise ValueError(
+                    f"partition field name {fname!r} collides with a "
+                    "table column"
+                )
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
+                    "name": fname,
+                    "transform": _transform_string(tr, param),
                     "source-id": src["id"],
                     "field-id": 1000 + i,
                 }
@@ -558,10 +683,27 @@ def write_iceberg_commit(
     }
     part_fields = _spec_part_fields(meta_for_spec)
     part_cols = [pf["name"] for pf in part_fields]
+    identity_layout = all(pf["transform"] == "identity" for pf in part_fields)
 
-    # ---- stage data files (hive layout when partitioned)
+    # ---- stage data files (hive layout for identity specs; FLAT layout
+    # for transform specs — source columns stay in the files, transform
+    # values live only in the manifests, pruning is manifest-driven)
+    stage_input = df
+    if part_fields and not identity_layout:
+        from pyspark.sql import functions as F
+
+        for pf in part_fields:
+            stage_input = stage_input.withColumn(
+                pf["name"],
+                F.expr(
+                    _transform_expr(
+                        pf["transform"], pf["param"],
+                        pf["source_name"], pf["ice_type"],
+                    )
+                ),
+            )
     stage = os.path.join(table, f"_stage_{uuid.uuid4().hex}")
-    writer = df.write.format("parquet").mode("errorifexists")
+    writer = stage_input.write.format("parquet").mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.save(stage)
@@ -596,14 +738,16 @@ def write_iceberg_commit(
             size = os.path.getsize(src)
             lower, upper = _file_bounds(src, data_fields)
             dst_dir = (
-                os.path.join(data_dir, rel) if rel != "." else data_dir
+                os.path.join(data_dir, rel)
+                if rel != "." and identity_layout
+                else data_dir
             )
             os.makedirs(dst_dir, exist_ok=True)
             dst = os.path.join(dst_dir, name)
             os.rename(src, dst)
             partition = {
                 pf["name"]: _parse_part_value(
-                    pf["ice_type"], part_vals[pf["name"]]
+                    pf["parse_kind"], part_vals[pf["name"]]
                 )
                 for pf in part_fields
             }
@@ -1084,9 +1228,11 @@ def read_iceberg(
             ).withColumn("__ice_pos", F.lit(None).cast("long"))
         return empty
     reader = spark.read.schema(schema)
-    if part_cols:
-        # Hive-style data layout: partition columns come from the path;
-        # basePath anchors discovery at the data root.
+    if part_cols and _spec_is_identity(meta["partition-specs"][0]):
+        # Identity specs use hive layout: partition columns come from
+        # the path; basePath anchors discovery at the data root.
+        # Transform specs store files flat (source columns in-file) and
+        # need no path-derived columns at all.
         reader = reader.option("basePath", os.path.join(table, "data"))
     scan = reader.parquet(*sorted(files))
     if not delete_files and not eq_deletes and not keep_tags:

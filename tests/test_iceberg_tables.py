@@ -574,3 +574,90 @@ def test_expire_keeps_current_at_minimum(spark, table):
     write_iceberg_commit(_df(spark, 0, 10), table)
     assert expire_iceberg_snapshots(table, keep_last=5) == []
     assert read_iceberg(spark, table).count() == 10
+
+
+# ----------------------------------------------- partition transforms
+
+
+def test_day_transform_prunes_from_manifests(spark, table):
+    df = spark.range(0, 96).selectExpr(
+        "id",
+        "timestamp_micros(CAST(id * 3600 * 1000000 AS LONG)) AS ts",
+        "CAST(id AS DOUBLE) AS v",
+    )  # 96 hourly rows = 4 days from epoch
+    write_iceberg_commit(df, table, partition_by=["day(ts)"])
+    full = read_iceberg(spark, table)
+    assert full.count() == 96
+    # source column stays in the data files; no hive dirs
+    assert "ts" in full.columns and "ts_day" not in full.columns
+    assert not any(
+        d.startswith("ts_day=")
+        for d in os.listdir(os.path.join(table, "data"))
+    )
+    # manifest pruning on the transform value (day 2 from epoch)
+    pruned = read_iceberg(spark, table, partition_filter={"ts_day": 2})
+    rows = pruned.collect()
+    assert len(rows) == 24
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    meta = json.load(
+        open(os.path.join(table, "metadata", "v1.metadata.json"))
+    )
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "day"
+
+
+def test_truncate_and_bucket_transforms(spark, table):
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    )
+    write_iceberg_commit(
+        df, table, partition_by=["truncate(10, id)", "bucket(4, s)"]
+    )
+    full = read_iceberg(spark, table)
+    assert full.count() == 100
+    assert set(full.columns) == {"id", "s"}
+    # truncate buckets are floor-multiples of 10
+    pruned = read_iceberg(
+        spark, table, partition_filter={"id_truncate": 30}
+    )
+    got = sorted(r.id for r in pruned.collect())
+    assert got == list(range(30, 40))
+    meta = json.load(
+        open(os.path.join(table, "metadata", "v1.metadata.json"))
+    )
+    trs = [f["transform"] for f in meta["partition-specs"][0]["fields"]]
+    assert trs == ["truncate[10]", "bucket[4]"]
+
+
+def test_transform_append_and_deletes_compose(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    df = spark.range(0, 48).selectExpr(
+        "id",
+        "timestamp_micros(CAST(id * 3600 * 1000000 AS LONG)) AS ts",
+    )
+    write_iceberg_commit(df, table, partition_by=["day(ts)"])
+    write_iceberg_commit(
+        spark.range(48, 72).selectExpr(
+            "id",
+            "timestamp_micros(CAST(id * 3600 * 1000000 AS LONG)) AS ts",
+        ),
+        table,
+        mode="append",
+    )
+    delete_iceberg(spark, table, "id % 2 = 1")
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(0, 72, 2))
+    pruned = read_iceberg(spark, table, partition_filter={"ts_day": 2})
+    assert sorted(r.id for r in pruned.collect()) == list(range(48, 72, 2))
+
+
+def test_transform_validation(spark, table):
+    df = _df(spark, 0, 10)
+    with pytest.raises(ValueError, match="date/timestamp"):
+        write_iceberg_commit(df, table, partition_by=["day(id)"])
+    with pytest.raises(ValueError, match="int/long/string"):
+        write_iceberg_commit(df, table, partition_by=["bucket(4, v)"])
+    with pytest.raises(ValueError, match="not in schema"):
+        write_iceberg_commit(df, table, partition_by=["year(nope)"])
