@@ -1123,6 +1123,60 @@ def iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_transform_partition_prune",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS pruned_in_manifest
+FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+""",
+)
+def iceberg_transform_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPORAL partition transform pruning, driver-attested: events
+    commit through the jar-less Iceberg layer partitioned by
+    ``day(ts)`` — a spec TRANSFORM, not an identity column: the data
+    files keep the raw ``ts`` and land FLAT, while each manifest entry
+    records the file's epoch-day int. ``partition_filter`` on the
+    transform value (day 19737 = 2024-01-15) prunes files during the
+    manifest walk, and the aggregate over the pruned snapshot must
+    equal the date-filtered oracle; ``pruned_in_manifest`` asserts the
+    file list strictly shrank. This is how every time-partitioned fact
+    table at 100 TB turns a date predicate into an O(1-day) scan
+    without materializing a date column — the hidden-partitioning story
+    that distinguishes Iceberg from hive-style layouts."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_day_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "ts"
+        )
+        write_iceberg_commit(ev, path, partition_by=["day(ts)"])
+        full_files = len(read_iceberg(spark, path).inputFiles())
+        day = read_iceberg(
+            spark, path, partition_filter={"ts_day": 19737}
+        )
+        n_kept = len(day.inputFiles())
+        out = day.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).withColumn("pruned_in_manifest", F.lit(0 < n_kept < full_files))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_schema_evolution",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,

@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "iceberg_equality_deletes",
     "stream_delta_source_incremental",
     "iceberg_partition_prune",
+    "iceberg_transform_partition_prune",
     "iceberg_data_skipping",
     "iceberg_schema_evolution",
     # --- never sampled in rounds 1-4 ---
