@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     "iceberg_position_deletes",
     "iceberg_equality_deletes",
     "stream_delta_source_incremental",
+    "stream_iceberg_source_incremental",
     "iceberg_partition_prune",
     "iceberg_transform_partition_prune",
     "iceberg_data_skipping",

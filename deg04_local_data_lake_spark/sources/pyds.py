@@ -357,3 +357,171 @@ def make_delta_stream_source():
             return DeltaLogStreamReader(self.options)
 
     return DeltaLogStreamDataSource
+
+
+# --------------------------------------------- Iceberg log as a stream
+#
+# ``spark.readStream.format("deg04_iceberg_stream")`` over a jar-less
+# Iceberg table (sources/iceberg_tables.py): the incremental-append
+# streaming read the Iceberg Spark runtime exposes. Offsets ARE snapshot
+# SEQUENCE NUMBERS; each trigger advances by ``maxSnapshotsPerBatch``
+# (default 1 — one snapshot per microbatch) and ``partitions`` resolves
+# the new snapshots' ADDED data files from their manifest lists (the
+# manifests whose added_snapshot_id matches), one InputPartition per
+# file, read executor-side as Arrow batches. Replaying (seq_lo, seq_hi]
+# always yields the same files — checkpointed restarts are exactly-once.
+#
+# Non-append snapshots (overwrite / delete / compaction) fail the stream
+# unless ``skipNonAppendSnapshots=true`` skips them whole — re-emitting
+# rewritten rows is never acceptable for a streaming reader.
+#
+# Like the Delta twin above, the classes are factory-built so cloudpickle
+# serializes them BY VALUE into the python_streaming_source_runner
+# process; the Avro manifest codec it needs is registered for by-value
+# pickling too (``register_pickle_by_value`` on ``sources.avro_io`` —
+# stdlib-only module, safe to embed), because that runner cannot import
+# ``sc.addPyFile`` modules.
+
+
+def make_iceberg_stream_source():
+    """Build the ``deg04_iceberg_stream`` DataSource class (see module
+    comment for why this is a factory). Register with
+    ``spark.dataSource.register(make_iceberg_stream_source())``."""
+    import json as _json
+    import os as _os
+
+    from pyspark import cloudpickle as _cloudpickle
+    from pyspark.sql.datasource import (
+        DataSource as _DataSource,
+        DataSourceStreamReader as _StreamReader,
+        InputPartition as _InputPartition,
+    )
+
+    from deg04_local_data_lake_spark.sources import avro_io as _avro_io
+
+    _cloudpickle.register_pickle_by_value(_avro_io)
+    read_container = _avro_io.read_container
+
+    def _load_meta(table):
+        with open(
+            _os.path.join(table, "metadata", "version-hint.text")
+        ) as f:
+            v = int(f.read().strip())
+        with open(
+            _os.path.join(table, "metadata", f"v{v}.metadata.json")
+        ) as f:
+            return _json.load(f)
+
+    class IcebergSnapshotFilePartition(_InputPartition):
+        def __init__(self, path):
+            self.path = path
+
+    class IcebergLogStreamReader(_StreamReader):
+        def __init__(self, options):
+            self.table = options["path"]
+            self.per_batch = int(options.get("maxsnapshotsperbatch", 1))
+            self.skip_non_append = (
+                str(options.get("skipnonappendsnapshots", "false")).lower()
+                == "true"
+            )
+            self._cursor = -1
+
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def latestOffset(self):
+            latest = _load_meta(self.table)["last-sequence-number"]
+            if self._cursor < 0:
+                self._cursor = 0
+            self._cursor = max(
+                self._cursor, min(self._cursor + self.per_batch, latest)
+            )
+            return {"seq": self._cursor}
+
+        def partitions(self, start, end):
+            meta = _load_meta(self.table)
+            snaps = {s["sequence-number"]: s for s in meta["snapshots"]}
+            parts = []
+            for seq in range(start["seq"] + 1, end["seq"] + 1):
+                s = snaps.get(seq)
+                if s is None:
+                    continue  # expired snapshot: nothing to read
+                if s["summary"]["operation"] != "append":
+                    if not self.skip_non_append:
+                        raise RuntimeError(
+                            f"snapshot seq {seq} of {self.table} is "
+                            f"'{s['summary']['operation']}', not append; "
+                            "set skipNonAppendSnapshots=true to stream "
+                            "past it"
+                        )
+                    continue  # skipped whole
+                _s, manifests = read_container(s["manifest-list"])
+                for m in manifests:
+                    if m["added_snapshot_id"] != s["snapshot-id"]:
+                        continue  # carried forward from older snapshots
+                    if m["content"] != 0:
+                        continue  # delete manifest
+                    _es, entries = read_container(m["manifest_path"])
+                    for e in entries:
+                        if (
+                            e["status"] == 1
+                            and e["data_file"]["content"] == 0
+                        ):
+                            parts.append(
+                                IcebergSnapshotFilePartition(
+                                    e["data_file"]["file_path"]
+                                )
+                            )
+            return parts
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            yield from pq.ParquetFile(partition.path).iter_batches()
+
+        def commit(self, end):
+            pass
+
+        def stop(self):
+            pass
+
+    class IcebergLogStreamDataSource(_DataSource):
+        @classmethod
+        def name(cls):
+            return "deg04_iceberg_stream"
+
+        def schema(self):
+            # DDL string, NOT a parsed StructType: this runs in the
+            # planner process, which has no SparkContext to parse with
+            meta = _load_meta(self.options["path"])
+            sch = [
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta.get("current-schema-id", 0)
+            ][0]
+            m = {
+                "long": "BIGINT",
+                "int": "INT",
+                "double": "DOUBLE",
+                "float": "FLOAT",
+                "string": "STRING",
+                "boolean": "BOOLEAN",
+                "date": "DATE",
+                "timestamptz": "TIMESTAMP",
+                "timestamp": "TIMESTAMP_NTZ",
+                "binary": "BINARY",
+            }
+            return ", ".join(
+                f"`{f['name']}` "
+                + (
+                    f["type"].upper()
+                    if f["type"].startswith("decimal")
+                    else m[f["type"]]
+                )
+                for f in sch["fields"]
+            )
+
+        def streamReader(self, schema):
+            return IcebergLogStreamReader(self.options)
+
+    return IcebergLogStreamDataSource

@@ -902,3 +902,87 @@ def stream_delta_source_incremental(
         return spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "stream_iceberg_source_incremental",
+    oracle="""
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, event_type
+FROM events
+""",
+)
+def stream_iceberg_source_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """readStream FROM the jar-less Iceberg table, driver-attested:
+    events commit as FOUR append snapshots plus one row-level DELETE
+    (a non-append snapshot), and ``format("deg04_iceberg_stream")`` —
+    the Python Data Source streaming reader over the snapshot log
+    (``sources/pyds.py``) — drains it with SEQUENCE NUMBERS as offsets,
+    one snapshot per microbatch, one InputPartition per added data
+    file, Arrow batches executor-side. With
+    ``skipNonAppendSnapshots=true`` the delete snapshot is skipped
+    WHOLE (a streaming reader never re-emits or half-applies rewritten
+    state), so the sink must equal exactly the four appends — the
+    original events table — and the drain must take ≥4 non-empty
+    microbatches (asserted in-query). This is the Iceberg runtime's
+    incremental-append streaming read rebuilt offline: exactly-once via
+    sequence offsets, per-trigger cost O(new snapshots) of Avro
+    metadata plus a file-partitioned scan of exactly the new files."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        write_iceberg_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_iceberg_stream_source,
+    )
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"stream_ice_src_{_STREAM_SEQ}"
+    path = tempfile.mkdtemp(prefix="deg04_ice_src_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            "event_type",
+        )
+        for quarter in range(4):
+            write_iceberg_commit(
+                ev.filter(F.col("event_id") % 4 == quarter), path,
+                mode="append",
+            )
+        # a non-append snapshot the stream must skip, not re-emit
+        delete_iceberg(spark, path, "event_type = 'click'")
+        try:
+            spark.dataSource.register(make_iceberg_stream_source())
+        except Exception:
+            pass  # already registered in this session
+        sdf = (
+            spark.readStream.format("deg04_iceberg_stream")
+            .option("path", path)
+            .option("maxSnapshotsPerBatch", 1)
+            .option("skipNonAppendSnapshots", "true")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(
+                [p for p in q.recentProgress if p["numInputRows"] > 0]
+            )
+        finally:
+            q.stop()
+        assert n_batches >= 4, f"expected >=4 microbatches, got {n_batches}"
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

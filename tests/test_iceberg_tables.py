@@ -661,3 +661,83 @@ def test_transform_validation(spark, table):
         write_iceberg_commit(df, table, partition_by=["bucket(4, v)"])
     with pytest.raises(ValueError, match="not in schema"):
         write_iceberg_commit(df, table, partition_by=["year(nope)"])
+
+
+# --------------------------------------------- streaming source
+
+
+def _start_ice_stream(spark, table, name, **opts):
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_iceberg_stream_source,
+    )
+
+    try:
+        spark.dataSource.register(make_iceberg_stream_source())
+    except Exception:
+        pass
+    r = spark.readStream.format("deg04_iceberg_stream").option(
+        "path", table
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return (
+        r.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_iceberg_stream_one_batch_per_snapshot(spark, table):
+    write_iceberg_commit(_df(spark, 0, 30), table)
+    write_iceberg_commit(_df(spark, 30, 60), table)
+    write_iceberg_commit(_df(spark, 60, 90), table)
+    q = _start_ice_stream(spark, table, "ice_batches")
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # a snapshot committed while the stream runs is picked up
+        write_iceberg_commit(_df(spark, 90, 95), table)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) == 3
+    got = sorted(r.id for r in spark.table("ice_batches").collect())
+    assert got == list(range(95))
+
+
+def test_iceberg_stream_fails_on_non_append(spark, table):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 20), table)
+    delete_iceberg(spark, table, "id < 5")
+    q = _start_ice_stream(spark, table, "ice_fail")
+    try:
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_iceberg_stream_skips_non_append(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 20), table)
+    delete_iceberg(spark, table, "id < 5")
+    write_iceberg_commit(_df(spark, 20, 30), table)
+    q = _start_ice_stream(
+        spark, table, "ice_skip", skipNonAppendSnapshots="true"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # delete snapshot skipped whole: every appended row, original values
+    got = sorted(r.id for r in spark.table("ice_skip").collect())
+    assert got == list(range(30))
