@@ -712,6 +712,88 @@ def delta_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_check_constraints",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       TRUE AS bad_append_rejected,
+       TRUE AS bad_update_rejected,
+       TRUE AS constraint_survives_overwrite
+FROM events WHERE value >= 0.0
+""",
+)
+def delta_log_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints as table properties, driver-attested: the
+    non-negative-value half of events commits as version 0,
+    ``add_delta_constraint('value_nonneg', 'value >= 0.0')`` records
+    the predicate in the table configuration (after validating the
+    existing rows — a constraint the data already breaks must not
+    commit), and from then on EVERY writer is bound: an append of
+    negated rows and a DV UPDATE driving values negative must both fail
+    loudly and commit nothing, while the constraint survives an
+    overwrite (properties are table state, not content). The final
+    aggregate must equal the oracle over the valid rows, proving the
+    rejected writes left no trace. At 100 TB the enforcement probe is a
+    pushed-down negated predicate with ``limit(1)`` — the all-pass case
+    costs one short-circuit scan, a violation stops at the first bad
+    row."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_constraint,
+        read_delta_log,
+        update_delta,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_chk_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        good = ev.filter(F.col("value") >= 0.0)
+        write_delta_commit(good.filter(F.col("event_id") % 2 == 0), path)
+        add_delta_constraint(spark, path, "value_nonneg", "value >= 0.0")
+        bad_append = False
+        try:
+            write_delta_commit(
+                good.limit(10).withColumn("value", F.lit(-1.0)), path
+            )
+        except ValueError:
+            bad_append = True
+        bad_update = False
+        try:
+            update_delta(
+                spark, path, "event_id % 1000 = 0", {"value": "-value - 1.0"}
+            )
+        except ValueError:
+            bad_update = True
+        # overwrite with the FULL valid set: constraint must carry over
+        write_delta_commit(good, path, mode="overwrite")
+        survives = False
+        try:
+            write_delta_commit(
+                good.limit(5).withColumn("value", F.lit(-2.0)), path
+            )
+        except ValueError:
+            survives = True
+        out = (
+            read_delta_log(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+            .withColumn("bad_append_rejected", F.lit(bad_append))
+            .withColumn("bad_update_rejected", F.lit(bad_update))
+            .withColumn("constraint_survives_overwrite", F.lit(survives))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_column_mapping",
     oracle="""
 SELECT c_custkey, c_name,

@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "delta_log_deletion_vectors",
     "delta_log_update",
     "delta_log_column_mapping",
+    "delta_log_check_constraints",
     "delta_log_restore",
     "iceberg_position_deletes",
     "iceberg_equality_deletes",

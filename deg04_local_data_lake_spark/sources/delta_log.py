@@ -270,6 +270,112 @@ def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     )
 
 
+# ------------------------------------------------- CHECK constraints
+#
+# The protocol stores table constraints as configuration entries
+# ``delta.constraints.<name> = <SQL expression>``; every writer must
+# reject data that violates any of them (writer feature
+# ``checkConstraints``). ADD CONSTRAINT first validates the EXISTING
+# rows — a constraint that the current table already breaks must not
+# commit.
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _table_constraints(meta: dict) -> dict[str, str]:
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, what: str) -> None:
+    """Raise if any row of ``df`` violates a table constraint. One
+    filtered existence probe per constraint — each is a scan with the
+    NEGATED predicate pushed down and ``limit(1)``, so the common
+    all-rows-pass case reads until the first batch proves nothing
+    matched; a violation short-circuits on first hit."""
+    from pyspark.sql import functions as F
+
+    for name, expr in sorted(_table_constraints(meta).items()):
+        bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by {what}"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>): validates
+    the CURRENT snapshot against ``expr`` (a constraint the existing
+    data already breaks must not commit — the delta-spark rule), then
+    records it in the table configuration as a metadata-only commit.
+    Every subsequent write — append, overwrite, MERGE, UPDATE — rejects
+    violating rows loudly. Returns the committed version."""
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    if name in _table_constraints(meta):
+        raise ValueError(f"constraint {name!r} already exists")
+    from pyspark.sql import functions as F
+
+    existing = read_delta_log(spark, table, version)
+    bad = existing.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"cannot add constraint {name!r}: existing rows violate ({expr})"
+        )
+    new_meta = dict(meta)
+    config = dict(meta.get("configuration") or {})
+    config[_CONSTRAINT_PREFIX + name] = expr
+    new_meta["configuration"] = config
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+    ]
+    new_version = version + 1
+    _write_commit_file(table, new_version, actions)
+    return new_version
+
+
+def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing
+    the configuration entry. Returns the committed version."""
+    del spark
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    key = _CONSTRAINT_PREFIX + name
+    if key not in (meta.get("configuration") or {}):
+        raise ValueError(f"no such constraint {name!r}")
+    new_meta = dict(meta)
+    config = dict(meta["configuration"])
+    del config[key]
+    new_meta["configuration"] = config
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+            }
+        },
+    ]
+    new_version = version + 1
+    _write_commit_file(table, new_version, actions)
+    return new_version
+
+
 def rename_delta_column(
     spark: SparkSession, table: str, renames: dict[str, str]
 ) -> int:
@@ -806,6 +912,7 @@ def update_delta(
         # to the existing type (a bare literal like `-1.0` would
         # otherwise silently drift the column to decimal)
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+    _enforce_constraints(updated, meta, "UPDATE")
     mapping = _column_mapping(meta)
     if mapping:
         updated = _to_physical(updated, mapping)
@@ -992,8 +1099,15 @@ def write_delta_commit(
     if version > 0:
         _pl0, prev_meta0 = _replay(table, version - 1)
     mapping0 = _column_mapping(prev_meta0) if prev_meta0 else None
+    if prev_meta0 is not None:
+        # CHECK constraints bind every writer, whatever the mode
+        _enforce_constraints(df, prev_meta0, f"{mode} write")
     schema_string = df.schema.json()
-    configuration: dict = {}
+    # an overwrite rewrites content, not table properties: constraints,
+    # column-mapping state, and any other configuration carry forward
+    configuration: dict = dict(
+        (prev_meta0 or {}).get("configuration") or {}
+    )
     stage_df = df
     if mapping0:
         configuration = dict(prev_meta0.get("configuration") or {})

@@ -818,3 +818,65 @@ def test_checkpoint_persists_protocol(spark, table):
     assert proto["minReaderVersion"] == 3
     assert "deletionVectors" in proto["readerFeatures"]
     assert read_delta_log(spark, table).count() == 49
+
+
+# ---------------------------------------------------- CHECK constraints
+
+
+def test_constraint_rejects_bad_writes(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_constraint,
+        drop_delta_constraint,
+        update_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 50), table)
+    v = add_delta_constraint(spark, table, "v_nonneg", "v >= 0")
+    assert v == 1
+    # good append passes; bad append fails LOUDLY and commits nothing
+    write_delta_commit(_df(spark, 50, 60), table)
+    bad = spark.range(0, 3).selectExpr("id", "CAST(-5 AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta_commit(bad, table)
+    assert read_delta_log(spark, table).count() == 60
+    # UPDATE is bound by the same constraint
+    with pytest.raises(ValueError, match="v_nonneg"):
+        update_delta(spark, table, "id < 5", {"v": "-1.0"})
+    # constraints survive an overwrite (table property, not content)
+    write_delta_commit(_df(spark, 0, 10), table, mode="overwrite")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta_commit(bad, table)
+    # dropped -> the same write is accepted
+    drop_delta_constraint(spark, table, "v_nonneg")
+    write_delta_commit(bad, table)
+    assert read_delta_log(spark, table).count() == 13
+
+
+def test_add_constraint_validates_existing_rows(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_constraint,
+    )
+
+    write_delta_commit(_df(spark, 0, 20), table)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_delta_constraint(spark, table, "small", "v < 10")
+    assert delta_versions(table) == [0]
+    add_delta_constraint(spark, table, "ok", "v >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_delta_constraint(spark, table, "ok", "v >= 0")
+
+
+def test_constraint_null_is_violation(spark, table):
+    # NULL predicate results are treated as violations (null-safe
+    # comparison to TRUE), the conservative direction for data quality
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_constraint,
+    )
+
+    write_delta_commit(_df(spark, 0, 5), table)
+    add_delta_constraint(spark, table, "v_known", "v >= 0")
+    nulls = spark.createDataFrame(
+        [(100, None)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="v_known"):
+        write_delta_commit(nulls, table)
