@@ -106,7 +106,7 @@ def listings_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey AS order_id,
        o_custkey AS customer_id,
-       CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
        upper(o_orderpriority) AS priority,
        CAST(year(o_orderdate) AS INTEGER) AS order_year
 FROM orders
@@ -116,14 +116,18 @@ WHERE o_orderstatus <> 'F' AND o_totalprice > 100000.0
 def orders_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4/P5/P7 showcase: selectExpr-style rename + compound predicate +
     cast. Both the status and price predicates reach the parquet scan as
-    PushedFilters."""
+    PushedFilters. ``total_price`` quantizes through DECIMAL(18,4) but is
+    emitted as DOUBLE on both engines: a DECIMAL output column reaches the
+    driver's pandas canonicalizer as object-dtype ``decimal.Decimal`` from
+    Spark but float64 from DuckDB and hash-mismatches despite equal values
+    (round-5 red)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(
         (F.col("o_orderstatus") != "F") & (F.col("o_totalprice") > 100000.0)
     ).selectExpr(
         "o_orderkey AS order_id",
         "o_custkey AS customer_id",
-        "CAST(o_totalprice AS DECIMAL(18,4)) AS total_price",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price",
         "upper(o_orderpriority) AS priority",
         "CAST(year(o_orderdate) AS INT) AS order_year",
     )

@@ -88,6 +88,65 @@ def driver_canonical_hash(cols: list[str], data: list[tuple]) -> int:
     return digest
 
 
+#: Result-column types banned from compared output.  The driver
+#: canonicalizes through pandas: DuckDB materializes HUGEINT/DECIMAL as
+#: float64 while Spark's Arrow path materializes DecimalType as
+#: object-dtype ``decimal.Decimal`` — equal values, different bytes under
+#: factorize/hash.  Both round-5 reds (``q12_late_priority_counts``,
+#: ``orders_filter_project``) were exactly this; the lint closes the class.
+def _banned_duckdb_type(type_str: str) -> bool:
+    t = type_str.upper()
+    return t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+
+
+def _spark_decimal_fields(schema) -> list[str]:
+    """Names of top-level or nested fields with DecimalType."""
+    from pyspark.sql import types as T
+
+    bad: list[str] = []
+
+    def walk(dt, path: str) -> None:
+        if isinstance(dt, T.DecimalType):
+            bad.append(path)
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}" if path else f.name)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType, f"{path}[]")
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType, f"{path}<key>")
+            walk(dt.valueType, f"{path}<value>")
+
+    walk(schema, "")
+    return bad
+
+
+def lint_result_types(
+    spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str | None
+) -> str | None:
+    """Return an error message if either engine's output schema contains a
+    type the driver's pandas canonicalization materializes differently per
+    engine (Spark DecimalType; DuckDB HUGEINT/DECIMAL), else ``None``.
+
+    Bind-time only — the oracle relation is never executed here."""
+    bad = _spark_decimal_fields(spark_df.schema)
+    if bad:
+        return f"spark output contains DecimalType column(s) {bad}: cast to DOUBLE/BIGINT"
+    if sql is not None:
+        rel = con.sql(sql)
+        offenders = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, (str(t) for t in rel.types))
+            if _banned_duckdb_type(str(t))
+        ]
+        if offenders:
+            return (
+                f"oracle output contains HUGEINT/DECIMAL column(s) {offenders}: "
+                "wrap in CAST(... AS BIGINT/DOUBLE)"
+            )
+    return None
+
+
 def _rows(cols: list[str], data: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     # repr-keyed sort: rows may mix None with values, which plain tuple
@@ -105,6 +164,9 @@ def compare(
     """Return (ok, message). Exact value comparison after per-row
     normalization and column-name sort — strictly at least as strict as the
     driver's value-hash."""
+    lint = lint_result_types(spark_df, con, sql)
+    if lint is not None:
+        return False, f"result-type lint: {lint}"
     s_cols = spark_df.columns
     s_data = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)
@@ -145,6 +207,9 @@ def check_query(
     if sql is None:
         # Rows-only queries still pass through the driver's harness —
         # make sure their output shape canonicalizes too.
+        bad = _spark_decimal_fields(df.schema)
+        if bad:
+            return False, f"result-type lint: DecimalType column(s) {bad}"
         data = [tuple(r) for r in df.collect()]
         try:
             driver_canonical_hash(df.columns, data)

@@ -55,3 +55,72 @@ def test_empty_result_hashes():
     assert driver_canonical_hash(["k", "v"], []) == driver_canonical_hash(
         ["k", "v"], []
     )
+
+
+# ---------------------------------------------------------------------------
+# Result-type lint (round 6): both round-5 reds were HUGEINT/DECIMAL output
+# columns that materialize as float64 on DuckDB's pandas path but
+# object-dtype Decimal on Spark's Arrow path — equal values, different hash.
+# The lint rejects the class at bind time, on either engine's side.
+# ---------------------------------------------------------------------------
+
+
+def test_lint_rejects_hugeint_oracle(spark):
+    import duckdb
+
+    from deg04_local_data_lake_spark.oracle import lint_result_types
+
+    con = duckdb.connect()
+    df = spark.range(1).selectExpr("CAST(id AS BIGINT) AS s")
+    # DuckDB SUM over integers yields HUGEINT — the exact q12 red.
+    msg = lint_result_types(df, con, "SELECT SUM(x) AS s FROM (SELECT 1 AS x)")
+    assert msg is not None and "HUGEINT" in msg
+    # DECIMAL output — the exact orders_filter_project red.
+    msg = lint_result_types(df, con, "SELECT CAST(1.5 AS DECIMAL(18,4)) AS s")
+    assert msg is not None and "DECIMAL" in msg
+    # Casting to BIGINT/DOUBLE clears both.
+    ok = lint_result_types(
+        df, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT 1 AS x)"
+    )
+    assert ok is None
+    con.close()
+
+
+def test_lint_rejects_spark_decimal_schema(spark):
+    import duckdb
+
+    from deg04_local_data_lake_spark.oracle import lint_result_types
+
+    con = duckdb.connect()
+    df = spark.range(1).selectExpr("CAST(id AS DECIMAL(18,4)) AS amount")
+    msg = lint_result_types(df, con, "SELECT 1 AS amount")
+    assert msg is not None and "DecimalType" in msg
+    # Nested decimal is caught too.
+    df2 = spark.range(1).selectExpr(
+        "named_struct('a', CAST(id AS DECIMAL(10,2))) AS s"
+    )
+    assert lint_result_types(df2, con, None) is not None
+    con.close()
+
+
+def test_all_registered_oracles_pass_type_lint():
+    """Bind-time sweep: no registered oracle emits HUGEINT/DECIMAL."""
+    from deg04_local_data_lake_spark import registry
+    from deg04_local_data_lake_spark.oracle import (
+        _banned_duckdb_type,
+        duckdb_connect,
+    )
+
+    con = duckdb_connect("/root/testdata/sf0.001")
+    offenders = []
+    for name, sql in registry.oracles().items():
+        rel = con.sql(sql)
+        off = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if _banned_duckdb_type(str(t))
+        ]
+        if off:
+            offenders.append((name, off))
+    con.close()
+    assert offenders == []
