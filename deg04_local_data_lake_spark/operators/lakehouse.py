@@ -971,6 +971,116 @@ def delta_log_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_dv_spec_framing",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS saw_inline_dv,
+       TRUE AS saw_file_dv,
+       TRUE AS spec_framing_ok
+FROM events
+WHERE NOT (event_type = 'click' AND value < 45.0)
+  AND event_id NOT IN (
+    SELECT event_id FROM events WHERE event_type = 'view'
+    ORDER BY event_id LIMIT 3
+  )
+""",
+)
+def delta_log_dv_spec_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector SERIALIZATION parity with the public Delta
+    protocol (round-6 ADVICE): inline DVs are Z85 text (the ZeroMQ
+    alphabet Delta's Base85Codec uses, not Python's RFC1924 b85) of a
+    64-bit RoaringBitmapArray portable stream (magic 1681511377), and
+    on-disk DVs live in ``deletion_vector_<uuid>.bin`` files addressed
+    by ``pathOrInlineDv = <prefix><z85(uuid)>`` — what a jarful
+    delta-spark reader resolving the descriptor expects.
+
+    The query makes both storage modes appear on one table — a bulk
+    DELETE over a partitioned write yields > 512-byte bitmaps (``u``
+    descriptors), a 3-row DELETE yields a tiny inline ``i`` descriptor —
+    then re-decodes every descriptor with an independent strict parser
+    (magic check, z85 alphabet check, UUID file-name round-trip) before
+    returning the surviving rows' aggregate for the oracle to match."""
+    import os
+    import shutil
+    import struct
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources import roaring
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _dv_rel_path,
+        _replay,
+        _z85_decode,
+        delete_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_dvspec_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        write_delta_commit(ev, path, partition_by=["event_type"])
+        delete_delta(spark, path, "event_type = 'click' AND value < 45.0")
+        tiny = [
+            r[0]
+            for r in ev.filter(F.col("event_type") == "view")
+            .select("event_id")
+            .orderBy("event_id")
+            .limit(3)
+            .collect()
+        ]
+        v = delete_delta(
+            spark, path, F.col("event_id").isin(tiny)
+        )
+        live, _meta = _replay(path, v)
+        saw_inline = saw_file = False
+        framing_ok = True
+        for add in live.values():
+            desc = add.get("deletionVector")
+            if not desc:
+                continue
+            if desc["storageType"] == "i":
+                saw_inline = True
+                enc = desc["pathOrInlineDv"]
+                # strict re-decode: z85 alphabet + array magic
+                data = _z85_decode(enc, desc["sizeInBytes"])
+                magic, = struct.unpack_from("<i", data, 0)
+                framing_ok &= magic == roaring.RBM_ARRAY_MAGIC
+                framing_ok &= (
+                    len(roaring.deserialize_array(data))
+                    == desc["cardinality"]
+                )
+            elif desc["storageType"] == "u":
+                saw_file = True
+                rel = _dv_rel_path(desc)
+                base = os.path.basename(rel)
+                framing_ok &= base.startswith(
+                    "deletion_vector_"
+                ) and base.endswith(".bin")
+                framing_ok &= os.path.exists(os.path.join(path, rel))
+                with open(os.path.join(path, rel), "rb") as f:
+                    raw = f.read()
+                framing_ok &= raw[0] == 1  # format version byte
+                magic, = struct.unpack_from("<i", raw, 5)
+                framing_ok &= magic == roaring.RBM_ARRAY_MAGIC
+        out = (
+            read_delta_log(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn("saw_inline_dv", F.lit(saw_inline))
+            .withColumn("saw_file_dv", F.lit(saw_file))
+            .withColumn("spec_framing_ok", F.lit(framing_ok))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_partition_prune",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

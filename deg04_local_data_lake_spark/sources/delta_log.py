@@ -558,18 +558,18 @@ def read_delta_log(
 # ---------------------------------------------------- deletion vectors
 #
 # The protocol's row-level deletes without file rewrites: an ``add``
-# action may carry a ``deletionVector`` descriptor whose payload is a
-# Roaring bitmap of the file's deleted row indexes
-# (``sources/roaring.py`` — the portable 32-bit serialization; row
-# indexes within one parquet file fit in 32 bits, so the spec's 64-bit
-# RoaringBitmapArray wrapper collapses to its single low bucket, stated
-# here as the documented subset). Storage follows the spec's two modes:
-# ``i`` inlines small bitmaps into the action (base85 text), ``u``
-# stores ``[version byte 1][size int32 BE][bitmap][crc32 int32 BE]`` in
-# a table-relative file (the spec derives the file name from a
-# z85-encoded UUID; we store the relative path directly in
-# ``pathOrInlineDv`` — same resolution semantics on the single-writer
-# tables this layer targets).
+# action may carry a ``deletionVector`` descriptor whose payload is the
+# spec's 64-bit RoaringBitmapArray of the file's deleted row indexes in
+# the "portable" framing (``sources/roaring.py:serialize_array`` —
+# magic 1681511377 | bitmap count | per-bitmap key + standard 32-bit
+# portable stream). Storage follows the spec's two modes:
+# ``i`` inlines small bitmaps into the action as Z85 text (the ZeroMQ
+# base-85 alphabet the Delta codec uses — NOT Python's RFC1924 b85);
+# ``u`` stores ``[format version byte 1][size int32 BE][bitmap]
+# [crc32 int32 BE]`` in a file named ``deletion_vector_<uuid>.bin``,
+# with ``pathOrInlineDv = <prefix><z85(uuid bytes)>`` — the last 20
+# chars decode to the 16-byte UUID and everything before them is the
+# directory prefix, exactly how a jarful delta-spark reader resolves it.
 
 _DV_DIR = "deletion_vectors"
 _DV_INLINE_MAX = 512
@@ -577,42 +577,87 @@ _DV_INLINE_MAX = 512
 _DV_FILE_COL = "__dv_file"
 _DV_POS_COL = "__dv_pos"
 
+# ZeroMQ Z85 alphabet (public spec 32/Z85) — the Delta Base85Codec one.
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def _z85_encode(data: bytes) -> str:
+    """Z85-encode ``data``, zero-padding to a 4-byte multiple (the codec
+    contract: the decoder truncates back using the descriptor's
+    ``sizeInBytes``)."""
+    data = data + b"\x00" * ((-len(data)) % 4)
+    out: list[str] = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i: i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(s: str, length: int | None = None) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"z85 text length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i: i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out[:length]) if length is not None else bytes(out)
+
+
+def _dv_rel_path(desc: dict) -> str:
+    """Table-relative file path of an on-disk (``u``) deletion vector:
+    ``pathOrInlineDv``'s last 20 chars are the z85 UUID, the rest is the
+    directory prefix."""
+    enc = desc["pathOrInlineDv"]
+    prefix, z85uuid = enc[:-20], enc[-20:]
+    u = uuid.UUID(bytes=_z85_decode(z85uuid, 16))
+    name = f"deletion_vector_{u}.bin"
+    return f"{prefix}/{name}" if prefix else name
+
 
 def _dv_store(table: str, bitmap: bytes, cardinality: int) -> dict:
-    import base64
     import struct
     import zlib
 
     if len(bitmap) <= _DV_INLINE_MAX:
         return {
             "storageType": "i",
-            "pathOrInlineDv": base64.b85encode(bitmap).decode("ascii"),
+            "pathOrInlineDv": _z85_encode(bitmap),
             "sizeInBytes": len(bitmap),
             "cardinality": cardinality,
         }
+    u = uuid.uuid4()
+    desc = {
+        "storageType": "u",
+        "pathOrInlineDv": _DV_DIR + _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(bitmap),
+        "cardinality": cardinality,
+    }
     os.makedirs(os.path.join(table, _DV_DIR), exist_ok=True)
-    rel = f"{_DV_DIR}/deletion_vector_{uuid.uuid4().hex}.bin"
     payload = (
         b"\x01"
         + struct.pack(">i", len(bitmap))
         + bitmap
         + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
     )
-    with open(os.path.join(table, rel), "wb") as f:
+    with open(os.path.join(table, _dv_rel_path(desc)), "wb") as f:
         f.write(payload)
-    return {
-        "storageType": "u",
-        "pathOrInlineDv": rel,
-        "offset": 1,
-        "sizeInBytes": len(bitmap),
-        "cardinality": cardinality,
-    }
+    return desc
 
 
 def _dv_load(table: str, desc: dict):
-    """Decode one deletionVector descriptor → sorted uint32 numpy array
+    """Decode one deletionVector descriptor → sorted uint64 numpy array
     of deleted row indexes (checksum-verified for on-disk storage)."""
-    import base64
     import struct
     import zlib
 
@@ -620,11 +665,14 @@ def _dv_load(table: str, desc: dict):
 
     st = desc.get("storageType")
     if st == "i":
-        data = base64.b85decode(desc["pathOrInlineDv"])
+        data = _z85_decode(
+            desc["pathOrInlineDv"], desc.get("sizeInBytes")
+        )
     elif st in ("u", "p"):
-        p = desc["pathOrInlineDv"]
         if st == "u":
-            p = os.path.join(table, p)
+            p = os.path.join(table, _dv_rel_path(desc))
+        else:
+            p = desc["pathOrInlineDv"]
         with open(p, "rb") as f:
             raw = f.read()
         off = desc.get("offset") or 1
@@ -640,7 +688,7 @@ def _dv_load(table: str, desc: dict):
             raise ValueError(f"deletion vector checksum mismatch in {p}")
     else:
         raise ValueError(f"unknown deletionVector storageType {st!r}")
-    return roaring.deserialize(data)
+    return roaring.deserialize_array(data)
 
 
 def _tag_scan(scan: DataFrame) -> DataFrame:
@@ -868,7 +916,7 @@ def _dv_delete_actions(
         }
         new_add["dataChange"] = True
         new_add["deletionVector"] = _dv_store(
-            table, roaring.serialize(new_arr), card
+            table, roaring.serialize_array(new_arr), card
         )
         actions.append({"add": new_add})
     return actions, n_removed_rows
@@ -1517,7 +1565,7 @@ def vacuum_delta(table: str) -> list[str]:
             if dv and dv.get("storageType") == "u":
                 # a live snapshot's deletion vector is part of that
                 # snapshot — reclaiming it would corrupt time travel
-                referenced.add(dv["pathOrInlineDv"])
+                referenced.add(_dv_rel_path(dv))
     doomed = []
     for root, _dirs, files in os.walk(table):
         if _LOG_DIR in os.path.relpath(root, table).split(os.sep):

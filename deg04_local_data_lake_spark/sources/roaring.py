@@ -70,9 +70,11 @@ def serialize(values) -> bytes:
     return head + desc + offs + b"".join(containers)
 
 
-def deserialize(data: bytes) -> np.ndarray:
-    """Decode a portable Roaring stream into a sorted uint32 array."""
-    cookie, = struct.unpack_from("<i", data, 0)
+def deserialize(data: bytes, base: int = 0) -> np.ndarray:
+    """Decode a portable Roaring stream (starting at byte ``base``) into a
+    sorted uint32 array. Container byte offsets inside the stream are
+    relative to the stream's own start, per the portable spec."""
+    cookie, = struct.unpack_from("<i", data, base)
     if cookie == _SERIAL_COOKIE_RUNCONTAINER or (cookie & 0xFFFF) == _SERIAL_COOKIE_RUNCONTAINER:
         raise ValueError(
             "roaring stream uses run containers; this codec writes and "
@@ -80,14 +82,14 @@ def deserialize(data: bytes) -> np.ndarray:
         )
     if cookie != SERIAL_COOKIE_NO_RUNCONTAINER:
         raise ValueError(f"not a portable roaring stream (cookie {cookie})")
-    n, = struct.unpack_from("<i", data, 4)
-    desc = np.frombuffer(data, dtype="<u2", count=2 * n, offset=8)
+    n, = struct.unpack_from("<i", data, base + 4)
+    desc = np.frombuffer(data, dtype="<u2", count=2 * n, offset=base + 8)
     keys = desc[0::2].astype(np.uint32)
     cards = desc[1::2].astype(np.int64) + 1
-    offs = np.frombuffer(data, dtype="<u4", count=n, offset=8 + 4 * n)
+    offs = np.frombuffer(data, dtype="<u4", count=n, offset=base + 8 + 4 * n)
     out = []
     for i in range(n):
-        off = int(offs[i])
+        off = base + int(offs[i])
         card = int(cards[i])
         if card <= _ARRAY_MAX:
             lows = np.frombuffer(
@@ -105,4 +107,70 @@ def deserialize(data: bytes) -> np.ndarray:
         out.append((keys[i] << 16) | lows)
     if not out:
         return np.empty(0, dtype=np.uint32)
+    return np.concatenate(out)
+
+
+def _stream_length(data: bytes, base: int) -> int:
+    """Byte length of the portable Roaring stream starting at ``base``
+    (streams are self-describing: last container offset + its size)."""
+    n, = struct.unpack_from("<i", data, base + 4)
+    if n == 0:
+        return 8
+    desc = np.frombuffer(data, dtype="<u2", count=2 * n, offset=base + 8)
+    cards = desc[1::2].astype(np.int64) + 1
+    offs = np.frombuffer(data, dtype="<u4", count=n, offset=base + 8 + 4 * n)
+    last_card = int(cards[-1])
+    last_size = 2 * last_card if last_card <= _ARRAY_MAX else 8192
+    return int(offs[-1]) + last_size
+
+
+# ---------------------------------------------------------------------------
+# 64-bit RoaringBitmapArray framing — the exact serialization the public
+# Delta protocol names for deletion vectors ("portable" format): a magic
+# number, the count of 32-bit sub-bitmaps, then per sub-bitmap its high-32
+# key followed by the standard 32-bit portable stream above. Everything
+# little-endian.
+# ---------------------------------------------------------------------------
+
+RBM_ARRAY_MAGIC = 1681511377
+
+
+def serialize_array(values) -> bytes:
+    """Serialize 64-bit values into the RoaringBitmapArray portable
+    framing: ``magic i32 | number of bitmaps i64 | (key u32 | 32-bit
+    portable stream)*``, keys ascending."""
+    arr = np.unique(np.asarray(
+        values if isinstance(values, np.ndarray) else list(values),
+        dtype=np.uint64,
+    ))
+    keys = (arr >> np.uint64(32)).astype(np.uint32)
+    lows = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    uniq_keys, starts = np.unique(keys, return_index=True)
+    bounds = list(starts) + [len(arr)]
+    parts = [struct.pack("<iq", RBM_ARRAY_MAGIC, len(uniq_keys))]
+    for i, k in enumerate(uniq_keys):
+        parts.append(struct.pack("<I", int(k)))
+        parts.append(serialize(lows[bounds[i]: bounds[i + 1]]))
+    return b"".join(parts)
+
+
+def deserialize_array(data: bytes, base: int = 0) -> np.ndarray:
+    """Decode a RoaringBitmapArray portable framing into a sorted uint64
+    array."""
+    magic, n = struct.unpack_from("<iq", data, base)
+    if magic != RBM_ARRAY_MAGIC:
+        raise ValueError(
+            f"not a RoaringBitmapArray stream (magic {magic}, "
+            f"expected {RBM_ARRAY_MAGIC})"
+        )
+    pos = base + 12
+    out = []
+    for _ in range(n):
+        key, = struct.unpack_from("<I", data, pos)
+        pos += 4
+        lows = deserialize(data, pos).astype(np.uint64)
+        pos += _stream_length(data, pos)
+        out.append((np.uint64(key) << np.uint64(32)) | lows)
+    if not out:
+        return np.empty(0, dtype=np.uint64)
     return np.concatenate(out)

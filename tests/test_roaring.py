@@ -82,3 +82,74 @@ def test_round_trip_matches_set_model(values):
 def test_contiguous_runs_round_trip(start):
     vals = np.arange(start, start + 66000, dtype=np.uint32)
     assert np.array_equal(deserialize(serialize(vals)), vals)
+
+
+# ---------------------------------------------------------------------------
+# RoaringBitmapArray framing + Z85 (Delta deletion-vector serialization)
+# ---------------------------------------------------------------------------
+
+
+def test_array_framing_round_trip():
+    from deg04_local_data_lake_spark.sources.roaring import (
+        RBM_ARRAY_MAGIC,
+        deserialize_array,
+        serialize_array,
+    )
+    import struct
+
+    vals = [0, 5, 70000, 2**32 + 3, 2**40]
+    data = serialize_array(vals)
+    magic, n = struct.unpack_from("<iq", data, 0)
+    assert magic == RBM_ARRAY_MAGIC
+    assert n == 3  # high-32 keys 0, 1, 256
+    assert deserialize_array(data).tolist() == sorted(vals)
+
+
+def test_array_framing_empty_and_offset():
+    from deg04_local_data_lake_spark.sources.roaring import (
+        deserialize_array,
+        serialize_array,
+    )
+
+    assert deserialize_array(serialize_array([])).tolist() == []
+    data = b"xyz" + serialize_array([7, 9])
+    assert deserialize_array(data, 3).tolist() == [7, 9]
+
+
+def test_z85_spec_vector():
+    """The public ZeroMQ 32/Z85 spec's reference vector — proves the
+    alphabet is Z85, not Python's RFC1924 b85."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _z85_decode,
+        _z85_encode,
+    )
+
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert _z85_encode(raw) == "HelloWorld"
+    assert _z85_decode("HelloWorld") == raw
+
+
+def test_z85_padding_round_trip():
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _z85_decode,
+        _z85_encode,
+    )
+
+    for n in range(1, 10):
+        raw = bytes(range(n))
+        assert _z85_decode(_z85_encode(raw), n) == raw
+
+
+def test_dv_rel_path_uuid_round_trip():
+    import uuid as _uuid
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _dv_rel_path,
+        _z85_encode,
+    )
+
+    u = _uuid.UUID("12345678-1234-5678-1234-567812345678")
+    desc = {"pathOrInlineDv": "ab" + _z85_encode(u.bytes)}
+    assert _dv_rel_path(desc) == f"ab/deletion_vector_{u}.bin"
+    desc = {"pathOrInlineDv": _z85_encode(u.bytes)}
+    assert _dv_rel_path(desc) == f"deletion_vector_{u}.bin"
