@@ -267,11 +267,59 @@ def make_delta_stream_source():
         with open(p) as f:
             return [_json.loads(line) for line in f if line.strip()]
 
+    def _physical_to_logical(table):
+        """physical→logical column renames from the LATEST ``metaData``
+        action (empty when the table has no column mapping). Streaming a
+        column-mapped table must bind parquet's PHYSICAL names back to
+        the declared logical schema or the Arrow batches misbind
+        (round-6 ADVICE). Latest, not per-version: the stream declares
+        the latest logical schema, and physical names are stable across
+        renames, so the latest mapping binds files from EVERY version —
+        including those written before column mapping was activated,
+        whose stored names became the physical names at activation."""
+        meta = None
+        for v in range(_latest_version(table) + 1):
+            try:
+                for a in _read_commit(table, v):
+                    if "metaData" in a:
+                        meta = a["metaData"]
+            except FileNotFoundError:
+                continue
+        if meta is None:
+            return {}
+        if (
+            meta.get("configuration", {}).get("delta.columnMapping.mode")
+            != "name"
+        ):
+            return {}
+        rename = {}
+        for f in _json.loads(meta["schemaString"])["fields"]:
+            phys = f.get("metadata", {}).get(
+                "delta.columnMapping.physicalName"
+            )
+            if phys and phys != f["name"]:
+                rename[phys] = f["name"]
+        return rename
+
     class DeltaCommitFilePartition(_InputPartition):
-        def __init__(self, path):
+        def __init__(self, path, rename=None):
             self.path = path
+            self.rename = rename or {}
 
     class DeltaLogStreamReader(_StreamReader):
+        # Restart safety (round-6 ADVICE): a reader restarted from a
+        # checkpoint at offset N is reconstructed with a fresh cursor, and
+        # the Python streaming API's no-argument latestOffset() gives it
+        # no way to learn N before the first trigger — so the first
+        # latestOffset() after a fully-committed restart can REGRESS below
+        # N, and once Spark records that regressed end offset the next
+        # batch's (start, end] range would replay versions already
+        # emitted. ``_floor`` tracks the highest version seen in ANY
+        # engine-supplied offset (partitions start/end, commit end): the
+        # cursor clamps to it, and partitions() never reads at or below
+        # it when the engine-supplied start has regressed past it. Replays
+        # of a genuinely-uncommitted batch still work — there the
+        # engine-supplied start IS the floor, so the range is untouched.
         def __init__(self, options):
             self.table = options["path"]
             self.per_batch = int(options.get("maxversionsperbatch", 1))
@@ -281,20 +329,30 @@ def make_delta_stream_source():
             )
             self.start_version = int(options.get("startingversion", 0))
             self._cursor = self.start_version - 1
+            self._floor = self.start_version - 1
 
         def initialOffset(self):
             return {"version": self.start_version - 1}
 
         def latestOffset(self):
             latest = _latest_version(self.table)
+            self._cursor = max(self._cursor, self._floor)
             self._cursor = max(
                 self._cursor, min(self._cursor + self.per_batch, latest)
             )
             return {"version": self._cursor}
 
+        def commit(self, end):
+            self._floor = max(self._floor, end["version"])
+            self._cursor = max(self._cursor, self._floor)
+
         def partitions(self, start, end):
+            lo = max(start["version"], self._floor)
+            self._floor = max(self._floor, start["version"], end["version"])
+            self._cursor = max(self._cursor, self._floor)
+            rename = _physical_to_logical(self.table)
             parts = []
-            for v in range(start["version"] + 1, end["version"] + 1):
+            for v in range(lo + 1, end["version"] + 1):
                 actions = _read_commit(self.table, v)
                 adds = [
                     a["add"]
@@ -316,7 +374,8 @@ def make_delta_stream_source():
                 for add in adds:
                     parts.append(
                         DeltaCommitFilePartition(
-                            _os.path.join(self.table, add["path"])
+                            _os.path.join(self.table, add["path"]),
+                            rename,
                         )
                     )
             return parts
@@ -324,10 +383,15 @@ def make_delta_stream_source():
         def read(self, partition):
             import pyarrow.parquet as pq
 
-            yield from pq.ParquetFile(partition.path).iter_batches()
-
-        def commit(self, end):
-            pass
+            for batch in pq.ParquetFile(partition.path).iter_batches():
+                if partition.rename:
+                    batch = batch.rename_columns(
+                        [
+                            partition.rename.get(c, c)
+                            for c in batch.schema.names
+                        ]
+                    )
+                yield batch
 
         def stop(self):
             pass
@@ -417,6 +481,11 @@ def make_iceberg_stream_source():
             self.path = path
 
     class IcebergLogStreamReader(_StreamReader):
+        # Same restart-safety scheme as DeltaLogStreamReader (round-6
+        # ADVICE): ``_floor`` tracks the highest sequence number seen in
+        # any engine-supplied offset so a checkpoint-restarted reader's
+        # fresh cursor can never regress committed progress into
+        # duplicate replays.
         def __init__(self, options):
             self.table = options["path"]
             self.per_batch = int(options.get("maxsnapshotsperbatch", 1))
@@ -424,25 +493,32 @@ def make_iceberg_stream_source():
                 str(options.get("skipnonappendsnapshots", "false")).lower()
                 == "true"
             )
-            self._cursor = -1
+            self._cursor = 0
+            self._floor = 0
 
         def initialOffset(self):
             return {"seq": 0}
 
         def latestOffset(self):
             latest = _load_meta(self.table)["last-sequence-number"]
-            if self._cursor < 0:
-                self._cursor = 0
+            self._cursor = max(self._cursor, self._floor)
             self._cursor = max(
                 self._cursor, min(self._cursor + self.per_batch, latest)
             )
             return {"seq": self._cursor}
 
+        def commit(self, end):
+            self._floor = max(self._floor, end["seq"])
+            self._cursor = max(self._cursor, self._floor)
+
         def partitions(self, start, end):
+            lo = max(start["seq"], self._floor)
+            self._floor = max(self._floor, start["seq"], end["seq"])
+            self._cursor = max(self._cursor, self._floor)
             meta = _load_meta(self.table)
             snaps = {s["sequence-number"]: s for s in meta["snapshots"]}
             parts = []
-            for seq in range(start["seq"] + 1, end["seq"] + 1):
+            for seq in range(lo + 1, end["seq"] + 1):
                 s = snaps.get(seq)
                 if s is None:
                     continue  # expired snapshot: nothing to read
@@ -478,9 +554,6 @@ def make_iceberg_stream_source():
             import pyarrow.parquet as pq
 
             yield from pq.ParquetFile(partition.path).iter_batches()
-
-        def commit(self, end):
-            pass
 
         def stop(self):
             pass

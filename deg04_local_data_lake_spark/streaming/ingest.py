@@ -905,6 +905,89 @@ def stream_delta_source_incremental(
 
 
 @register(
+    "stream_delta_source_restart",
+    oracle="""
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, event_type
+FROM events
+""",
+)
+def stream_delta_source_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpointed RESTART of the jar-less Delta streaming source is
+    exactly-once, driver-attested: two append commits drain into a
+    parquet sink with a checkpoint, the query STOPS, two more commits
+    land, and a brand-new query on the SAME checkpoint + sink resumes.
+    The freshly-constructed reader knows nothing of the checkpoint —
+    the Python streaming API's no-arg ``latestOffset()`` would let its
+    cursor regress below the committed version and replay commits 0-1
+    as duplicates (round-6 ADVICE); the reader's offset floor
+    (``sources/pyds.py``) clamps engine-supplied offsets so the resumed
+    stream emits ONLY commits 2-3. The sink must therefore equal the
+    whole events table with every row exactly once — the oracle is the
+    plain table, so any duplicate replay fails the row-count check."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        write_delta_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="deg04_delta_restart_ckpt_")
+    sink = tempfile.mkdtemp(prefix="deg04_delta_restart_sink_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            "event_type",
+        )
+        try:
+            spark.dataSource.register(make_delta_stream_source())
+        except Exception:
+            pass  # already registered in this session
+
+        def drain_once() -> None:
+            sdf = (
+                spark.readStream.format("deg04_delta_stream")
+                .option("path", path)
+                .option("maxVersionsPerBatch", 1)
+                .load()
+            )
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        for quarter in range(2):
+            write_delta_commit(
+                ev.filter(F.col("event_id") % 4 == quarter), path
+            )
+        drain_once()
+        for quarter in range(2, 4):
+            write_delta_commit(
+                ev.filter(F.col("event_id") % 4 == quarter), path
+            )
+        drain_once()  # restart from the checkpoint: commits 2-3 only
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+@register(
     "stream_iceberg_source_incremental",
     oracle="""
 SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, event_type

@@ -880,3 +880,76 @@ def test_constraint_null_is_violation(spark, table):
     )
     with pytest.raises(ValueError, match="v_known"):
         write_delta_commit(nulls, table)
+
+
+def test_delta_stream_source_column_mapped_table(spark, table):
+    """Streaming a column-mapped table must bind parquet's PHYSICAL
+    column names back to the declared logical schema (round-6 ADVICE —
+    raw batches previously misbound after RENAME COLUMN)."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        rename_delta_column,
+    )
+
+    write_delta_commit(_df(spark, 0, 40), table)
+    rename_delta_column(spark, table, {"v": "price"})
+    write_delta_commit(
+        spark.range(40, 50).selectExpr(
+            "id", "CAST(id * 2 AS DOUBLE) AS price"
+        ),
+        table,
+    )
+    q = _start_stream(spark, table, "dls_colmap")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("dls_colmap")
+    assert out.columns == ["id", "price"]
+    rows = {r.id: r.price for r in out.collect()}
+    assert sorted(rows) == list(range(50))
+    assert rows[7] == 14.0 and rows[45] == 90.0
+
+
+def test_delta_stream_source_checkpoint_restart_no_duplicates(
+    spark, table, tmp_path
+):
+    """A fresh query resuming the SAME checkpoint must emit only the
+    commits made after the stop — never replay committed versions
+    (round-6 ADVICE: the reconstructed reader's cursor could regress
+    below the checkpointed offset and duplicate earlier commits)."""
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    try:
+        spark.dataSource.register(make_delta_stream_source())
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("deg04_delta_stream")
+            .option("path", table)
+            .option("maxVersionsPerBatch", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_delta_commit(_df(spark, 0, 20), table)
+    write_delta_commit(_df(spark, 20, 40), table)
+    drain()
+    write_delta_commit(_df(spark, 40, 60), table)
+    write_delta_commit(_df(spark, 60, 80), table)
+    drain()
+    got = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert got == list(range(80))  # each row exactly once
