@@ -83,69 +83,29 @@ def load_all() -> None:
 
 
 #: Queries pushed to the FRONT of ``queries()`` iteration order regardless
-#: of module import order.  Round 5: the driver samples the first 50
-#: registered queries each round, so the front of this list is (a) the
-#: queries NEW this round (per-snapshot-schema / partitioned / bounds-
-#: skipping Iceberg — attested the round they ship), then (b) the
-#: never-driver-sampled backlog (80 queries after four rounds of
-#: rotation; compare CORRECTNESS_r0*.json keys against the registry).
-#: The ~30 that miss this round's 50-query window lead round 6.
+#: of module import order.  The driver samples the first 50 registered
+#: queries each round.  Round 6 window = (a) the two round-5 reds, fixed
+#: this round, for re-attestation; (b) the queries NEW this round; (c) the
+#: 43 queries never driver-sampled across rounds 1-5 (diff of
+#: CORRECTNESS_r0*.json keys vs the registry).  Exactly 50 — a full-window
+#: round would leave every registered query driver-attested at least once.
 PRIORITY: list[str] = [
-    # --- new in round 5 ---
-    "delta_log_deletion_vectors",
-    "delta_log_update",
-    "delta_log_column_mapping",
-    "delta_log_check_constraints",
-    "delta_log_restore",
-    "iceberg_position_deletes",
-    "iceberg_equality_deletes",
-    "stream_delta_source_incremental",
-    "stream_iceberg_source_incremental",
-    "iceberg_partition_prune",
-    "iceberg_transform_partition_prune",
-    "iceberg_data_skipping",
-    "iceberg_schema_evolution",
-    # --- never sampled in rounds 1-4 ---
-    "q2_cheapest_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_value_concentration",
+    # --- round-5 reds, fixed (dtype canonicalization), re-attest first ---
     "q12_late_priority_counts",
-    "q16_supplier_part_stats",
-    "q17_small_quantity_revenue",
-    "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "string_functions_parity",
-    "datetime_functions_parity",
-    "window_kitchen_sink",
-    "null_semantics_parity",
-    "collection_functions_parity",
-    "variant_props_extract",
-    "bitwise_functions_parity",
-    "not_in_null_semantics",
-    "range_interval_window",
-    "sql_parameterized_entry",
-    "sql_scripting_block",
-    "events_value_by_type_salted",
-    "events_tier_salted_join",
-    "cube_returnflag_status",
-    "zorder_locality_audit",
-    "compaction_roundtrip",
-    "restore_rollback_roundtrip",
-    "pyds_ticks_scan",
-    "observed_write_audit",
-    "listings_parse",
     "orders_filter_project",
-    "events_json_extract",
-    "sql_entry_top_nations",
-    "events_props_from_json",
-    "union_account_balances",
-    "recursive_tree_depth",
-    "listagg_top_customers",
-    "udtf_chunk_text",
+    # --- new in round 6 ---
+    "iceberg_spec_evolution",
+    "delta_log_generated_columns",
+    "delta_iceberg_interop",
+    "stream_delta_source_restart",
+    "delta_log_dv_spec_framing",
+    # --- never sampled in rounds 1-5 ---
     "silver_scd2_snapshot",
+    "scd2_temporal_join",
     "sample_token_budget",
     "pack_sequences",
+    "sample_stratified_fixed_k",
+    "sample_sqrt_temperature",
     "approx_distinct_calibration",
     "approx_quantile_calibration",
     "unpivot_event_matrix",
@@ -159,8 +119,6 @@ PRIORITY: list[str] = [
     "robust_outliers_mad",
     "value_percentiles_by_type",
     "cusum_changepoint",
-    "sample_stratified_fixed_k",
-    "sample_sqrt_temperature",
     "weighted_median_price",
     "fulfillment_lag_distribution",
     "winsorized_value_mean",
@@ -171,7 +129,6 @@ PRIORITY: list[str] = [
     "chi2_dow_event_mix",
     "dedup_containment",
     "dedup_prefix_jaccard",
-    "scd2_temporal_join",
     "local_clustering_topk",
     "langid_confusion",
     "text_char_diversity",

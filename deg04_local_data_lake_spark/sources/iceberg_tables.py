@@ -180,9 +180,18 @@ def _encode_bound(ice_type: str, v) -> bytes | None:
             return struct.pack("<i", int(v))
         if ice_type in ("timestamp", "timestamptz"):
             if isinstance(v, datetime.datetime):
-                epoch = datetime.datetime(
-                    1970, 1, 1, tzinfo=v.tzinfo
-                )
+                # tz-aware stats normalize to UTC before differencing so
+                # the stored bound is micros since the UTC epoch
+                # regardless of the statistic's own offset (round-6
+                # ADVICE: anchoring the epoch at v.tzinfo skews the
+                # bound by the UTC offset for non-UTC stats)
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc)
+                    epoch = datetime.datetime(
+                        1970, 1, 1, tzinfo=datetime.timezone.utc
+                    )
+                else:
+                    epoch = datetime.datetime(1970, 1, 1)
                 v = (v - epoch) // datetime.timedelta(microseconds=1)
             return struct.pack("<q", int(v))
         if ice_type == "string":
