@@ -1369,6 +1369,95 @@ def iceberg_transform_partition_prune(
 
 
 @register(
+    "iceberg_spec_evolution",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+           AS purchase_value,
+       CAST(COUNT(*) FILTER (WHERE CAST(ts AS DATE) = DATE '2024-01-20')
+            AS BIGINT) AS n_day,
+       TRUE AS old_era_pruned,
+       TRUE AS new_era_pruned
+FROM events
+""",
+)
+def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION end-to-end, driver-attested: the first
+    half of events (ts < 2024-01-16) commits identity-partitioned by
+    ``event_type`` (hive layout, values path-derived); the spec then
+    evolves to ``day(ts)`` — a METADATA-ONLY commit, no data rewritten
+    — and the second half appends flat under the new spec. The read
+    side resolves each manifest against ITS OWN spec: a
+    ``partition_filter`` on the old spec's ``event_type`` prunes
+    old-era files from the manifests while conservatively keeping every
+    new-era file (whose manifests don't record ``event_type``), and a
+    filter on the new spec's ``ts_day`` transform prunes new-era files
+    while keeping the old era whole. Both reads then apply the real
+    predicate, so each must equal the oracle over the raw table; the
+    two ``*_pruned`` flags assert the respective file lists strictly
+    shrank. This is the 100 TB re-partitioning story: moving a fact
+    table from category- to time-partitioning costs one JSON write, and
+    old data keeps pruning on the old key forever. Spec intent:
+    reference ``spark_session_factory.py:35-39`` (Iceberg catalog);
+    layout per the Apache Iceberg table spec's partition-spec-evolution
+    rules."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        evolve_iceberg_partition_spec,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_spec_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        split = "TIMESTAMP '2024-01-16 00:00:00'"
+        write_iceberg_commit(
+            ev.filter(F.expr(f"ts < {split}")),
+            path,
+            partition_by=["event_type"],
+        )
+        evolve_iceberg_partition_spec(path, ["day(ts)"])
+        write_iceberg_commit(
+            ev.filter(F.expr(f"ts >= {split}")), path, mode="append"
+        )
+        full_files = len(read_iceberg(spark, path).inputFiles())
+
+        by_type = read_iceberg(
+            spark, path, partition_filter={"event_type": "purchase"}
+        )
+        old_era_pruned = len(by_type.inputFiles()) < full_files
+        purchases = by_type.filter(F.col("event_type") == "purchase").agg(
+            F.count(F.lit(1)).alias("n_purchase"),
+            F.sum(dec("value")).cast("double").alias("purchase_value"),
+        )
+
+        day20 = 19742  # epoch days for 2024-01-20
+        by_day = read_iceberg(
+            spark, path, partition_filter={"ts_day": day20}
+        )
+        new_era_pruned = len(by_day.inputFiles()) < full_files
+        day_rows = by_day.filter(
+            F.expr("CAST(ts AS DATE) = DATE '2024-01-20'")
+        ).agg(F.count(F.lit(1)).alias("n_day"))
+
+        out = (
+            purchases.crossJoin(F.broadcast(day_rows))
+            .withColumn("old_era_pruned", F.lit(old_era_pruned))
+            .withColumn("new_era_pruned", F.lit(new_era_pruned))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_schema_evolution",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,

@@ -33,13 +33,16 @@ implements that contract with the from-scratch Avro codec
   library.
 - :func:`iceberg_history` — the snapshot log.
 
-Deliberate subset: identity partition transforms only (bucket/truncate/
-temporal transforms are out), the partition spec is fixed at table
-creation, partition values must be non-null, and the table is
-single-writer (no optimistic-concurrency version race loop — the Delta
-side demonstrates put-if-absent commits, ``sources/delta_log.py``). On
-a jarful cluster the same tables are what the Iceberg runtime itself
-manages.
+Partition-spec EVOLUTION is supported (:func:`evolve_iceberg_partition_spec`):
+the metadata keeps the spec history in ``partition-specs[]``, each
+manifest records the ``partition_spec_id`` it was written under, and
+the reader resolves every manifest's spec independently — so a table
+can start identity-partitioned and move to ``day(ts)`` without
+rewriting old data, exactly the spec's model. Deliberate subset:
+partition values must be non-null and the table is single-writer (no
+optimistic-concurrency version race loop — the Delta side demonstrates
+put-if-absent commits, ``sources/delta_log.py``). On a jarful cluster
+the same tables are what the Iceberg runtime itself manages.
 """
 
 from __future__ import annotations
@@ -493,12 +496,30 @@ def _load_metadata(table: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _spec_part_fields(meta: dict) -> list[dict]:
-    """The table's partition-spec fields, joined to the CURRENT schema
-    and resolved through their transforms: [{name, transform, param,
-    source_name, ice_type(source), avro_type, parse_kind,
-    field-id(partition), source-id}]."""
-    spec = meta["partition-specs"][0]
+def _default_spec(meta: dict) -> dict:
+    """The spec new writes go through — ``default-spec-id`` (older
+    metadata written before spec evolution landed carries one spec)."""
+    want = meta.get("default-spec-id", 0)
+    for s in meta["partition-specs"]:
+        if s["spec-id"] == want:
+            return s
+    return meta["partition-specs"][0]
+
+
+def _spec_by_id(meta: dict, spec_id: int) -> dict:
+    for s in meta["partition-specs"]:
+        if s["spec-id"] == spec_id:
+            return s
+    return meta["partition-specs"][0]
+
+
+def _spec_part_fields(meta: dict, spec: dict | None = None) -> list[dict]:
+    """One partition-spec's fields (default: the table's default spec),
+    joined to the CURRENT schema and resolved through their transforms:
+    [{name, transform, param, source_name, ice_type(source), avro_type,
+    parse_kind, field-id(partition), source-id}]."""
+    if spec is None:
+        spec = _default_spec(meta)
     schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
     by_id = {f["id"]: f for f in schema["fields"]}
     out = []
@@ -534,6 +555,78 @@ def _spec_is_identity(spec: dict) -> bool:
     )
 
 
+def _spec_is_hive_layout(spec: dict) -> bool:
+    """Identity specs use hive-style ``data/col=val/`` directories with
+    the partition columns omitted from the files; transform specs (and
+    the unpartitioned spec) store files flat with all source columns."""
+    return bool(spec["fields"]) and _spec_is_identity(spec)
+
+
+def _build_spec_fields(
+    schema: dict,
+    partition_by: list[str],
+    next_field_id: int,
+    reuse_from: list[dict],
+) -> tuple[list[dict], int]:
+    """Validate ``partition_by`` terms against ``schema`` and build the
+    spec's field list. Partition field ids are unique ACROSS specs (the
+    spec's rule): a term identical to one in a prior spec (same
+    source-id, transform, name) keeps its old field-id; new terms
+    allocate from ``next_field_id``. Returns (fields, last_part_id)."""
+    by_name = {f["name"]: f for f in schema["fields"]}
+    schema_names = set(by_name)
+    reuse: dict[tuple, int] = {}
+    for s in reuse_from:
+        for pf in s["fields"]:
+            key = (pf["source-id"], pf.get("transform", "identity"), pf["name"])
+            reuse[key] = pf["field-id"]
+    spec_fields = []
+    last = next_field_id - 1
+    for term in partition_by:
+        tr, param, col, fname = _parse_partition_term(term)
+        src = by_name.get(col)
+        if src is None:
+            raise ValueError(f"partition column {col!r} not in schema")
+        if tr == "identity" and src["type"] not in _PART_AVRO:
+            raise ValueError(
+                f"identity partition on {src['type']} not supported "
+                f"(use int/long/string/date)"
+            )
+        if tr in ("year", "month", "day") and src["type"] not in (
+            "date", "timestamp", "timestamptz"
+        ):
+            raise ValueError(
+                f"{tr} transform needs a date/timestamp column, "
+                f"got {src['type']} for {col!r}"
+            )
+        if tr in ("truncate", "bucket") and src["type"] not in (
+            "int", "long", "string"
+        ):
+            raise ValueError(
+                f"{tr} transform supports int/long/string, "
+                f"got {src['type']} for {col!r}"
+            )
+        if tr != "identity" and fname in schema_names:
+            raise ValueError(
+                f"partition field name {fname!r} collides with a "
+                "table column"
+            )
+        tr_str = _transform_string(tr, param)
+        fid = reuse.get((src["id"], tr_str, fname))
+        if fid is None:
+            last += 1
+            fid = last
+        spec_fields.append(
+            {
+                "name": fname,
+                "transform": tr_str,
+                "source-id": src["id"],
+                "field-id": fid,
+            }
+        )
+    return spec_fields, last
+
+
 def _parse_part_value(parse_kind: str, raw: str):
     from urllib.parse import unquote
 
@@ -567,7 +660,9 @@ def write_iceberg_commit(
     metadata's schema history with a fresh ``schema-id`` and the
     snapshot pins it, so time travel resolves per-snapshot schemas.
 
-    ``partition_by`` (first commit only) declares identity partition
+    ``partition_by`` declares the partition spec on the first commit
+    (later commits may restate the CURRENT default spec, or change it
+    first via :func:`evolve_iceberg_partition_spec`). For identity
     transforms: data lands hive-style under ``data/col=val/``, each
     manifest entry records the file's partition values, and
     :func:`read_iceberg`'s ``partition_filter`` prunes files from the
@@ -625,72 +720,38 @@ def write_iceberg_commit(
         schemas = [schema]
         last_col_id = max(f["id"] for f in schema["fields"])
 
-    # ---- partition spec (fixed at table creation)
+    # ---- partition spec: new data always lands under the DEFAULT spec
+    # (spec evolution is a separate metadata-only commit —
+    # evolve_iceberg_partition_spec)
     if prev:
+        spec = _default_spec(prev)
+        specs = list(prev["partition-specs"])
         if partition_by is not None:
-            declared = [
-                pf["name"] for pf in prev["partition-specs"][0]["fields"]
-            ]
+            declared = [pf["name"] for pf in spec["fields"]]
             proposed_names = [
                 _parse_partition_term(t)[3] for t in partition_by
             ]
             if proposed_names != declared:
                 raise ValueError(
-                    f"partition spec is fixed at creation: table has "
-                    f"{declared}, got {proposed_names}"
+                    f"partition_by does not match the table's default "
+                    f"spec {declared} (got {proposed_names}); change it "
+                    "with evolve_iceberg_partition_spec first"
                 )
-        spec = prev["partition-specs"][0]
         last_part_id = prev.get("last-partition-id", 999)
     else:
-        by_name = {f["name"]: f for f in schema["fields"]}
-        schema_names = set(by_name)
-        spec_fields = []
-        for i, term in enumerate(partition_by or []):
-            tr, param, col, fname = _parse_partition_term(term)
-            src = by_name.get(col)
-            if src is None:
-                raise ValueError(f"partition column {col!r} not in schema")
-            if tr == "identity" and src["type"] not in _PART_AVRO:
-                raise ValueError(
-                    f"identity partition on {src['type']} not supported "
-                    f"(use int/long/string/date)"
-                )
-            if tr in ("year", "month", "day") and src["type"] not in (
-                "date", "timestamp", "timestamptz"
-            ):
-                raise ValueError(
-                    f"{tr} transform needs a date/timestamp column, "
-                    f"got {src['type']} for {col!r}"
-                )
-            if tr in ("truncate", "bucket") and src["type"] not in (
-                "int", "long", "string"
-            ):
-                raise ValueError(
-                    f"{tr} transform supports int/long/string, "
-                    f"got {src['type']} for {col!r}"
-                )
-            if tr != "identity" and fname in schema_names:
-                raise ValueError(
-                    f"partition field name {fname!r} collides with a "
-                    "table column"
-                )
-            spec_fields.append(
-                {
-                    "name": fname,
-                    "transform": _transform_string(tr, param),
-                    "source-id": src["id"],
-                    "field-id": 1000 + i,
-                }
-            )
+        spec_fields, last_part_id = _build_spec_fields(
+            schema, partition_by or [], 1000, []
+        )
         spec = {"spec-id": 0, "fields": spec_fields}
-        last_part_id = 999 + len(spec_fields)
+        specs = [spec]
 
     meta_for_spec = {
-        "partition-specs": [spec],
+        "partition-specs": specs,
+        "default-spec-id": spec["spec-id"],
         "schemas": schemas,
         "current-schema-id": schema["schema-id"],
     }
-    part_fields = _spec_part_fields(meta_for_spec)
+    part_fields = _spec_part_fields(meta_for_spec, spec)
     part_cols = [pf["name"] for pf in part_fields]
     identity_layout = all(pf["transform"] == "identity" for pf in part_fields)
 
@@ -793,7 +854,7 @@ def write_iceberg_commit(
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec["spec-id"],
         "content": 0,  # data manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -835,8 +896,8 @@ def write_iceberg_commit(
         "last-column-id": last_col_id,
         "current-schema-id": schema["schema-id"],
         "schemas": schemas,
-        "default-spec-id": 0,
-        "partition-specs": [spec],
+        "default-spec-id": spec["spec-id"],
+        "partition-specs": specs,
         "last-partition-id": last_part_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -856,6 +917,68 @@ def write_iceberg_commit(
         f.write(str(version))
     os.replace(tmp, _hint_path(table))  # the Hadoop-catalog atomic commit
     return snapshot_id
+
+
+def evolve_iceberg_partition_spec(
+    table: str, partition_by: list[str]
+) -> int:
+    """PARTITION SPEC EVOLUTION — the spec's ``partition-specs[]`` /
+    ``default-spec-id`` mechanism: publish a new spec (identity or
+    transform terms, same grammar as ``write_iceberg_commit``'s
+    ``partition_by``) as the table's default WITHOUT touching any data.
+    Existing data files stay under the spec they were written with
+    (each manifest records its ``partition_spec_id``); only future
+    commits land under the new spec. Returns the new ``spec-id``.
+
+    This is a metadata-only commit — O(kilobytes) regardless of table
+    size, which is the whole point at 100 TB: re-partitioning a
+    time-series table from ``identity(region)`` to ``day(ts)`` costs
+    one JSON write, not a table rewrite. The reader prunes each
+    manifest against ITS OWN spec, so a partition filter on the old
+    spec's column still prunes old files, a filter on the new spec's
+    transform prunes new files, and neither filter can wrongly drop a
+    file from the other era (pruning is per-manifest and conservative).
+    Partition field ids stay unique across specs: a term re-declared
+    identically keeps its old field-id, new terms allocate fresh ids
+    (the spec's cross-spec uniqueness rule)."""
+    meta = _load_metadata(table)
+    schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    spec_fields, last_part_id = _build_spec_fields(
+        schema,
+        partition_by,
+        meta.get("last-partition-id", 999) + 1,
+        meta["partition-specs"],
+    )
+    cur = _default_spec(meta)
+    if [
+        (f["name"], f.get("transform", "identity"), f["source-id"])
+        for f in spec_fields
+    ] == [
+        (f["name"], f.get("transform", "identity"), f["source-id"])
+        for f in cur["fields"]
+    ]:
+        return cur["spec-id"]  # no-op: already the default spec
+    new_spec = {
+        "spec-id": max(s["spec-id"] for s in meta["partition-specs"]) + 1,
+        "fields": spec_fields,
+    }
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = meta["partition-specs"] + [new_spec]
+    new_meta["default-spec-id"] = new_spec["spec-id"]
+    new_meta["last-partition-id"] = max(
+        meta.get("last-partition-id", 999), last_part_id
+    )
+    version = _current_version(table) + 1
+    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    tmp = _hint_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _hint_path(table))
+    return new_spec["spec-id"]
 
 
 def _snapshot(meta: dict, snapshot_id: int) -> dict:
@@ -1181,7 +1304,9 @@ def read_iceberg(
     snap = _snapshot(meta, snapshot_id)
     ice_schema = _schema_by_id(meta, snap.get("schema-id", 0))
     part_cols = {
-        pf["name"] for pf in meta["partition-specs"][0]["fields"]
+        pf["name"]
+        for s in meta["partition-specs"]
+        for pf in s["fields"]
     }
     if partition_filter:
         unknown = set(partition_filter) - part_cols
@@ -1199,12 +1324,22 @@ def read_iceberg(
                 raise ValueError(f"column_ranges on unknown column {col!r}")
             range_bounds.append((f["id"], f["type"], lo, hi))
     _s, manifests = read_container(snap["manifest-list"])
-    files: list[str] = []
+    # files grouped by the LAYOUT of the spec their manifest was
+    # written under: identity specs use hive directories (partition
+    # columns path-derived, basePath anchors discovery), transform and
+    # unpartitioned specs store files flat with all source columns
+    # in-file. A spec-evolved table mixes both; each group scans with
+    # its own reader and the groups union.
+    hive_files: list[str] = []
+    flat_files: list[str] = []
     seq_by_file: dict[str, int] = {}
     delete_files: list[str] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for m in manifests:
         mseq = m.get("sequence_number", 0)
+        hive = _spec_is_hive_layout(
+            _spec_by_id(meta, m.get("partition_spec_id", 0))
+        )
         _es, entries = read_container(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -1224,10 +1359,11 @@ def read_iceberg(
                 continue
             if _entry_skipped(e, partition_filter, range_bounds):
                 continue
-            files.append(d["file_path"])
+            (hive_files if hive else flat_files).append(d["file_path"])
             seq_by_file[os.path.basename(d["file_path"])] = fseq
     schema = _spark_schema(ice_schema)
-    if not files:
+    need_tags = keep_tags or bool(delete_files) or bool(eq_deletes)
+    if not hive_files and not flat_files:
         empty = spark.createDataFrame([], schema)
         if keep_tags:
             from pyspark.sql import functions as F
@@ -1236,15 +1372,21 @@ def read_iceberg(
                 "__ice_file", F.lit(None).cast("string")
             ).withColumn("__ice_pos", F.lit(None).cast("long"))
         return empty
-    reader = spark.read.schema(schema)
-    if part_cols and _spec_is_identity(meta["partition-specs"][0]):
-        # Identity specs use hive layout: partition columns come from
-        # the path; basePath anchors discovery at the data root.
-        # Transform specs store files flat (source columns in-file) and
-        # need no path-derived columns at all.
-        reader = reader.option("basePath", os.path.join(table, "data"))
-    scan = reader.parquet(*sorted(files))
-    if not delete_files and not eq_deletes and not keep_tags:
+    scans: list[DataFrame] = []
+    if hive_files:
+        s = (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(table, "data"))
+            .parquet(*sorted(hive_files))
+        )
+        scans.append(_tag_rows(s) if need_tags else s)
+    if flat_files:
+        s = spark.read.schema(schema).parquet(*sorted(flat_files))
+        scans.append(_tag_rows(s) if need_tags else s)
+    scan = scans[0]
+    for s in scans[1:]:
+        scan = scan.unionByName(s)
+    if not need_tags:
         return scan
     return _merge_on_read(
         spark, scan, delete_files, eq_deletes, seq_by_file, ice_schema,
@@ -1252,21 +1394,37 @@ def read_iceberg(
     )
 
 
+def _tag_rows(scan: DataFrame) -> DataFrame:
+    """Tag each row of a parquet file-source scan with its (file
+    basename, in-file position) via the hidden ``_metadata`` columns.
+    Must run on the file-source relation directly — ``_metadata`` does
+    not survive a union, so spec-evolved multi-layout reads tag each
+    layout group before unioning."""
+    from pyspark.sql import functions as F
+
+    return scan.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__ice_file"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+
+
 def _merge_on_read(
     spark: SparkSession,
-    scan: DataFrame,
+    tagged: DataFrame,
     delete_files: list[str],
     eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     seq_by_file: dict[str, int],
     ice_schema: dict,
     keep_tags: bool,
 ) -> DataFrame:
-    """Apply row-level deletes to ``scan``:
+    """Apply row-level deletes to the (already :func:`_tag_rows`-tagged)
+    scan:
 
-    - POSITION deletes: tag every row with its (file basename, in-file
-      position) via parquet ``_metadata`` columns and LEFT ANTI join
-      against the union of the delete parquet files on those
-      coordinates.
+    - POSITION deletes: LEFT ANTI join the tagged rows against the
+      union of the delete parquet files on (file basename, position).
     - EQUALITY deletes: anti-join on the key columns, guarded by the
       spec's sequence rule — a delete with sequence number s applies
       only to rows from data files with sequence < s, so rows
@@ -1279,13 +1437,6 @@ def _merge_on_read(
     small. Files named by no delete row pass through untouched."""
     from pyspark.sql import functions as F
 
-    tagged = scan.select(
-        "*",
-        F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
-        ).alias("__ice_file"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    )
     if delete_files:
         dels = spark.read.parquet(*sorted(delete_files)).select(
             F.element_at(

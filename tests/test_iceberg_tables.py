@@ -191,8 +191,8 @@ def test_partitioned_write_and_prune(spark, table):
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     with pytest.raises(ValueError, match="non-partition"):
         read_iceberg(spark, table, partition_filter={"v": 1.0})
-    # spec is fixed at creation
-    with pytest.raises(ValueError, match="fixed at creation"):
+    # a commit declaring a different spec must go through evolution
+    with pytest.raises(ValueError, match="evolve_iceberg_partition_spec"):
         write_iceberg_commit(df, table, partition_by=["v"])
 
 
@@ -741,3 +741,108 @@ def test_iceberg_stream_skips_non_append(spark, table):
     # delete snapshot skipped whole: every appended row, original values
     got = sorted(r.id for r in spark.table("ice_skip").collect())
     assert got == list(range(30))
+
+
+# ------------------------------------------------ partition spec evolution
+
+
+def test_partition_spec_evolution_identity_to_day(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        evolve_iceberg_partition_spec,
+    )
+
+    old = spark.range(0, 40).selectExpr(
+        "CAST(id % 4 AS INT) AS region",
+        "CAST(TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0) AS TIMESTAMP) AS ts",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    write_iceberg_commit(old, table, partition_by=["region"])
+    spec_id = evolve_iceberg_partition_spec(table, ["day(ts)"])
+    assert spec_id == 1
+    new = spark.range(100, 140).selectExpr(
+        "CAST(id % 4 AS INT) AS region",
+        "CAST(TIMESTAMP '2024-02-01 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0) AS TIMESTAMP) AS ts",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    write_iceberg_commit(new, table, mode="append")
+    # old files stay hive-partitioned; new files land flat under data/
+    assert os.path.isdir(os.path.join(table, "data", "region=0"))
+    full = read_iceberg(spark, table)
+    assert full.count() == 80
+    # filter on the OLD spec's identity column prunes only old-era files
+    old_pruned = read_iceberg(spark, table, partition_filter={"region": 2})
+    # new-era files are conservatively kept (their manifests don't
+    # record `region`), old-era files with region!=2 are dropped
+    assert old_pruned.filter("v < 100").count() == 10
+    assert old_pruned.filter("v >= 100").count() == 40
+    # filter on the NEW spec's transform prunes only new-era files
+    feb2 = (
+        (__import__("datetime").date(2024, 2, 2)
+         - __import__("datetime").date(1970, 1, 1)).days
+    )
+    new_pruned = read_iceberg(spark, table, partition_filter={"ts_day": feb2})
+    assert new_pruned.filter("v < 100").count() == 40  # old era kept whole
+    got = sorted(r.v for r in new_pruned.filter("v >= 100").collect())
+    assert got == sorted(
+        r.v for r in new.filter("CAST(ts AS DATE) = DATE '2024-02-02'").collect()
+    )
+    # metadata carries both specs; manifests reference theirs by id
+    import json as _json
+
+    meta_dir = os.path.join(table, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    doc = _json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
+    assert [s["spec-id"] for s in doc["partition-specs"]] == [0, 1]
+    assert doc["default-spec-id"] == 1
+    # partition field ids unique across specs
+    fids = [
+        pf["field-id"] for s in doc["partition-specs"] for pf in s["fields"]
+    ]
+    assert len(fids) == len(set(fids))
+
+
+def test_partition_spec_evolution_reuses_field_ids(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        evolve_iceberg_partition_spec,
+    )
+
+    df = spark.range(0, 20).selectExpr(
+        "CAST(id % 2 AS INT) AS a", "CAST(id % 5 AS INT) AS b", "id AS v"
+    )
+    write_iceberg_commit(df, table, partition_by=["a"])
+    evolve_iceberg_partition_spec(table, ["a", "b"])
+    meta_dir = os.path.join(table, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    doc = json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
+    s0, s1 = doc["partition-specs"]
+    # re-declared term `a` keeps field-id 1000; new term `b` gets 1001
+    assert s1["fields"][0]["field-id"] == s0["fields"][0]["field-id"] == 1000
+    assert s1["fields"][1]["field-id"] == 1001
+    # restating the current default is a no-op
+    assert evolve_iceberg_partition_spec(table, ["a", "b"]) == 1
+    hint2 = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    assert hint2 == hint
+
+
+def test_spec_evolution_merge_on_read_across_eras(spark, table):
+    """Row-level deletes must apply across a spec-evolved (mixed
+    hive/flat layout) table — the tagged scan unions both layout groups
+    before the anti-join."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        evolve_iceberg_partition_spec,
+    )
+
+    df1 = spark.range(0, 30).selectExpr("CAST(id % 3 AS INT) AS p", "id AS v")
+    write_iceberg_commit(df1, table, partition_by=["p"])
+    evolve_iceberg_partition_spec(table, ["bucket(4, v)"])
+    df2 = spark.range(100, 130).selectExpr(
+        "CAST(id % 3 AS INT) AS p", "id AS v"
+    )
+    write_iceberg_commit(df2, table, mode="append")
+    delete_iceberg(spark, table, "v % 10 = 0")  # hits both eras
+    got = sorted(r.v for r in read_iceberg(spark, table).collect())
+    want = sorted(
+        v for v in list(range(30)) + list(range(100, 130)) if v % 10 != 0
+    )
+    assert got == want
