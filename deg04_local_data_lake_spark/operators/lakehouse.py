@@ -794,6 +794,81 @@ def delta_log_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_generated_columns",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       TRUE AS materialized_on_create,
+       TRUE AS bad_supplied_rejected
+FROM events
+""",
+)
+def delta_log_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (protocol writer feature
+    ``generatedColumns``, ``delta.generationExpression`` field
+    metadata), driver-attested: the table is created with
+    ``event_day GENERATED ALWAYS AS (CAST(ts AS DATE))`` from a frame
+    that OMITS the column — the writer materializes it; an append that
+    omits it is filled the same way; an append that SUPPLIES values
+    disagreeing with the expression must fail loudly and commit
+    nothing. The aggregate groups on the MATERIALIZED column, so
+    ``n_days`` only matches the oracle's ``COUNT(DISTINCT CAST(ts AS
+    DATE))`` if every stored value equals the expression. This is the
+    standard 100 TB pattern for partition-prunable derived date
+    columns: declare once, every writer fills it, readers prune on a
+    plain physical column. Protocol surface per the public Delta
+    protocol spec; reference intent ``spark_session_factory.py:27-33``
+    (Delta writer configuration)."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_gen_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "ts"
+        )
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        write_delta_commit(
+            first,
+            path,
+            generated_columns={"event_day": "CAST(ts AS DATE)"},
+        )
+        materialized = "event_day" in read_delta_log(spark, path).columns
+        # append omitting the column: writer fills it
+        write_delta_commit(ev.filter(F.col("event_id") % 2 == 1), path)
+        # append supplying WRONG values: rejected, commits nothing
+        rejected = False
+        try:
+            write_delta_commit(
+                ev.limit(7).withColumn(
+                    "event_day", F.expr("DATE '1999-12-31'")
+                ),
+                path,
+            )
+        except ValueError:
+            rejected = True
+        out = (
+            read_delta_log(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_day").alias("n_days"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+            .withColumn("materialized_on_create", F.lit(materialized))
+            .withColumn("bad_supplied_rejected", F.lit(rejected))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_column_mapping",
     oracle="""
 SELECT c_custkey, c_name,
@@ -1078,6 +1153,87 @@ def delta_log_dv_spec_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "delta_iceberg_interop",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_iceberg,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+FROM orders WHERE o_orderkey % 7 <> 0
+""",
+)
+def delta_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT LOCKSTEP: the same orders data runs through BOTH
+    from-scratch table-format layers — a Delta log table (two commits,
+    then a deletion-vector DELETE) and an Iceberg v2 table (two
+    snapshots, then a position-delete DELETE) with the identical
+    predicate — and the two read paths must agree row for row: equal
+    counts, and an inner join on the key where EVERY non-key column
+    matches must cover the entire table. This locks the two protocol
+    implementations against each other (merge-on-read via broadcast
+    roaring bitmaps on the Delta side vs distributed (file,pos)
+    anti-join on the Iceberg side must produce the same relation), not
+    just each against DuckDB — a divergence in either delete path,
+    stats layer, or schema round-trip breaks ``n_matched``. The final
+    aggregate additionally ties both to the oracle over the raw
+    table."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    droot = tempfile.mkdtemp(prefix="deg04_interop_d_")
+    iroot = tempfile.mkdtemp(prefix="deg04_interop_i_")
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        first = src.filter(F.col("o_orderkey") % 3 != 0)
+        second = src.filter(F.col("o_orderkey") % 3 == 0)
+        write_delta_commit(first, droot)
+        write_delta_commit(second, droot)
+        write_iceberg_commit(first, iroot)
+        write_iceberg_commit(second, iroot, mode="append")
+        delete_delta(spark, droot, "o_orderkey % 7 = 0")
+        delete_iceberg(spark, iroot, "o_orderkey % 7 = 0")
+        d = read_delta_log(spark, droot)
+        i = read_iceberg(spark, iroot)
+        matched = d.alias("d").join(
+            i.alias("i"),
+            (F.col("d.o_orderkey") == F.col("i.o_orderkey"))
+            & (F.col("d.o_custkey") == F.col("i.o_custkey"))
+            & (F.col("d.o_totalprice") == F.col("i.o_totalprice"))
+            & (F.col("d.o_orderdate") == F.col("i.o_orderdate")),
+            "inner",
+        )
+        nd = d.agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        ni = i.agg(F.count(F.lit(1)).alias("n_iceberg"))
+        nm = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+        out = (
+            nd.crossJoin(F.broadcast(ni))
+            .crossJoin(F.broadcast(nm))
+            .select("n_delta", "n_iceberg", "n_matched", "total_price")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(droot, ignore_errors=True)
+        shutil.rmtree(iroot, ignore_errors=True)
 
 
 @register(

@@ -376,6 +376,73 @@ def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
     return new_version
 
 
+# ------------------------------------------------- generated columns
+#
+# The protocol stores a generated column's expression in its
+# schemaString field metadata under ``delta.generationExpression``
+# (writer feature ``generatedColumns``, minWriterVersion 4). The
+# WRITER owns the semantics: a write that omits the column gets it
+# materialized from the expression; a write that supplies it must
+# supply values equal to the expression or be rejected. Readers see a
+# plain physical column — generation costs nothing at read time, which
+# is why generated date-derivation columns are the standard way to get
+# partition-prunable day/month columns for free at 100 TB.
+
+_GEN_EXPR = "delta.generationExpression"
+
+
+def _generated_columns(meta: dict) -> dict[str, str]:
+    """column → generation expression, from the schemaString metadata."""
+    doc = json.loads(meta["schemaString"])
+    return {
+        f["name"]: (f.get("metadata") or {})[_GEN_EXPR]
+        for f in doc["fields"]
+        if _GEN_EXPR in (f.get("metadata") or {})
+    }
+
+
+def _apply_generated_columns(
+    df: DataFrame, gen_cols: dict[str, str], what: str
+) -> DataFrame:
+    """Materialize absent generated columns from their expressions;
+    validate supplied ones (one NEGATED-predicate existence probe per
+    column, same shape as CHECK enforcement — the all-rows-pass case
+    short-circuits on the first clean batch)."""
+    from pyspark.sql import functions as F
+
+    for col, expr in sorted(gen_cols.items()):
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = df.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).limit(1)
+            if bad.count() > 0:
+                raise ValueError(
+                    f"generated column {col!r} violated by {what}: "
+                    f"supplied values do not match ({expr})"
+                )
+    return df
+
+
+def _embed_generation_exprs(
+    schema_string: str, gen_cols: dict[str, str]
+) -> str:
+    doc = json.loads(schema_string)
+    have = {f["name"] for f in doc["fields"]}
+    missing = sorted(set(gen_cols) - have)
+    if missing:
+        raise ValueError(
+            f"generated columns not in the written schema: {missing}"
+        )
+    for f in doc["fields"]:
+        if f["name"] in gen_cols:
+            md = dict(f.get("metadata") or {})
+            md[_GEN_EXPR] = gen_cols[f["name"]]
+            f["metadata"] = md
+    return json.dumps(doc)
+
+
 def rename_delta_column(
     spark: SparkSession, table: str, renames: dict[str, str]
 ) -> int:
@@ -960,6 +1027,18 @@ def update_delta(
         # to the existing type (a bare literal like `-1.0` would
         # otherwise silently drift the column to decimal)
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+    gen = _generated_columns(meta)
+    if gen:
+        # a SET on a generated column's BASE recomputes it; a SET on
+        # the generated column itself must agree with its expression
+        for col, expr in sorted(gen.items()):
+            if col not in set_exprs:
+                updated = updated.withColumn(
+                    col, F.expr(expr).cast(types[col])
+                )
+        supplied = {c: e for c, e in gen.items() if c in set_exprs}
+        if supplied:
+            _apply_generated_columns(updated, supplied, "UPDATE")
     _enforce_constraints(updated, meta, "UPDATE")
     mapping = _column_mapping(meta)
     if mapping:
@@ -1120,6 +1199,7 @@ def write_delta_commit(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -1130,7 +1210,13 @@ def write_delta_commit(
     prune whole files from the LOG, before any filesystem listing.
     ``txn=(appId, version)`` records the protocol's idempotent-writer
     action; callers use :func:`last_txn_version` to skip replayed epochs
-    (exactly-once streaming sinks)."""
+    (exactly-once streaming sinks). ``generated_columns`` ({col: SQL
+    expr}) declares GENERATED ALWAYS AS columns on the commits that
+    write metaData (creation or overwrite): the expressions embed in the
+    schemaString field metadata (``delta.generationExpression``, writer
+    feature ``generatedColumns``), and EVERY subsequent write
+    materializes an omitted generated column from its expression or
+    validates a supplied one against it."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
@@ -1147,10 +1233,27 @@ def write_delta_commit(
     if version > 0:
         _pl0, prev_meta0 = _replay(table, version - 1)
     mapping0 = _column_mapping(prev_meta0) if prev_meta0 else None
+    # generated columns bind every writer: the table's declared set
+    # carries forward; a metaData-writing commit (creation/overwrite)
+    # may declare or replace it
+    gen_cols = _generated_columns(prev_meta0) if prev_meta0 else {}
+    if generated_columns is not None:
+        if version > 0 and mode == "append":
+            raise ValueError(
+                "generated columns are declared on the commits that "
+                "write metaData (creation or overwrite), not on append"
+            )
+        gen_cols = dict(generated_columns)
+    if gen_cols:
+        # materialize/validate BEFORE constraint checks — a CHECK may
+        # reference a generated column the writer is about to fill in
+        df = _apply_generated_columns(df, gen_cols, f"{mode} write")
     if prev_meta0 is not None:
         # CHECK constraints bind every writer, whatever the mode
         _enforce_constraints(df, prev_meta0, f"{mode} write")
     schema_string = df.schema.json()
+    if gen_cols and (version == 0 or mode == "overwrite"):
+        schema_string = _embed_generation_exprs(schema_string, gen_cols)
     # an overwrite rewrites content, not table properties: constraints,
     # column-mapping state, and any other configuration carry forward
     configuration: dict = dict(
@@ -1190,9 +1293,21 @@ def write_delta_commit(
     while True:
         actions: list[dict] = []
         if version == 0:
+            # generatedColumns is a writer feature: writer version 4
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 4 if gen_cols else 2,
+                    }
+                }
             )
+        elif generated_columns is not None and mode == "overwrite":
+            proto = _replay_protocol(table, version - 1)
+            if proto.get("minWriterVersion", 2) < 4:
+                proto = dict(proto)
+                proto["minWriterVersion"] = 4
+                actions.append({"protocol": proto})
         prev_live: dict[str, dict] = {}
         if version > 0:
             prev_live, _prev_meta = _replay(table, version - 1)

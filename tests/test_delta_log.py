@@ -953,3 +953,80 @@ def test_delta_stream_source_checkpoint_restart_no_duplicates(
     drain()
     got = sorted(r.id for r in spark.read.parquet(sink).collect())
     assert got == list(range(80))  # each row exactly once
+
+
+# ------------------------------------------------- generated columns
+
+
+def test_generated_column_materialized_and_validated(spark, table):
+    import json as _json
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _commit_file,
+    )
+
+    # creation declares the generated column; df omits it → materialized
+    write_delta_commit(
+        _df(spark, 0, 20),
+        table,
+        generated_columns={"v_half": "v / 2"},
+    )
+    got = read_delta_log(spark, table)
+    assert sorted(got.columns) == ["id", "v", "v_half"]
+    assert all(r.v_half == r.v / 2 for r in got.collect())
+    # the expression is in the schemaString metadata; protocol is writer 4
+    actions = [
+        _json.loads(line)
+        for line in open(_commit_file(table, 0))
+        if line.strip()
+    ]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    doc = _json.loads(meta["schemaString"])
+    gen_field = next(f for f in doc["fields"] if f["name"] == "v_half")
+    assert gen_field["metadata"]["delta.generationExpression"] == "v / 2"
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+
+    # append omitting the column materializes it too
+    write_delta_commit(_df(spark, 20, 30), table)
+    got = read_delta_log(spark, table)
+    assert got.count() == 30
+    assert all(r.v_half == r.v / 2 for r in got.collect())
+
+    # append supplying CORRECT values passes
+    ok = spark.range(30, 35).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CAST(id AS DOUBLE) AS v_half"
+    )
+    write_delta_commit(ok, table)
+    assert read_delta_log(spark, table).count() == 35
+
+    # append supplying WRONG values is rejected
+    bad = spark.range(35, 40).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CAST(0.0 AS DOUBLE) AS v_half"
+    )
+    with pytest.raises(ValueError, match="generated column 'v_half'"):
+        write_delta_commit(bad, table)
+    # declaring on append is an error
+    with pytest.raises(ValueError, match="creation or overwrite"):
+        write_delta_commit(
+            _df(spark, 40, 45), table, generated_columns={"x": "id"}
+        )
+
+
+def test_generated_column_survives_overwrite_and_update(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import update_delta
+
+    write_delta_commit(
+        _df(spark, 0, 10), table, generated_columns={"v_half": "v / 2"}
+    )
+    # plain overwrite carries the declaration forward and materializes
+    write_delta_commit(_df(spark, 0, 50), table, mode="overwrite")
+    got = read_delta_log(spark, table)
+    assert got.count() == 50 and all(
+        r.v_half == r.v / 2 for r in got.collect()
+    )
+    # UPDATE on the base column recomputes the generated one
+    update_delta(spark, table, "id < 5", {"v": "v + 100"})
+    got = {r.id: r for r in read_delta_log(spark, table).collect()}
+    assert got[2].v == 104.0 and got[2].v_half == 52.0
+    assert got[40].v == 80.0 and got[40].v_half == 40.0
