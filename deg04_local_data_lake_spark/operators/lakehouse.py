@@ -1679,6 +1679,77 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_refs_time_travel",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_tag,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+              FILTER (WHERE event_id % 2 = 0) AS DOUBLE) AS tag_total_value,
+       CAST(COUNT(*) FILTER (WHERE event_type <> 'click') AS BIGINT)
+         AS n_main,
+       TRUE AS tag_survived_expiry
+FROM events
+""",
+)
+def iceberg_refs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BRANCHES AND TAGS (v2 ``refs`` metadata map),
+    driver-attested end-to-end: half of events commits as snapshot 1
+    and is tagged ``curated_v1`` — the reproducible-training-run
+    anchor; the rest appends; a row-level DELETE rewrites main; then
+    ``expire_snapshots(keep_last=1)`` + orphan removal run. The tag
+    must (a) still read EXACTLY the curation-time state — untouched by
+    the later append and delete — and (b) SURVIVE the expiry that
+    removes every other old snapshot, because refs protect their
+    snapshots (the spec's retention contract). ``n_main`` reads the
+    implicit main branch through the same ref resolver. At 100 TB this
+    is how a data team pins the corpus a model trained on: tag once,
+    every reader forever resolves the same manifest list, retention
+    cannot eat it. Protocol surface per the public Iceberg v2 spec
+    (``refs``); reference intent ``spark_session_factory.py:35-39``
+    (Iceberg catalog)."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        delete_iceberg,
+        expire_iceberg_snapshots,
+        read_iceberg,
+        remove_orphan_iceberg_files,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_refs_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        s1 = write_iceberg_commit(ev.filter(F.col("event_id") % 2 == 0), path)
+        create_iceberg_ref(path, "curated_v1", kind="tag")
+        write_iceberg_commit(
+            ev.filter(F.col("event_id") % 2 == 1), path, mode="append"
+        )
+        delete_iceberg(spark, path, "event_type = 'click'")
+        expired = expire_iceberg_snapshots(path, keep_last=1)
+        remove_orphan_iceberg_files(path)
+        survived = s1 not in expired
+        tagged = read_iceberg(spark, path, ref="curated_v1")
+        main = read_iceberg(spark, path, ref="main")
+        t = tagged.agg(
+            F.count(F.lit(1)).alias("n_tag"),
+            F.sum(dec("value")).cast("double").alias("tag_total_value"),
+        )
+        m = main.agg(F.count(F.lit(1)).alias("n_main"))
+        out = (
+            t.crossJoin(F.broadcast(m))
+            .select("n_tag", "tag_total_value", "n_main")
+            .withColumn("tag_survived_expiry", F.lit(survived))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "event_transitions",
     oracle="""
 WITH nxt AS (

@@ -98,6 +98,8 @@ PRIORITY: list[str] = [
     "delta_log_generated_columns",
     "delta_iceberg_interop",
     "stream_delta_source_restart",
+    "stream_iceberg_source_restart",
+    "iceberg_refs_time_travel",
     "delta_log_dv_spec_framing",
     # --- never sampled in rounds 1-5 ---
     "silver_scd2_snapshot",

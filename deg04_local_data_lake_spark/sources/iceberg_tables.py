@@ -905,6 +905,9 @@ def write_iceberg_commit(
         "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
         "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
         + [{"snapshot-id": snapshot_id, "timestamp-ms": 0}],
+        # named refs survive every commit untouched; ``main`` is
+        # implicit (resolve_iceberg_ref → current-snapshot-id)
+        "refs": dict(prev.get("refs", {})) if prev else {},
         "metadata-log": [],
     }
     meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
@@ -1281,6 +1284,7 @@ def read_iceberg(
     partition_filter: dict[str, object] | None = None,
     column_ranges: dict[str, tuple] | None = None,
     keep_tags: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``) by
     resolving version-hint → metadata.json → manifest list (avro) →
@@ -1299,6 +1303,12 @@ def read_iceberg(
     Both mirror what the Iceberg library's ManifestEvaluator +
     InclusiveMetricsEvaluator do."""
     meta = _load_metadata(table)
+    if ref is not None:
+        # branch/tag read (``VERSION AS OF 'name'``): a ref names a
+        # snapshot; everything downstream is an ordinary snapshot read
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or ref, not both")
+        snapshot_id = resolve_iceberg_ref(meta, ref)
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = _snapshot(meta, snapshot_id)
@@ -1528,6 +1538,92 @@ def compact_iceberg(
     return write_iceberg_commit(df, table, mode="overwrite")
 
 
+def _publish_metadata(table: str, new_meta: dict) -> int:
+    """Publish ``new_meta`` as the next metadata version and flip the
+    version hint — the Hadoop-catalog atomic commit tail shared by every
+    metadata-only operation (refs, expiry). Returns the new version."""
+    version = _current_version(table) + 1
+    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    tmp = _hint_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _hint_path(table))
+    return version
+
+
+# ------------------------------------------------------- refs (v2 spec)
+#
+# Table metadata carries a ``refs`` map: name → {"snapshot-id",
+# "type": "tag"|"branch"}. ``main`` is the branch every commit
+# advances; other refs are named pointers into the snapshot history —
+# a TAG pins a snapshot (the reproducible-training-run read anchor: a
+# 100 TB corpus tagged at curation time reads identically forever,
+# whatever lands on main), a BRANCH is a movable pointer. Refs protect
+# their snapshots from expiry, exactly the spec's retention contract.
+
+
+def create_iceberg_ref(
+    table: str,
+    name: str,
+    kind: str = "tag",
+    snapshot_id: int | None = None,
+    replace: bool = False,
+) -> int:
+    """``ALTER TABLE … CREATE TAG/BRANCH name [AS OF VERSION n]``.
+    Points ``name`` at ``snapshot_id`` (default: the current snapshot)
+    and publishes a metadata-only commit. Tags and branches both refuse
+    to overwrite an existing ref unless ``replace`` (REPLACE TAG /
+    REPLACE BRANCH). Returns the pinned snapshot id."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref type must be tag|branch, got {kind!r}")
+    if name == "main":
+        raise ValueError("the main branch is managed by commits")
+    meta = _load_metadata(table)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    _snapshot(meta, snapshot_id)  # must exist — loud failure otherwise
+    refs = dict(meta.get("refs", {}))
+    if name in refs and not replace:
+        raise ValueError(f"ref {name!r} already exists (use replace=True)")
+    refs[name] = {"snapshot-id": snapshot_id, "type": kind}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    _publish_metadata(table, new_meta)
+    return snapshot_id
+
+
+def drop_iceberg_ref(table: str, name: str) -> None:
+    """``ALTER TABLE … DROP TAG/BRANCH name`` — the snapshots it
+    protected become expirable again."""
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    meta = _load_metadata(table)
+    refs = dict(meta.get("refs", {}))
+    if name not in refs:
+        raise ValueError(f"no such ref {name!r}")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    _publish_metadata(table, new_meta)
+
+
+def resolve_iceberg_ref(meta: dict, ref: str) -> int:
+    """Ref name → snapshot id (``main`` always resolves to the current
+    snapshot, per the spec's implicit-main rule)."""
+    if ref == "main":
+        return meta["current-snapshot-id"]
+    refs = meta.get("refs", {})
+    if ref not in refs:
+        raise ValueError(
+            f"no such ref {ref!r} (have {sorted(refs) + ['main']})"
+        )
+    return refs[ref]["snapshot-id"]
+
+
 def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:
     """``expire_snapshots``: drop all but the newest ``keep_last``
     snapshots from the table metadata (the current snapshot is always
@@ -1542,6 +1638,11 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:
     kept = snaps[-keep_last:]
     kept_ids = {s["snapshot-id"] for s in kept}
     kept_ids.add(meta["current-snapshot-id"])
+    # refs PROTECT their snapshots (the spec's retention contract): a
+    # tagged training-data snapshot outlives any keep_last window until
+    # the tag itself is dropped
+    for r in meta.get("refs", {}).values():
+        kept_ids.add(r["snapshot-id"])
     expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return []
@@ -1554,16 +1655,7 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:
         for e in meta.get("snapshot-log", [])
         if e["snapshot-id"] in kept_ids
     ]
-    version = _current_version(table) + 1
-    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=1)
-    os.replace(tmp, meta_path)
-    tmp = _hint_path(table) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _hint_path(table))
+    _publish_metadata(table, new_meta)
     return expired
 
 

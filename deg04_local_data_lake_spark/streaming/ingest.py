@@ -1092,3 +1092,86 @@ def stream_iceberg_source_incremental(
         q.stop()
     assert n_batches >= 4, f"expected >=4 microbatches, got {n_batches}"
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@register(
+    "stream_iceberg_source_restart",
+    oracle="""
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value, event_type
+FROM events
+""",
+)
+def stream_iceberg_source_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpointed RESTART of the jar-less Iceberg streaming source is
+    exactly-once — the Iceberg twin of ``stream_delta_source_restart``:
+    two append snapshots drain into a parquet sink with a checkpoint,
+    the query STOPS, two more snapshots land, and a brand-new query on
+    the SAME checkpoint + sink resumes. The fresh reader's sequence
+    cursor starts at 0; without the offset floor in ``sources/pyds.py``
+    the engine-supplied restart offsets would be ignored and snapshots
+    1-2 replayed as duplicates. The sink must equal the whole events
+    table with every row exactly once — the oracle is the plain table,
+    so any replay fails the row-count check."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        write_iceberg_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_iceberg_stream_source,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="deg04_ice_restart_ckpt_")
+    sink = tempfile.mkdtemp(prefix="deg04_ice_restart_sink_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            "event_type",
+        )
+        try:
+            spark.dataSource.register(make_iceberg_stream_source())
+        except Exception:
+            pass  # already registered in this session
+
+        def drain_once() -> None:
+            sdf = (
+                spark.readStream.format("deg04_iceberg_stream")
+                .option("path", path)
+                .option("maxSnapshotsPerBatch", 1)
+                .load()
+            )
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        for quarter in range(2):
+            write_iceberg_commit(
+                ev.filter(F.col("event_id") % 4 == quarter), path,
+                mode="append",
+            )
+        drain_once()
+        for quarter in range(2, 4):
+            write_iceberg_commit(
+                ev.filter(F.col("event_id") % 4 == quarter), path,
+                mode="append",
+            )
+        drain_once()  # restart from the checkpoint: snapshots 3-4 only
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -846,3 +846,80 @@ def test_spec_evolution_merge_on_read_across_eras(spark, table):
         v for v in list(range(30)) + list(range(100, 130)) if v % 10 != 0
     )
     assert got == want
+
+
+# ----------------------------------------------------------- refs
+
+
+def test_tag_pins_snapshot_across_commits(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        drop_iceberg_ref,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 40), table)
+    pinned = create_iceberg_ref(table, "v1", kind="tag")
+    assert pinned == s1
+    write_iceberg_commit(_df(spark, 40, 60), table)
+    write_iceberg_commit(_df(spark, 0, 10), table, mode="overwrite")
+    assert read_iceberg(spark, table, ref="v1").count() == 40
+    assert read_iceberg(spark, table, ref="main").count() == 10
+    # refs survive commits in metadata; duplicate create refuses
+    with pytest.raises(ValueError, match="already exists"):
+        create_iceberg_ref(table, "v1")
+    drop_iceberg_ref(table, "v1")
+    with pytest.raises(ValueError, match="no such ref"):
+        read_iceberg(spark, table, ref="v1")
+
+
+def test_branch_moves_and_replace(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 20), table)
+    s2 = write_iceberg_commit(_df(spark, 20, 50), table)
+    create_iceberg_ref(table, "audit", kind="branch", snapshot_id=s1)
+    assert read_iceberg(spark, table, ref="audit").count() == 20
+    create_iceberg_ref(
+        table, "audit", kind="branch", snapshot_id=s2, replace=True
+    )
+    assert read_iceberg(spark, table, ref="audit").count() == 50
+    with pytest.raises(ValueError, match="tag|branch"):
+        create_iceberg_ref(table, "x", kind="nope")
+    with pytest.raises(ValueError, match="managed by commits"):
+        create_iceberg_ref(table, "main")
+    with pytest.raises(FileNotFoundError, match="not in table"):
+        create_iceberg_ref(table, "ghost", snapshot_id=999)
+
+
+def test_refs_protect_snapshots_from_expiry(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        remove_orphan_iceberg_files,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 25), table)
+    create_iceberg_ref(table, "keepme", kind="tag")
+    write_iceberg_commit(_df(spark, 25, 40), table)
+    s3 = write_iceberg_commit(_df(spark, 0, 5), table, mode="overwrite")
+    expired = expire_iceberg_snapshots(table, keep_last=1)
+    # the tagged snapshot survives a keep_last=1 expiry; the untagged
+    # middle snapshot does not
+    assert s1 not in expired and len(expired) == 1
+    remove_orphan_iceberg_files(table)
+    assert read_iceberg(spark, table, ref="keepme").count() == 25
+    assert read_iceberg(spark, table, s3).count() == 5
+    # dropping the tag releases it: next expiry removes the snapshot
+    drop_iceberg_ref(table, "keepme")
+    assert expire_iceberg_snapshots(table, keep_last=1) == [s1]
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, table, s1)
+
+
+def test_ref_and_snapshot_id_are_exclusive(spark, table):
+    write_iceberg_commit(_df(spark, 0, 5), table)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, table, snapshot_id=1, ref="main")
