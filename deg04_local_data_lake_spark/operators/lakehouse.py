@@ -869,6 +869,75 @@ def delta_log_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_identity_columns",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_sk,
+       CAST(1 AS BIGINT) AS min_sk,
+       CAST(COUNT(*) AS BIGINT) AS max_sk,
+       TRUE AS explicit_rejected
+FROM events
+""",
+)
+def delta_log_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED AS IDENTITY columns (writer feature
+    ``identityColumns``, minWriterVersion 6, ``delta.identity.*`` field
+    metadata), driver-attested: the table is created with a surrogate
+    key ``row_sk`` the frame OMITS — the writer assigns a contiguous
+    block per commit past the table's high water mark (an O(partitions)
+    offset job + a map-only Arrow pass, no shuffle), and the mark
+    advances via a metaData action on every assigning commit. Two
+    commits land half of events each; because blocks are contiguous,
+    ``n_distinct_sk == n_rows``, ``min_sk == start`` and ``max_sk ==
+    n_rows`` prove uniqueness AND no collision across commits — the
+    distributed-surrogate-key contract that makes identity usable as a
+    join key at 100 TB. A GENERATED ALWAYS column must reject supplied
+    values loudly and commit nothing. Protocol surface per the public
+    Delta protocol spec; reference intent
+    ``spark_session_factory.py:27-33`` (Delta writer configuration)."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_ident_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        write_delta_commit(
+            ev.filter(F.col("event_id") % 2 == 0),
+            path,
+            identity_columns={"row_sk": {"start": 1, "step": 1}},
+        )
+        write_delta_commit(ev.filter(F.col("event_id") % 2 == 1), path)
+        rejected = False
+        try:
+            write_delta_commit(
+                ev.limit(3).withColumn("row_sk", F.lit(0).cast("long")),
+                path,
+            )
+        except ValueError:
+            rejected = True
+        out = (
+            read_delta_log(spark, path)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("row_sk").alias("n_distinct_sk"),
+                F.min("row_sk").alias("min_sk"),
+                F.max("row_sk").alias("max_sk"),
+            )
+            .withColumn("explicit_rejected", F.lit(rejected))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_column_mapping",
     oracle="""
 SELECT c_custkey, c_name,

@@ -443,6 +443,163 @@ def _embed_generation_exprs(
     return json.dumps(doc)
 
 
+# ------------------------------------------------- identity columns
+#
+# GENERATED ALWAYS/BY DEFAULT AS IDENTITY (writer feature
+# ``identityColumns``, minWriterVersion 6). The protocol stores per-
+# field metadata: ``delta.identity.start`` / ``.step`` /
+# ``.allowExplicitInsert``, plus ``.highWaterMark`` — the farthest
+# value any writer has assigned, advanced by a metaData action on
+# every identity-assigning commit. Values are unique and move in step
+# direction; GAPS ARE ALLOWED (the spec's concession that makes
+# distributed assignment cheap). Assignment here is a contiguous
+# block per commit: one O(partitions) count job computes per-partition
+# offsets, then a map-only Arrow pass adds base + offset + local index
+# — no shuffle, no driver-side data, and the high-water mark grows by
+# exactly the row count (monotonically_increasing_id would work too
+# but burns ~2^33 of the value space per partition). Concurrent
+# identity writers serialize through the optimistic commit protocol,
+# same as every other metadata change.
+
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_ALLOW = "delta.identity.allowExplicitInsert"
+_ID_HWM = "delta.identity.highWaterMark"
+
+
+def _identity_columns(meta: dict) -> dict[str, dict]:
+    """column → identity spec, from the schemaString field metadata."""
+    doc = json.loads(meta["schemaString"])
+    out: dict[str, dict] = {}
+    for f in doc["fields"]:
+        md = f.get("metadata") or {}
+        if _ID_START in md:
+            out[f["name"]] = {
+                "start": int(md[_ID_START]),
+                "step": int(md[_ID_STEP]),
+                "allow_explicit": bool(md.get(_ID_ALLOW, False)),
+                "high_water_mark": (
+                    int(md[_ID_HWM]) if _ID_HWM in md else None
+                ),
+            }
+    return out
+
+
+def _apply_identity_columns(
+    df: DataFrame, id_cols: dict[str, dict], what: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """Assign absent identity columns (contiguous block past the high
+    water mark); validate supplied ones against allowExplicitInsert and
+    advance the mark over them. Returns (df, {col: new high water
+    mark}) for the columns whose mark moved."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    hwms: dict[str, int] = {}
+    for col, spec in sorted(id_cols.items()):
+        start, step = spec["start"], spec["step"]
+        base = spec["high_water_mark"]
+        if base is None:
+            base = start - step
+        if col in df.columns:
+            if not spec["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {col!r} is GENERATED ALWAYS: "
+                    f"{what} must not supply it"
+                )
+            # GENERATED BY DEFAULT: user values are free-form; the mark
+            # advances to the next step-aligned value at or beyond the
+            # farthest supplied one, so generated values never collide
+            far_fn = F.max if step > 0 else F.min
+            far = df.agg(far_fn(F.col(col)).alias("f")).first()["f"]
+            if far is not None:
+                q, r = divmod(int(far) - start, step)
+                if r != 0:
+                    q += 1
+                aligned = start + q * step
+                newer = (
+                    max(base, aligned) if step > 0 else min(base, aligned)
+                )
+                if newer != base:
+                    hwms[col] = newer
+            continue
+        pid = "_deg04_identity_pid"
+        if pid in df.columns:
+            raise ValueError(f"column name {pid!r} is reserved")
+        with_pid = df.withColumn(pid, F.spark_partition_id())
+        counts = {
+            r[0]: r[1] for r in with_pid.groupBy(pid).count().collect()
+        }
+        n_total = sum(counts.values())
+        offsets: dict[int, int] = {}
+        acc = 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        out_schema = StructType(
+            df.schema.fields + [StructField(col, LongType(), True)]
+        )
+
+        def gen(batches, _off=offsets, _b=base, _s=step, _pid=pid, _col=col):
+            import numpy as np
+
+            seen = 0
+            part_off = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if part_off is None:
+                    part_off = _off[int(pdf[_pid].iloc[0])]
+                idx = np.arange(
+                    seen + 1, seen + len(pdf) + 1, dtype="int64"
+                )
+                pdf = pdf.drop(columns=[_pid])
+                pdf[_col] = _b + _s * (part_off + idx)
+                seen += len(idx)
+                yield pdf
+
+        df = with_pid.mapInPandas(gen, out_schema)
+        if n_total:
+            hwms[col] = base + step * n_total
+    return df, hwms
+
+
+def _embed_identity_specs(
+    schema_string: str, id_cols: dict[str, dict], hwms: dict[str, int]
+) -> str:
+    doc = json.loads(schema_string)
+    have = {f["name"] for f in doc["fields"]}
+    missing = sorted(set(id_cols) - have)
+    if missing:
+        raise ValueError(
+            f"identity columns not in the written schema: {missing}"
+        )
+    for f in doc["fields"]:
+        if f["name"] in id_cols:
+            spec = id_cols[f["name"]]
+            md = dict(f.get("metadata") or {})
+            md[_ID_START] = spec["start"]
+            md[_ID_STEP] = spec["step"]
+            md[_ID_ALLOW] = spec["allow_explicit"]
+            hwm = hwms.get(f["name"], spec.get("high_water_mark"))
+            if hwm is not None:
+                md[_ID_HWM] = hwm
+            f["metadata"] = md
+    return json.dumps(doc)
+
+
+def _embed_identity_hwms(schema_string: str, hwms: dict[str, int]) -> str:
+    """The append-commit metaData: the PREVIOUS schemaString with only
+    the high water marks advanced — an append never changes schema."""
+    doc = json.loads(schema_string)
+    for f in doc["fields"]:
+        if f["name"] in hwms:
+            md = dict(f.get("metadata") or {})
+            md[_ID_HWM] = hwms[f["name"]]
+            f["metadata"] = md
+    return json.dumps(doc)
+
+
 def rename_delta_column(
     spark: SparkSession, table: str, renames: dict[str, str]
 ) -> int:
@@ -1027,6 +1184,13 @@ def update_delta(
         # to the existing type (a bare literal like `-1.0` would
         # otherwise silently drift the column to decimal)
         updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+    ids = _identity_columns(meta)
+    bad_ids = sorted(set(set_exprs) & set(ids))
+    if bad_ids:
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {bad_ids}: identity "
+            "values are writer-assigned and immutable"
+        )
     gen = _generated_columns(meta)
     if gen:
         # a SET on a generated column's BASE recomputes it; a SET on
@@ -1200,6 +1364,7 @@ def write_delta_commit(
     txn: tuple[str, int] | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -1216,7 +1381,14 @@ def write_delta_commit(
     schemaString field metadata (``delta.generationExpression``, writer
     feature ``generatedColumns``), and EVERY subsequent write
     materializes an omitted generated column from its expression or
-    validates a supplied one against it."""
+    validates a supplied one against it. ``identity_columns``
+    ({col: {"start": 1, "step": 1, "allow_explicit": False}}) declares
+    GENERATED AS IDENTITY columns the same way (writer feature
+    ``identityColumns``, minWriterVersion 6): every write that omits an
+    identity column gets a fresh contiguous block of values past the
+    table's high water mark, every identity-assigning commit advances
+    the mark via a metaData action, and supplying values requires
+    ``allow_explicit`` (GENERATED BY DEFAULT)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
@@ -1244,6 +1416,29 @@ def write_delta_commit(
                 "write metaData (creation or overwrite), not on append"
             )
         gen_cols = dict(generated_columns)
+    id_cols = _identity_columns(prev_meta0) if prev_meta0 else {}
+    if identity_columns is not None:
+        if version > 0 and mode == "append":
+            raise ValueError(
+                "identity columns are declared on the commits that "
+                "write metaData (creation or overwrite), not on append"
+            )
+        id_cols = {}
+        for c, s in identity_columns.items():
+            step = int(s.get("step", 1))
+            if step == 0:
+                raise ValueError(f"identity column {c!r}: step must be nonzero")
+            id_cols[c] = {
+                "start": int(s.get("start", 1)),
+                "step": step,
+                "allow_explicit": bool(s.get("allow_explicit", False)),
+                "high_water_mark": None,
+            }
+    id_hwms: dict[str, int] = {}
+    if id_cols:
+        # identity assignment FIRST: generated columns and CHECKs may
+        # reference the identity column the writer is about to fill
+        df, id_hwms = _apply_identity_columns(df, id_cols, f"{mode} write")
     if gen_cols:
         # materialize/validate BEFORE constraint checks — a CHECK may
         # reference a generated column the writer is about to fill in
@@ -1254,6 +1449,18 @@ def write_delta_commit(
     schema_string = df.schema.json()
     if gen_cols and (version == 0 or mode == "overwrite"):
         schema_string = _embed_generation_exprs(schema_string, gen_cols)
+    id_append_schema: str | None = None
+    if id_cols:
+        if version == 0 or mode == "overwrite":
+            schema_string = _embed_identity_specs(
+                schema_string, id_cols, id_hwms
+            )
+        elif id_hwms:
+            # append that assigned identity values: the commit must
+            # advance the high water mark — prev schema, marks moved
+            id_append_schema = _embed_identity_hwms(
+                prev_meta0["schemaString"], id_hwms
+            )
     # an overwrite rewrites content, not table properties: constraints,
     # column-mapping state, and any other configuration carry forward
     configuration: dict = dict(
@@ -1293,20 +1500,24 @@ def write_delta_commit(
     while True:
         actions: list[dict] = []
         if version == 0:
-            # generatedColumns is a writer feature: writer version 4
+            # generatedColumns is writer version 4; identityColumns 6
+            writer_v = 6 if id_cols else (4 if gen_cols else 2)
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 1,
-                        "minWriterVersion": 4 if gen_cols else 2,
+                        "minWriterVersion": writer_v,
                     }
                 }
             )
-        elif generated_columns is not None and mode == "overwrite":
+        elif (
+            generated_columns is not None or identity_columns is not None
+        ) and mode == "overwrite":
+            need = 6 if identity_columns is not None else 4
             proto = _replay_protocol(table, version - 1)
-            if proto.get("minWriterVersion", 2) < 4:
+            if proto.get("minWriterVersion", 2) < need:
                 proto = dict(proto)
-                proto["minWriterVersion"] = 4
+                proto["minWriterVersion"] = need
                 actions.append({"protocol": proto})
         prev_live: dict[str, dict] = {}
         if version > 0:
@@ -1320,6 +1531,25 @@ def write_delta_commit(
                         "schemaString": schema_string,
                         "partitionColumns": list(partition_by or []),
                         "configuration": configuration,
+                        "createdTime": 0,
+                    }
+                }
+            )
+        elif id_append_schema is not None:
+            # identity high-water-mark advance: same table metadata,
+            # only the marks in the schemaString move
+            actions.append(
+                {
+                    "metaData": {
+                        "id": prev_meta0.get("id", uuid.uuid4().hex),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": id_append_schema,
+                        "partitionColumns": list(
+                            prev_meta0.get("partitionColumns") or []
+                        ),
+                        "configuration": dict(
+                            prev_meta0.get("configuration") or {}
+                        ),
                         "createdTime": 0,
                     }
                 }

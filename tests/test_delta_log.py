@@ -1030,3 +1030,110 @@ def test_generated_column_survives_overwrite_and_update(spark, table):
     got = {r.id: r for r in read_delta_log(spark, table).collect()}
     assert got[2].v == 104.0 and got[2].v_half == 52.0
     assert got[40].v == 80.0 and got[40].v_half == 40.0
+
+
+# ------------------------------------------------- identity columns
+
+
+def test_identity_column_assigns_contiguous_blocks(spark, table):
+    import json as _json
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _commit_file,
+    )
+
+    write_delta_commit(
+        _df(spark, 0, 20),
+        table,
+        identity_columns={"row_sk": {"start": 100, "step": 10}},
+    )
+    got = read_delta_log(spark, table)
+    sks = sorted(r.row_sk for r in got.collect())
+    # contiguous block from start, step-aligned, unique
+    assert sks == [100 + 10 * i for i in range(20)]
+    # protocol is writer 6; spec + high water mark in field metadata
+    actions = [
+        _json.loads(line)
+        for line in open(_commit_file(table, 0))
+        if line.strip()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 6
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    fld = next(
+        f
+        for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "row_sk"
+    )
+    md = fld["metadata"]
+    assert md["delta.identity.start"] == 100
+    assert md["delta.identity.step"] == 10
+    assert md["delta.identity.highWaterMark"] == 100 + 10 * 19
+
+    # append omits the column: fresh block past the mark, and the
+    # append commit carries a metaData action advancing the mark
+    write_delta_commit(_df(spark, 20, 35), table)
+    sks = sorted(r.row_sk for r in read_delta_log(spark, table).collect())
+    assert sks == [100 + 10 * i for i in range(35)]
+    actions1 = [
+        _json.loads(line)
+        for line in open(_commit_file(table, 1))
+        if line.strip()
+    ]
+    meta1 = next(a["metaData"] for a in actions1 if "metaData" in a)
+    fld1 = next(
+        f
+        for f in _json.loads(meta1["schemaString"])["fields"]
+        if f["name"] == "row_sk"
+    )
+    assert fld1["metadata"]["delta.identity.highWaterMark"] == 100 + 10 * 34
+
+    # GENERATED ALWAYS: supplying the column is rejected
+    bad = spark.range(50, 55).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "id AS row_sk"
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta_commit(bad, table)
+    # declaring on append is an error
+    with pytest.raises(ValueError, match="creation or overwrite"):
+        write_delta_commit(
+            _df(spark, 40, 45), table, identity_columns={"x": {}}
+        )
+
+
+def test_identity_by_default_and_update_guard(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import update_delta
+
+    write_delta_commit(
+        _df(spark, 0, 10),
+        table,
+        identity_columns={
+            "sk": {"start": 1, "step": 1, "allow_explicit": True}
+        },
+    )
+    # explicit insert allowed; mark advances past the supplied max
+    explicit = spark.range(10, 15).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "id * 100 AS sk"
+    )
+    write_delta_commit(explicit, table)
+    write_delta_commit(_df(spark, 15, 18), table)  # generated again
+    rows = {r.id: r.sk for r in read_delta_log(spark, table).collect()}
+    assert rows[14] == 1400
+    # generated values resume beyond the explicit ones — no collision
+    assert min(rows[i] for i in (15, 16, 17)) > 1400
+    assert len(set(rows.values())) == 18  # all unique
+    # identity is immutable under UPDATE
+    with pytest.raises(ValueError, match="identity column"):
+        update_delta(spark, table, "id = 1", {"sk": "999"})
+
+
+def test_identity_survives_overwrite_monotonically(spark, table):
+    write_delta_commit(
+        _df(spark, 0, 12), table, identity_columns={"sk": {}}
+    )
+    first = {r.sk for r in read_delta_log(spark, table).collect()}
+    # an overwrite rewrites content but never reuses identity values
+    write_delta_commit(_df(spark, 0, 6), table, mode="overwrite")
+    second = {r.sk for r in read_delta_log(spark, table).collect()}
+    assert first & second == set()
+    assert min(second) > max(first)
