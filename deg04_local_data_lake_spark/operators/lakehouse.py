@@ -869,6 +869,89 @@ def delta_log_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_zorder_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE user_id BETWEEN 10 AND 20) AS BIGINT)
+         AS n_user_range,
+       CAST(COUNT(*) FILTER (WHERE value BETWEEN 200.0 AND 500.0) AS BIGINT)
+         AS n_value_range,
+       TRUE AS user_dim_pruned,
+       TRUE AS value_dim_pruned
+FROM events
+""",
+)
+def delta_log_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER, driver-attested end-to-end: events commit to a
+    Delta table in shuffled order, ``optimize_delta(zorder_by=
+    ["user_id", "value"])`` rewrites it range-partitioned on a Morton
+    interleaved-bits key (quantile-ranked per column — skew-balanced;
+    pure built-in arithmetic, codegen-friendly), and then a narrow
+    range predicate on EITHER dimension must (a) prove more than half
+    the files out from log stats alone (``_stats_skip`` over the add
+    actions — asserted in-query, the part linear clustering cannot do
+    for the trailing key) and (b) return exactly the oracle's rows when
+    the skipping read applies the real filter. This is the layout move
+    that turns a multi-key-filtered scan of a 100 TB table into
+    O(matching files) I/O. Protocol surface: ``dataChange: false``
+    rewrite commit per the public Delta spec; reference intent
+    ``spark_session_factory.py:27-33``."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay,
+        _stats_skip,
+        optimize_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_z_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_delta_commit(ev.repartition(8), path)
+        # ~32 output files whatever the sf: enough z-resolution (5 bits)
+        # that each dimension's buckets land in distinct files
+        pre_live, _m0 = _replay(path, 0)
+        total = sum(a.get("size", 0) for a in pre_live.values())
+        v = optimize_delta(
+            spark, path, target_file_bytes=max(1, total // 32),
+            zorder_by=["user_id", "value"],
+        )
+        live, _meta = _replay(path, v)
+
+        def pruned(ranges: dict) -> bool:
+            skipped = sum(1 for a in live.values() if _stats_skip(a, ranges))
+            return len(live) > 1 and skipped > len(live) // 2
+
+        u_rng, v_rng = (10, 20), (200.0, 500.0)
+        n_user = (
+            read_delta_log(spark, path, column_ranges={"user_id": u_rng})
+            .filter(F.col("user_id").between(*u_rng))
+            .agg(F.count(F.lit(1)).alias("n_user_range"))
+        )
+        n_value = (
+            read_delta_log(spark, path, column_ranges={"value": v_rng})
+            .filter(F.col("value").between(*v_rng))
+            .agg(F.count(F.lit(1)).alias("n_value_range"))
+        )
+        out = (
+            n_user.crossJoin(F.broadcast(n_value))
+            .withColumn(
+                "user_dim_pruned", F.lit(pruned({"user_id": u_rng}))
+            )
+            .withColumn(
+                "value_dim_pruned", F.lit(pruned({"value": v_rng}))
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_identity_columns",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "stream_iceberg_source_restart",
     "iceberg_refs_time_travel",
     "delta_log_identity_columns",
+    "delta_log_zorder_skipping",
     "delta_log_dv_spec_framing",
     # --- never sampled in rounds 1-5 ---
     "silver_scd2_snapshot",

@@ -1742,11 +1742,57 @@ def merge_delta(
     return write_delta_commit(merged, table, mode="overwrite")
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
+    """Morton (Z-curve) key over quantile-ranked numeric columns: each
+    column quantizes to a ``2^bits``-bucket rank via approxQuantile
+    boundaries (driver-side, O(buckets) metadata — never data), then the
+    rank bits INTERLEAVE, so proximity in the key implies proximity in
+    EVERY dimension at once. Files range-partitioned on this key get
+    narrow min/max stats on ALL the z-columns — the property linear
+    ``cluster_by`` only delivers for its leading key. Quantile (not
+    min/max-uniform) bucketing keeps the curve balanced under skew. The
+    whole expression is built-in arithmetic — codegen-friendly, no UDF."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    ranks = []
+    for c in cols:
+        f = df.schema[c].dataType.typeName()
+        if f not in (
+            "integer", "long", "short", "byte", "double", "float", "decimal"
+        ) and not f.startswith("decimal"):
+            raise ValueError(
+                f"zorder_by column {c!r} must be numeric, got {f}"
+            )
+        cuts = df.approxQuantile(c, probs, 0.01)
+        bnd = sorted(set(cuts))
+        ranks.append(
+            reduce(
+                lambda acc, b: acc
+                + F.when(F.col(c) >= F.lit(b), 1).otherwise(0),
+                bnd,
+                F.lit(0),
+            )
+        )
+    z = F.lit(0)
+    for bit in range(bits):
+        for j, r in enumerate(ranks):
+            pos = bit * len(ranks) + j
+            z = z + F.shiftright(r, bit).bitwiseAND(F.lit(1)) * F.lit(
+                1 << pos
+            )
+    return z
+
+
 def optimize_delta(
     spark: SparkSession,
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (small-file compaction) as a Delta commit: rewrite the
     current snapshot into ⌈bytes/target⌉ files and commit removes + adds
@@ -1756,9 +1802,12 @@ def optimize_delta(
 
     ``cluster_by`` range-partitions + sorts the rewrite on the given
     keys, so each output file covers a narrow key range and the per-file
-    ``stats`` become selective — the OPTIMIZE ZORDER move that turns
-    ``read_delta_log(column_ranges=...)`` data skipping into O(matching
-    files) scans for range predicates on those keys.
+    ``stats`` become selective for the LEADING key — linear clustering.
+    ``zorder_by`` (mutually exclusive) range-partitions on a Morton
+    interleaved-bits key instead (:func:`_zorder_key`) — OPTIMIZE
+    ZORDER — so ``read_delta_log(column_ranges=...)`` data skipping
+    prunes on EVERY listed dimension, the multi-column-predicate layout
+    that matters once a 100 TB table is queried by more than one key.
 
     This is the table-service answer to microbatch file accumulation
     (same role as ``writers.compact_table``), but snapshot-isolated:
@@ -1773,6 +1822,8 @@ def optimize_delta(
         raise ValueError(f"no metaData action in log for {table}")
     size = sum(a.get("size", 0) for a in live.values())
     n_files = max(1, math.ceil(size / target_file_bytes))
+    if cluster_by and zorder_by:
+        raise ValueError("pass either cluster_by or zorder_by, not both")
     snapshot = read_delta_log(spark, table)
     if cluster_by:
         from pyspark.sql import functions as F
@@ -1781,6 +1832,16 @@ def optimize_delta(
         snapshot = snapshot.repartitionByRange(
             n_files, *cols
         ).sortWithinPartitions(*cols)
+    elif zorder_by:
+        from pyspark.sql import functions as F
+
+        zc = "_deg04_zorder"
+        snapshot = (
+            snapshot.withColumn(zc, _zorder_key(snapshot, zorder_by))
+            .repartitionByRange(n_files, F.col(zc))
+            .sortWithinPartitions(zc)
+            .drop(zc)
+        )
     else:
         snapshot = snapshot.repartition(n_files)
     snapshot = snapshot.localCheckpoint(eager=True)

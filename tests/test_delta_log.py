@@ -1137,3 +1137,45 @@ def test_identity_survives_overwrite_monotonically(spark, table):
     second = {r.sk for r in read_delta_log(spark, table).collect()}
     assert first & second == set()
     assert min(second) > max(first)
+
+
+# ------------------------------------------------- OPTIMIZE ZORDER
+
+
+def test_zorder_prunes_on_every_dimension(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay,
+        _stats_skip,
+        optimize_delta,
+    )
+
+    # a 100x100 grid, shuffled: neither dimension is naturally clustered
+    grid = spark.range(10000).selectExpr(
+        "CAST(id % 100 AS LONG) AS x",
+        "CAST(id DIV 100 AS LONG) AS y",
+        "id AS payload",
+    ).repartition(8)
+    write_delta_commit(grid, table)
+    v = optimize_delta(spark, table, target_file_bytes=8_000, zorder_by=["x", "y"])
+    live, _meta = _replay(table, v)
+    assert len(live) >= 6  # the rewrite actually split files
+
+    def n_skipped(ranges):
+        return sum(1 for a in live.values() if _stats_skip(a, ranges))
+
+    # a narrow predicate on EITHER dimension proves most files out
+    assert n_skipped({"x": (10, 15)}) > len(live) // 2
+    assert n_skipped({"y": (80, 85)}) > len(live) // 2
+    # content unchanged, dataChange=false commit
+    got = read_delta_log(spark, table)
+    assert got.count() == 10000
+    assert got.agg({"payload": "sum"}).first()[0] == sum(range(10000))
+    # both-clustering flavors refuse to combine
+    with pytest.raises(ValueError, match="not both"):
+        optimize_delta(spark, table, cluster_by=["x"], zorder_by=["y"])
+    write_delta_commit(
+        spark.range(5).selectExpr("CAST(id AS STRING) AS s"), table,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        optimize_delta(spark, table, zorder_by=["s"])
