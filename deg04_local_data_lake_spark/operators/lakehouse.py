@@ -952,6 +952,85 @@ def delta_log_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_shallow_clone",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS src_rows,
+       CAST(COUNT(*)
+            + COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS clone_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            + SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS clone_cents,
+       TRUE AS zero_copy,
+       TRUE AS source_isolated
+FROM orders
+""",
+)
+def delta_log_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, driver-attested end-to-end: orders commit to a
+    Delta table, ``clone_delta`` creates a second table referencing the
+    same data files by absolute path (``zero_copy`` asserts the clone
+    directory holds ZERO parquet files — the 100 TB point: cloning is
+    one JSON commit, not a table copy), the clone then takes an append
+    of the 1-URGENT subset, and the output proves both lineages read
+    correctly mixed (``clone_cents`` covers every row through the
+    absolute references AND the local append) while the SOURCE is
+    untouched (``source_isolated``). Public surface: delta-spark's
+    ``CREATE TABLE ... SHALLOW CLONE``; reference intent
+    ``spark_session_factory.py:27-33``."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        clone_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="deg04_delta_clone_")
+    src = _os.path.join(root, "src")
+    dst = _os.path.join(root, "dst")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        write_delta_commit(orders.repartition(4), src)
+        clone_delta(spark, src, dst)
+        zero_copy = not any(
+            f.endswith(".parquet")
+            for r, _d, fs in _os.walk(dst)
+            if "_delta_log" not in r
+            for f in fs
+        )
+        write_delta_commit(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"), dst
+        )
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("bigint")
+        src_n = read_delta_log(spark, src).agg(
+            F.count(F.lit(1)).alias("src_rows")
+        )
+        clone_agg = read_delta_log(spark, dst).agg(
+            F.count(F.lit(1)).alias("clone_rows"),
+            F.sum(cents).alias("clone_cents"),
+        )
+        out = (
+            src_n.crossJoin(F.broadcast(clone_agg))
+            .withColumn("zero_copy", F.lit(zero_copy))
+            .withColumn(
+                "source_isolated",
+                F.col("src_rows") < F.col("clone_rows"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "delta_log_identity_columns",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1895,6 +1974,97 @@ def iceberg_refs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.crossJoin(F.broadcast(m))
             .select("n_tag", "tag_total_value", "n_main")
             .withColumn("tag_survived_expiry", F.lit(survived))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "iceberg_metadata_tables",
+    oracle="""
+SELECT CAST(2 AS BIGINT) AS n_snapshots,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_partitions,
+       CAST(COUNT(*)
+            + COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS live_records,
+       CAST(2 * COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS urgent_records,
+       TRUE AS refs_listed,
+       TRUE AS manifests_consistent
+FROM orders
+""",
+)
+def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg INSPECTION tables (``tbl.snapshots`` / ``.refs`` /
+    ``.manifests`` / ``.files`` / ``.partitions``), driver-attested:
+    orders commit identity-partitioned on o_orderpriority, the 1-URGENT
+    subset appends as snapshot 2, and a tag is created — then EVERY
+    output value is computed from the metadata tables alone, zero data
+    files opened: ``live_records`` sums ``partitions.record_count``,
+    ``urgent_records`` reads the single 1-URGENT partition row,
+    ``n_partitions``/``n_snapshots`` count metadata rows, and
+    ``manifests_consistent`` cross-checks ``manifests.added_rows_count``
+    against the partitions sum. Matching the SQL oracle computed from
+    the DATA proves the manifest statistics tell the truth — the
+    property that lets a 100 TB table answer COUNT/profile queries in
+    milliseconds. Public surface: Iceberg's metadata tables; reference
+    intent ``spark_session_factory.py:35-39``."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        iceberg_metadata_table,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_meta_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        write_iceberg_commit(orders, path, partition_by=["o_orderpriority"])
+        write_iceberg_commit(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"), path
+        )
+        create_iceberg_ref(path, "audit", kind="tag")
+        snaps = iceberg_metadata_table(spark, path, "snapshots")
+        refs = {
+            r.name: r.type
+            for r in iceberg_metadata_table(spark, path, "refs").collect()
+        }
+        mans = iceberg_metadata_table(spark, path, "manifests")
+        parts = iceberg_metadata_table(spark, path, "partitions")
+        n_snapshots = snaps.count()
+        man_rows = mans.agg(F.sum("added_rows_count")).first()[0]
+        agg = parts.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("record_count").alias("live_records"),
+        )
+        urgent = parts.filter(
+            F.col("partition")["o_orderpriority"] == "1-URGENT"
+        ).select(F.col("record_count").alias("urgent_records"))
+        out = (
+            agg.crossJoin(F.broadcast(urgent))
+            .withColumn("n_snapshots", F.lit(n_snapshots).cast("long"))
+            .withColumn(
+                "refs_listed",
+                F.lit(refs == {"main": "branch", "audit": "tag"}),
+            )
+            .withColumn(
+                "manifests_consistent",
+                F.lit(man_rows is not None)
+                & (F.col("live_records") == F.lit(man_rows)),
+            )
+            .select(
+                "n_snapshots",
+                "n_partitions",
+                "live_records",
+                "urgent_records",
+                "refs_listed",
+                "manifests_consistent",
+            )
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -102,6 +102,8 @@ PRIORITY: list[str] = [
     "iceberg_refs_time_travel",
     "delta_log_identity_columns",
     "delta_log_zorder_skipping",
+    "delta_log_shallow_clone",
+    "iceberg_metadata_tables",
     "delta_log_dv_spec_framing",
     # --- never sampled in rounds 1-5 ---
     "silver_scd2_snapshot",

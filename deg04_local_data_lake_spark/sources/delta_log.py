@@ -694,6 +694,51 @@ def _stats_skip(add: dict, column_ranges: dict[str, tuple]) -> bool:
     return False
 
 
+def _hive_base(path: str) -> str:
+    """Ancestor directory of ``path`` above any Hive ``k=v`` partition
+    segments — the ``basePath`` Spark needs to derive partition columns
+    for a file that lives OUTSIDE this table's directory (a shallow
+    clone's absolute ``add`` paths pointing into the source table)."""
+    d = os.path.dirname(path)
+    while "=" in os.path.basename(d):
+        d = os.path.dirname(d)
+    return d
+
+
+def _scan_adds(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    adds: list[dict],
+    schema: StructType,
+) -> DataFrame:
+    """Parquet scan over exactly the given ``add`` actions. Relative
+    paths resolve under ``table``; absolute paths (the spec's shallow-
+    clone form) are used as-is. Files are grouped by the base directory
+    partition columns derive from, one scan per base, unioned — for a
+    normal table that is ONE group and the plan is identical to a plain
+    multi-file parquet read; a clone that has also taken local appends
+    gets one scan per lineage, still file-list-driven and fully pruned."""
+    from functools import reduce
+
+    groups: dict[str, list[str]] = {}
+    for a in adds:
+        rel = a["path"]
+        full = os.path.join(table, rel)  # absolute rel wins the join
+        base = _hive_base(full) if os.path.isabs(rel) else table
+        groups.setdefault(base, []).append(full)
+    scans = []
+    for base in sorted(groups):
+        reader = spark.read.schema(schema)
+        if meta.get("partitionColumns"):
+            # Hive-layout partition columns live in directory names, not
+            # the data files; basePath makes Spark derive them (typed by
+            # the explicit schema) for exactly the pruned file list.
+            reader = reader.option("basePath", base)
+        scans.append(reader.parquet(*groups[base]))
+    return reduce(DataFrame.unionByName, scans)
+
+
 def read_delta_log(
     spark: SparkSession,
     table: str,
@@ -761,16 +806,11 @@ def read_delta_log(
                 mapping.get(c, c): r for c, r in column_ranges.items()
             }
         adds = [a for a in adds if not _stats_skip(a, column_ranges)]
-    files = [os.path.join(table, a["path"]) for a in adds]
-    if not files:
+    if not adds:
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(_physical_struct(meta) if mapping else schema)
-    if meta.get("partitionColumns"):
-        # Hive-layout partition columns live in directory names, not the
-        # data files; basePath makes Spark derive them (typed by the
-        # explicit schema) for exactly the pruned file list.
-        reader = reader.option("basePath", table)
-    scan = reader.parquet(*files)
+    scan = _scan_adds(
+        spark, table, meta, adds, _physical_struct(meta) if mapping else schema
+    )
     dv_adds = [a for a in adds if a.get("deletionVector")]
     if dv_adds:
         scan = _apply_deletion_vectors(spark, table, scan, dv_adds)
@@ -1049,13 +1089,9 @@ def _dv_tagged_snapshot(spark: SparkSession, table: str):
         else StructType.fromJson(json.loads(meta["schemaString"]))
     )
     adds = [live[p] for p in sorted(live)]
-    files = [os.path.join(table, a["path"]) for a in adds]
-    if not files:
+    if not adds:
         return None, version, live, meta
-    reader = spark.read.schema(schema)
-    if meta.get("partitionColumns"):
-        reader = reader.option("basePath", table)
-    scan = reader.parquet(*files)
+    scan = _scan_adds(spark, table, meta, adds, schema)
     dv_adds = [a for a in adds if a.get("deletionVector")]
     if dv_adds:
         tagged = _apply_deletion_vectors(
@@ -1944,6 +1980,75 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> int:
     return new_version
 
 
+def clone_delta(
+    spark: SparkSession, src: str, dst: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE: create a new Delta table at ``dst`` whose version-0
+    commit references the SOURCE's data files by absolute path (the
+    spec's shallow-clone form) — zero bytes of data copied, O(metadata)
+    end to end. The clone then evolves independently: appends land as
+    normal relative files next to the absolute references (the scan
+    layer groups per base path), overwrites/deletes tombstone or DV the
+    referenced files in the CLONE's log only, and ``vacuum_delta`` on
+    either table never reclaims the other's files (it only walks its own
+    directory). On-disk (``u``) deletion-vector descriptors are
+    rewritten to the spec's absolute-path ``p`` storage so the clone's
+    readers resolve them without owning the files. This is the
+    dev/test-against-prod and experiment-branch primitive: at 100 TB a
+    deep copy is a day of cluster time, a shallow clone is one JSON
+    file. Public surface: delta-spark's ``CREATE TABLE ... SHALLOW CLONE
+    src [VERSION AS OF n]``; reference intent
+    ``spark_session_factory.py:27-33`` (Delta as the managed-table
+    format)."""
+    del spark  # log-only operation; kept for API symmetry
+    if version is None:
+        version = _latest_version(src)
+    live, meta = _replay(src, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {src}")
+    if os.path.exists(_log_path(dst)) and delta_versions(dst):
+        raise FileExistsError(f"clone target {dst} already has a Delta log")
+    src_abs = os.path.abspath(src)
+    proto = _replay_protocol(src, version)
+    actions: list[dict] = [{"protocol": proto}]
+    new_meta = dict(meta)
+    new_meta["id"] = uuid.uuid4().hex  # a clone is its OWN table
+    cfg = dict(new_meta.get("configuration") or {})
+    cfg["delta.clonedFrom"] = src_abs
+    cfg["delta.clonedVersion"] = str(version)
+    new_meta["configuration"] = cfg
+    actions.append({"metaData": new_meta})
+    for path in sorted(live):
+        add = dict(live[path])
+        if not os.path.isabs(path):
+            add["path"] = os.path.join(src_abs, path).replace(os.sep, "/")
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            dv = dict(dv)
+            dv["storageType"] = "p"
+            dv["pathOrInlineDv"] = os.path.join(
+                src_abs, _dv_rel_path(dv)
+            ).replace(os.sep, "/")
+            add["deletionVector"] = dv
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_abs,
+                    "sourceVersion": version,
+                    "isShallow": True,
+                },
+            }
+        }
+    )
+    os.makedirs(_log_path(dst), exist_ok=True)
+    _write_commit_file(dst, 0, actions)
+    return 0
+
+
 def vacuum_delta(table: str) -> list[str]:
     """VACUUM: delete data files no longer referenced by ANY
     reconstructable snapshot (file referenced by no version's live set —
@@ -2024,21 +2129,22 @@ def read_delta_changes(
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if not removes:
             # pure append: the added files ARE the inserted rows
-            files = [os.path.join(table, a["path"]) for a in adds]
+            # (_scan_adds also derives Hive partition columns — a bare
+            # schema read would null them out on a partitioned append)
             mapping = _column_mapping(meta)
-            if not files:
+            if not adds:
                 delta = None
-            elif mapping:
-                delta = _to_logical(
-                    spark.read.schema(_physical_struct(meta)).parquet(*files),
-                    mapping,
-                ).withColumn("_change_type", F.lit("insert"))
             else:
-                delta = (
-                    spark.read.schema(schema)
-                    .parquet(*files)
-                    .withColumn("_change_type", F.lit("insert"))
+                scan = _scan_adds(
+                    spark,
+                    table,
+                    meta,
+                    adds,
+                    _physical_struct(meta) if mapping else schema,
                 )
+                if mapping:
+                    scan = _to_logical(scan, mapping)
+                delta = scan.withColumn("_change_type", F.lit("insert"))
         else:
             prev = read_delta_log(spark, table, v - 1)
             cur = read_delta_log(spark, table, v)

@@ -1705,3 +1705,136 @@ def iceberg_history(table: str) -> list[dict]:
         }
         for s in meta["snapshots"]
     ]
+
+
+def iceberg_metadata_table(
+    spark: SparkSession,
+    table: str,
+    kind: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """The spec's inspection tables as DataFrames — the jarful surface
+    ``SELECT * FROM tbl.snapshots / .history / .refs / .manifests /
+    .files / .partitions``, resolved from kilobytes of metadata on the
+    driver and parallelized with an explicit schema (no data file is
+    ever opened — at 100 TB these queries cost the same as at 100 MB,
+    which is the whole point of manifest-level statistics).
+
+    ``files`` and ``partitions`` describe the CURRENT snapshot (or
+    ``snapshot_id``); the others describe the table. ``partitions``
+    aggregates the manifests' per-file record counts — live DATA files
+    only, so a merge-on-read table's delete files show up in ``files``
+    (content 1/2) but never inflate ``partitions`` row counts."""
+    meta = _load_metadata(table)
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s["sequence-number"]),
+                s["summary"]["operation"],
+                int(s.get("schema-id", 0)),
+                s["manifest-list"],
+                s["snapshot-id"] == meta.get("current-snapshot-id"),
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, operation string, "
+            "schema_id int, manifest_list string, is_current boolean",
+        )
+    if kind == "history":
+        rows = [
+            (
+                int(e["snapshot-id"]),
+                e["snapshot-id"] == meta.get("current-snapshot-id"),
+            )
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, is_current_ancestor boolean"
+        )
+    if kind == "refs":
+        rows = [("main", "branch", int(meta["current-snapshot-id"]))] + [
+            (name, r["type"], int(r["snapshot-id"]))
+            for name, r in sorted(meta.get("refs", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind not in ("manifests", "files", "partitions"):
+        raise ValueError(
+            "kind must be one of snapshots|history|refs|manifests|"
+            f"files|partitions, got {kind!r}"
+        )
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snap = _snapshot(meta, snapshot_id)
+    _s, manifests = read_container(snap["manifest-list"])
+    if kind == "manifests":
+        rows = [
+            (
+                m["manifest_path"],
+                int(m["manifest_length"]),
+                int(m.get("partition_spec_id", 0)),
+                int(m.get("content", 0)),
+                int(m.get("sequence_number", 0)),
+                int(m.get("added_snapshot_id", 0)),
+                int(m.get("added_files_count", 0)),
+                int(m.get("existing_files_count", 0)),
+                int(m.get("deleted_files_count", 0)),
+                int(m.get("added_rows_count", 0)),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, added_snapshot_id long, "
+            "added_files_count int, existing_files_count int, "
+            "deleted_files_count int, added_rows_count long",
+        )
+    file_rows = []
+    for m in manifests:
+        mseq = int(m.get("sequence_number", 0))
+        _es, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED — not part of this snapshot
+                continue
+            d = e["data_file"]
+            part = {
+                k: str(v)
+                for k, v in (d.get("partition") or {}).items()
+                if v is not None
+            }
+            file_rows.append(
+                (
+                    int(d["content"]),
+                    d["file_path"],
+                    d.get("file_format", "PARQUET"),
+                    int(m.get("partition_spec_id", 0)),
+                    part,
+                    int(d["record_count"]),
+                    int(d["file_size_in_bytes"]),
+                    int(e.get("sequence_number") or mseq),
+                )
+            )
+    files_schema = (
+        "content int, file_path string, file_format string, spec_id int, "
+        "partition map<string,string>, record_count long, "
+        "file_size_in_bytes long, sequence_number long"
+    )
+    files_df = spark.createDataFrame(file_rows, files_schema)
+    if kind == "files":
+        return files_df
+    from pyspark.sql import functions as F
+
+    return (
+        files_df.filter(F.col("content") == 0)
+        .groupBy("partition", "spec_id")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_in_bytes").alias("total_size_bytes"),
+        )
+    )

@@ -1156,9 +1156,17 @@ def test_zorder_prunes_on_every_dimension(spark, table):
         "id AS payload",
     ).repartition(8)
     write_delta_commit(grid, table)
-    v = optimize_delta(spark, table, target_file_bytes=8_000, zorder_by=["x", "y"])
+    # ~24 output files regardless of compression variance: each file
+    # covers ~10 of 256 z-cells, so its constant top z-bits pin x (and
+    # y) to a narrow rank window — the margin the skip assert needs
+    pre_live, _m0 = _replay(table, 0)
+    total = sum(a.get("size", 0) for a in pre_live.values())
+    v = optimize_delta(
+        spark, table, target_file_bytes=max(1, total // 24),
+        zorder_by=["x", "y"],
+    )
     live, _meta = _replay(table, v)
-    assert len(live) >= 6  # the rewrite actually split files
+    assert len(live) >= 16  # the rewrite actually split files
 
     def n_skipped(ranges):
         return sum(1 for a in live.values() if _stats_skip(a, ranges))
@@ -1179,3 +1187,108 @@ def test_zorder_prunes_on_every_dimension(spark, table):
     )
     with pytest.raises(ValueError, match="numeric"):
         optimize_delta(spark, table, zorder_by=["s"])
+
+
+# --------------------------------------------------- SHALLOW CLONE
+
+
+def test_shallow_clone_zero_copy_reads_equal(spark, tmp_path):
+    from deg04_local_data_lake_spark.sources.delta_log import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_commit(_df(spark, 0, 100), src)
+    write_delta_commit(_df(spark, 100, 150), src)
+    assert clone_delta(spark, src, dst) == 0
+    # zero data files under the clone — only the log exists
+    data_files = [
+        f for root, _d, fs in os.walk(dst) for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert data_files == []
+    assert sorted(r.id for r in read_delta_log(spark, dst).collect()) == list(
+        range(150)
+    )
+
+
+def test_shallow_clone_evolves_independently(spark, tmp_path):
+    from deg04_local_data_lake_spark.sources.delta_log import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_commit(_df(spark, 0, 50), src)
+    clone_delta(spark, src, dst)
+    # append to the clone: mixes relative files with absolute references
+    write_delta_commit(_df(spark, 50, 60), dst)
+    assert read_delta_log(spark, dst).count() == 60
+    assert read_delta_log(spark, src).count() == 50
+    # append to the source AFTER the clone: clone must not see it
+    write_delta_commit(_df(spark, 1000, 1100), src)
+    assert read_delta_log(spark, dst).count() == 60
+
+
+def test_shallow_clone_partitioned_prunes_and_appends(spark, tmp_path):
+    from deg04_local_data_lake_spark.sources.delta_log import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS LONG) AS p")
+    write_delta_commit(df, src, partition_by=["p"])
+    clone_delta(spark, src, dst)
+    got = read_delta_log(spark, dst, partition_filter={"p": 2})
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(100) if i % 4 == 2
+    ]
+    # partition columns derive correctly from the SOURCE's hive layout
+    assert {r.p for r in got.collect()} == {2}
+    write_delta_commit(
+        spark.range(100, 120).selectExpr("id", "CAST(id % 4 AS LONG) AS p"),
+        dst,
+        partition_by=["p"],
+    )
+    both = read_delta_log(spark, dst, partition_filter={"p": 2})
+    assert sorted(r.id for r in both.collect()) == [
+        i for i in range(120) if i % 4 == 2
+    ]
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        clone_delta,
+        delete_delta,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_commit(_df(spark, 0, 1000).repartition(2), src)
+    from pyspark.sql import functions as F
+
+    delete_delta(spark, src, F.col("id") < 300)
+    clone_delta(spark, src, dst)
+    assert sorted(r.id for r in read_delta_log(spark, dst).collect()) == list(
+        range(300, 1000)
+    )
+    # deleting MORE rows on the clone must not affect the source
+    delete_delta(spark, dst, F.col("id") >= 900)
+    assert read_delta_log(spark, dst).count() == 600
+    assert read_delta_log(spark, src).count() == 700
+
+
+def test_vacuum_on_clone_never_reclaims_source_files(spark, tmp_path):
+    from deg04_local_data_lake_spark.sources.delta_log import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_commit(_df(spark, 0, 100), src)
+    clone_delta(spark, src, dst)
+    # overwrite the clone so every absolute reference becomes dead there
+    write_delta_commit(_df(spark, 0, 5), dst, mode="overwrite")
+    assert vacuum_delta(dst) == []  # nothing of its own to reclaim
+    assert read_delta_log(spark, src).count() == 100  # source intact
+
+
+def test_shallow_clone_version_as_of_and_target_guard(spark, tmp_path):
+    from deg04_local_data_lake_spark.sources.delta_log import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta_commit(_df(spark, 0, 10), src)
+    write_delta_commit(_df(spark, 10, 30), src)
+    clone_delta(spark, src, dst, version=0)
+    assert read_delta_log(spark, dst).count() == 10
+    with pytest.raises(FileExistsError, match="already has a Delta log"):
+        clone_delta(spark, src, dst)

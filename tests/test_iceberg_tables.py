@@ -923,3 +923,73 @@ def test_ref_and_snapshot_id_are_exclusive(spark, table):
     write_iceberg_commit(_df(spark, 0, 5), table)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, table, snapshot_id=1, ref="main")
+
+
+# ------------------------------------------------ metadata tables
+
+
+def test_metadata_tables_snapshots_refs_history(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        iceberg_metadata_table,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 40), table)
+    s2 = write_iceberg_commit(_df(spark, 40, 60), table)
+    create_iceberg_ref(table, "v1", kind="tag", snapshot_id=s1)
+    snaps = iceberg_metadata_table(spark, table, "snapshots").collect()
+    assert [r.snapshot_id for r in snaps] == [s1, s2]
+    assert [r.operation for r in snaps] == ["append", "append"]
+    assert [r.is_current for r in snaps] == [False, True]
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in iceberg_metadata_table(spark, table, "refs").collect()
+    }
+    assert refs == {"main": ("branch", s2), "v1": ("tag", s1)}
+    hist = iceberg_metadata_table(spark, table, "history").collect()
+    assert [r.snapshot_id for r in hist] == [s1, s2]
+
+
+def test_metadata_tables_files_manifests_partitions(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        iceberg_metadata_table,
+    )
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS LONG) AS p")
+    s1 = write_iceberg_commit(df, table, partition_by=["p"])
+    write_iceberg_commit(
+        spark.range(100, 120).selectExpr("id", "CAST(id % 4 AS LONG) AS p"),
+        table,
+    )
+    files = iceberg_metadata_table(spark, table, "files")
+    rows = files.collect()
+    assert all(r.content == 0 for r in rows)
+    assert sum(r.record_count for r in rows) == 120
+    mans = iceberg_metadata_table(spark, table, "manifests").collect()
+    assert len(mans) == 2  # append carries the first manifest forward
+    assert sum(m.added_rows_count for m in mans) == 120
+    parts = iceberg_metadata_table(spark, table, "partitions").collect()
+    got = {r.partition["p"]: r.record_count for r in parts}
+    assert got == {"0": 30, "1": 30, "2": 30, "3": 30}
+    # time travel: the first snapshot's files sum to its own count
+    old = iceberg_metadata_table(spark, table, "files", snapshot_id=s1)
+    assert sum(r.record_count for r in old.collect()) == 100
+
+
+def test_metadata_tables_count_delete_files_separately(spark, table):
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        iceberg_metadata_table,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 100).repartition(2), table)
+    delete_iceberg(spark, table, F.col("id") < 30)
+    files = iceberg_metadata_table(spark, table, "files").collect()
+    assert {r.content for r in files} == {0, 1}
+    # partitions aggregates DATA files only — delete files don't inflate
+    parts = iceberg_metadata_table(spark, table, "partitions").collect()
+    assert sum(r.record_count for r in parts) == 100
+    with pytest.raises(ValueError, match="kind must be"):
+        iceberg_metadata_table(spark, table, "nope")
