@@ -1063,3 +1063,138 @@ def prefix_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= t)
     )
+
+
+# ------------------------------------------------- SemDeDup (semantic dedup)
+
+SEM_TAU = 0.3  # synthetic embeddings peak at ~0.51 pairwise cosine
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+ex AS (SELECT vec_id, label, i AS pos, qe[i] AS v
+       FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u),
+cent AS (
+  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS c FROM ex GROUP BY 1, 2
+),
+cnorm AS (
+  SELECT label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS c_nrm FROM cent GROUP BY 1
+),
+vdot AS (
+  SELECT ex.vec_id, CAST(SUM(ex.v * cent.c) AS BIGINT) AS dotc
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY 1
+),
+cs AS (
+  SELECT q.vec_id, q.label, q.qe,
+         sqrt(CAST(list_dot_product(q.qe, q.qe) AS DOUBLE)) AS v_nrm,
+         CAST(vdot.dotc AS DOUBLE)
+           / (sqrt(CAST(list_dot_product(q.qe, q.qe) AS DOUBLE)) * cnorm.c_nrm) AS csim
+  FROM q JOIN vdot USING (vec_id) JOIN cnorm ON q.label = cnorm.label
+),
+pairs AS (
+  SELECT a.label,
+         a.vec_id AS va, b.vec_id AS vb, a.csim AS ca, b.csim AS cb
+  FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE) / (a.v_nrm * b.v_nrm)
+        >= {SEM_TAU}
+),
+dropped AS (
+  SELECT DISTINCT label,
+         CASE WHEN ca < cb THEN vb
+              WHEN cb < ca THEN va
+              ELSE vb END AS vec_id
+  FROM pairs
+),
+per AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_items FROM q GROUP BY 1),
+d AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY 1)
+SELECT per.label,
+       per.n_items,
+       COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       per.n_items - COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_kept
+FROM per LEFT JOIN d USING (label)
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside embedding clusters.  ``label`` is the cluster
+    key (the same pre-clustering key ``dedup_embedding_pairs`` blocks
+    on); the cluster centroid is the per-label component SUM (exact
+    integers — the 1/n cancels out of every cosine), each item gets a
+    centroid-cosine, and within a cluster any item whose cosine to a
+    peer is ≥ τ is dropped in favor of the peer STRICTLY LOWER in
+    (centroid-cosine, vec_id) order — the paper's "keep the example
+    farthest from the centroid" rule made deterministic.  The global
+    minimum of a duplicate group is never dominated, so every group
+    keeps at least one survivor (property-tested).
+
+    Scale: the quadratic pair join is bounded by cluster size (the
+    whole point of clustering first — at 100 TB clusters come from
+    ``embedding_kmeans_step`` iterated to a fixed point, and the pair
+    join shuffles on the cluster key only); the centroid table is
+    k×dim rows → broadcast.  No all-pairs join anywhere.
+
+    Determinism: quantized integer components, exact-integer dots, and
+    every double is one division of exact values — bitwise identical in
+    DuckDB.
+    """
+    from deg04_local_data_lake_spark.operators.similarity import int_dot, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("qe"))
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = ex.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("c"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
+    )
+    vdot = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dotc"))
+    )
+    v_nrm = F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double"))
+    cs = (
+        q.join(vdot, "vec_id")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "label",
+            "qe",
+            v_nrm.alias("v_nrm"),
+            (F.col("dotc").cast("double") / (v_nrm * F.col("c_nrm"))).alias("csim"),
+        )
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    pair_cos = int_dot(F.col("a.qe"), F.col("b.qe")).cast("double") / (
+        F.col("a.v_nrm") * F.col("b.v_nrm")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(pair_cos >= SEM_TAU)
+    dropped = pairs.select(
+        F.col("a.label").alias("label"),
+        F.when(F.col("a.csim") < F.col("b.csim"), F.col("b.vec_id"))
+        .when(F.col("b.csim") < F.col("a.csim"), F.col("a.vec_id"))
+        .otherwise(F.col("b.vec_id"))
+        .alias("vec_id"),
+    ).distinct()
+    per = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_items"))
+    d = dropped.groupBy("label").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return per.join(d, "label", "left").select(
+        "label",
+        "n_items",
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+        (F.col("n_items") - F.coalesce("n_dropped", F.lit(0).cast("bigint"))).alias(
+            "n_kept"
+        ),
+    )

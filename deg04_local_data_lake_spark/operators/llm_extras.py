@@ -666,3 +666,105 @@ def bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling score (hashed-unigram surrogate)
+# ---------------------------------------------------------------------------
+
+DSIR_SCALE = 10**12  # per-token frequency micro-units (drop to 1e9 past ~sf10)
+DSIR_TOPK = 100
+
+
+@register(
+    "sample_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+scnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS sc FROM tok GROUP BY 1),
+tcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tc FROM tok WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s_total,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_total
+  FROM tok
+),
+freq AS (
+  SELECT scnt.w, sc, COALESCE(tc, CAST(0 AS BIGINT)) AS tc
+  FROM scnt LEFT JOIN tcnt USING (w)
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((tc * {DSIR_SCALE}) // t_total
+                  - (sc * {DSIR_SCALE}) // s_total) AS BIGINT) AS dsir_score
+  FROM tok JOIN freq USING (w) CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_tokens, dsir_score
+FROM scored
+ORDER BY dsir_score DESC, doc_id
+LIMIT {DSIR_TOPK}
+""",
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), integer-exact surrogate: rank every document by
+    how much its unigrams look like the TARGET distribution (here
+    ``lang = 'en'``) versus the full SOURCE corpus, and keep the top-k.
+    DSIR proper sums log(p_target/p_source) per token; cross-engine
+    bitwise parity rules out float log-sums (order-dependent), so the
+    per-token score is the scaled-frequency difference
+    ``(tc*S) div t_total - (sc*S) div s_total`` — exact BIGINTs in both
+    engines (Spark DIV and DuckDB // agree on non-negative operands),
+    monotone in the same direction as the log-ratio for the common case.
+
+    Scale: two token-frequency aggregates (map-side combine), one
+    token-keyed join back to the exploded corpus, one per-doc aggregate,
+    then global top-k as TakeOrderedAndProject — no all-pairs work, no
+    windows.  The totals frame is a broadcast 1-row crossJoin.  At 100 TB
+    the frequency table is the only wide state and it is vocabulary-,
+    not corpus-, sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    )
+    scnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("sc"))
+    tcnt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("s_total"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_total"),
+    )
+    freq = scnt.join(tcnt, "w", "left").select(
+        "w", "sc", F.coalesce("tc", F.lit(0).cast("bigint")).alias("tc")
+    )
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.expr(f"(tc * {DSIR_SCALE}) DIV t_total")
+                - F.expr(f"(sc * {DSIR_SCALE}) DIV s_total")
+            ).alias("tok_score"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tok_score").cast("bigint").alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

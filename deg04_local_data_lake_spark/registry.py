@@ -149,6 +149,9 @@ PRIORITY: list[str] = [
     "revenue_autocorr_lag1",
     "weekday_seasonality",
     "ewma_daily_revenue",
+    # --- new in round 6, queued behind the never-sampled backlog ---
+    "dedup_semdedup",
+    "sample_dsir_weights",
 ]
 
 

@@ -68,3 +68,32 @@ def test_capped_pairs_deterministic(adversarial_sig):
     a = _pair_set(minhash_candidate_pairs(adversarial_sig))
     b = _pair_set(minhash_candidate_pairs(adversarial_sig))
     assert a == b
+
+
+def test_semdedup_every_duplicate_group_keeps_a_survivor(spark, sf_dir):
+    """The drop rule ('drop x iff a peer with cosine >= tau is strictly
+    lower in (centroid-cosine, vec_id) order') must never empty a
+    duplicate group: the group's global minimum under that order has no
+    dominating peer.  Cross-check dedup_semdedup's per-label kept counts
+    against the pair graph from dedup_embedding_pairs (same tau, same
+    label blocking): every label that has at least one pair must still
+    keep >= 1 item, and labels with no pairs must keep everything.
+    """
+    from deg04_local_data_lake_spark.operators.dedup import (
+        dedup_embedding_pairs,
+        dedup_semdedup,
+    )
+
+    sem = {r["label"]: r for r in dedup_semdedup(spark, sf_dir).collect()}
+    pairs = dedup_embedding_pairs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    labels_with_pairs = {lbl[r["vec_a"]] for r in pairs.collect()}
+    assert sem, "semdedup returned no rows"
+    for label, row in sem.items():
+        assert row["n_kept"] >= 1, f"label {label} lost every member"
+        assert row["n_kept"] + row["n_dropped"] == row["n_items"]
+        if label not in labels_with_pairs:
+            assert row["n_dropped"] == 0, f"label {label} dropped without pairs"
+    # the synthetic corpus at this tau must actually exercise the drop path
+    assert any(row["n_dropped"] > 0 for row in sem.values())

@@ -171,6 +171,7 @@ _BNLJ_ALLOWED = {
     "bitmap_user_overlap",       # three 1-row popcount aggregates combined
     "hll_user_overlap",          # three 1-row sketch estimates combined
     "heavy_hitters_tokens",      # 1-row total-token-count broadcast
+    "sample_dsir_weights",       # 1-row (source-total, target-total) broadcast
     "click_to_purchase_within_hour",  # two 1-row count aggregates combined
     "winsorized_value_mean",     # 1-row clamp-bounds broadcast (+ rankdist cuts)
     # rankdist's ungrouped cutpoint frame is ONE row joined on a constant
