@@ -209,6 +209,54 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_scan_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+       CAST(max(c_custkey) AS BIGINT) AS max_custkey
+FROM customer GROUP BY 1
+""",
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML front door (built into Spark 4 — the former spark-xml
+    package's ``format("xml")``): customer → XML elements → explicit
+    -schema read → per-segment rollup. Schema-first for the same reason
+    as the CSV/JSON doors: XML inference costs a full extra pass, and a
+    declared schema keeps the money column typed DECIMAL through the
+    text round-trip so the oracle hash is exact. ``rowTag`` selection is
+    the XML-specific contract under test — the reader must bind repeated
+    ``<customer>`` elements to rows, not the document root."""
+    from pyspark.sql.types import DoubleType
+
+    path = _csv_path(sf_dir, "customer_xml")
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("rowTag", "customer").format("xml").load(path)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_balance"),
+        F.max("c_custkey").cast("bigint").alias("max_custkey"),
+    )
+
+
+@register(
     "directory_ingest_manifest",
     oracle="""
 SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer

@@ -152,6 +152,7 @@ PRIORITY: list[str] = [
     # --- new in round 6, queued behind the never-sampled backlog ---
     "dedup_semdedup",
     "sample_dsir_weights",
+    "xml_scan_roundtrip",
 ]
 
 
