@@ -1100,6 +1100,121 @@ def delta_log_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_concurrent_writers",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(4 AS BIGINT) AS n_versions,
+       TRUE AS rebase_ok,
+       TRUE AS conflict_detected
+FROM orders
+WHERE o_orderpriority IN
+      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED')
+""",
+)
+def delta_log_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency, driver-attested end-to-end: two writer
+    races against the log store's put-if-absent publish, simulated
+    deterministically by interleaving a competitor commit at the exact
+    version the writer under test is about to claim.
+
+    Race 1 (commuting): an append of the 3-MEDIUM orders loses version
+    1 to a competitor's blind append of the 2-HIGH orders — blind
+    appends commute, so the loser REBASES and lands at version 2 with
+    nothing lost (``rebase_ok``).  Race 2 (conflicting): a DELETE loses
+    its version to a competitor's blind append of the 4-NOT SPECIFIED
+    orders — the delete's predicate scan read a snapshot the new rows
+    could have matched, so the protocol's ConcurrentAppend rule REFUSES
+    to rebase and raises (``conflict_detected``), leaving the log
+    clean: 4 versions, all four priority subsets present, no deletion.
+
+    This is the Delta protocol's conflict-resolution contract
+    (delta-spark's ConflictChecker): at 100 TB the log's put-if-absent
+    plus these commute/conflict rules are what let hundreds of
+    independent jobs share one table. Reference intent:
+    ``spark_session_factory.py:27-33``."""
+    import os as _os
+    import shutil
+    import tempfile
+    from contextlib import contextmanager
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+
+    @contextmanager
+    def race_once(actions):
+        orig = dl._try_publish_commit
+        state = {"won": None}
+
+        def racing(table, version, acts):
+            if state["won"] is None:
+                state["won"] = version
+                assert orig(table, version, actions)
+            return orig(table, version, acts)
+
+        dl._try_publish_commit = racing
+        try:
+            yield state
+        finally:
+            dl._try_publish_commit = orig
+
+    def blind_append_actions(df, table):
+        adds = dl._stage_files(df, table, 999, None)
+        return adds + [
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "append"},
+                }
+            }
+        ]
+
+    root = tempfile.mkdtemp(prefix="deg04_delta_race_")
+    table = _os.path.join(root, "tbl")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(F.col("o_orderpriority") == p)  # noqa: E731
+        dl.write_delta_commit(pri("1-URGENT"), table)  # v0
+
+        # race 1: append vs blind append — must rebase, not fail/lose
+        comp1 = blind_append_actions(pri("2-HIGH"), table)
+        with race_once(comp1) as state:
+            v_rebased = dl.write_delta_commit(pri("3-MEDIUM"), table)
+        rebase_ok = state["won"] == 1 and v_rebased == 2
+
+        # race 2: DELETE vs blind append — must refuse to rebase
+        comp2 = blind_append_actions(pri("4-NOT SPECIFIED"), table)
+        conflict_detected = False
+        with race_once(comp2):
+            try:
+                dl.delete_delta(
+                    spark, table, F.col("o_orderpriority") == "1-URGENT"
+                )
+            except dl.ConcurrentModificationError:
+                conflict_detected = True
+
+        n_versions = len(dl.delta_versions(table))
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("bigint")
+        out = (
+            dl.read_delta_log(spark, table)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).alias("total_cents"),
+            )
+            .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+            .withColumn("rebase_ok", F.lit(rebase_ok))
+            .withColumn("conflict_detected", F.lit(conflict_detected))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "delta_log_column_mapping",
     oracle="""
 SELECT c_custkey, c_name,

@@ -153,6 +153,7 @@ PRIORITY: list[str] = [
     "dedup_semdedup",
     "sample_dsir_weights",
     "xml_scan_roundtrip",
+    "delta_log_concurrent_writers",
 ]
 
 

@@ -342,9 +342,15 @@ def add_delta_constraint(
             }
         },
     ]
-    new_version = version + 1
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # read-modify-write: the validation scan read every live file, and a
+    # concurrent append could introduce rows violating the new constraint
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="ADD CONSTRAINT",
+        read_paths=frozenset(_live),
+    )
 
 
 def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
@@ -371,9 +377,16 @@ def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
             }
         },
     ]
-    new_version = version + 1
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # metadata-only and read no data: commutes with concurrent data
+    # commits, conflicts only with other metadata/protocol changes
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="DROP CONSTRAINT",
+        tolerate_appends=True,
+        tolerate_removes=True,
+    )
 
 
 # ------------------------------------------------- generated columns
@@ -659,9 +672,16 @@ def rename_delta_column(
             }
         },
     ]
-    new_version = version + 1
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # column mapping keeps physical names stable, so files appended or
+    # removed concurrently stay readable under the new logical names
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="RENAME COLUMN",
+        tolerate_appends=True,
+        tolerate_removes=True,
+    )
 
 
 def _stats_skip(add: dict, column_ranges: dict[str, tuple]) -> bool:
@@ -1051,9 +1071,15 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
             }
         }
     )
-    new_version = version + 1
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # the predicate scan read every live file, and rows appended
+    # concurrently could match the predicate: both are conflicts
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="DELETE",
+        read_paths=frozenset(live),
+    )
 
 
 #: Tables carrying deletion vectors require the protocol's DV table
@@ -1256,8 +1282,15 @@ def update_delta(
             }
         }
     )
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # same read set as DELETE: the predicate scan covered every live
+    # file and concurrent appends could have matched
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="UPDATE",
+        read_paths=frozenset(live),
+    )
 
 
 def _file_stats(path: str) -> str | None:
@@ -1386,6 +1419,92 @@ def _try_publish_commit(
         os.remove(tmp)
 
 
+class ConcurrentModificationError(RuntimeError):
+    """An optimistic commit lost its race and the winning commit does
+    not commute with it — the Delta protocol's conflict classes
+    (delta-spark's ``ConflictChecker``): MetadataChangedException,
+    ProtocolChangedException, ConcurrentAppendException,
+    ConcurrentDeleteReadException. The losing operation must be re-run
+    from a fresh snapshot; blindly rebasing would publish a result
+    computed against state that no longer holds."""
+
+
+def _publish_rmw_commit(
+    table: str,
+    read_version: int,
+    actions: list[dict],
+    *,
+    op: str,
+    read_paths: frozenset[str] = frozenset(),
+    tolerate_appends: bool = False,
+    tolerate_removes: bool = False,
+) -> int:
+    """Publish the commit of a read-modify-write operation that built
+    ``actions`` against snapshot ``read_version``, applying the Delta
+    protocol's conflict-resolution rules on a lost race:
+
+    - a winning ``metaData`` or ``protocol`` action ALWAYS conflicts —
+      the op validated rows / built its result against stale table
+      metadata (MetadataChanged / ProtocolChanged);
+    - a winning ``add`` of a path in ``read_paths`` conflicts — the file
+      this op read was modified under it, e.g. re-added with a deletion
+      vector (ConcurrentDeleteRead);
+    - any other winning ``add`` conflicts unless ``tolerate_appends`` —
+      ops whose result depends on the table's rows (DELETE, UPDATE,
+      RESTORE, constraint validation) could have matched the new rows;
+      ops that only rewrite their inputs (OPTIMIZE) commute with blind
+      appends (ConcurrentAppend);
+    - a winning ``remove`` of a path in ``read_paths`` conflicts
+      (ConcurrentDeleteRead); of any other path, conflicts unless
+      ``tolerate_removes``.
+
+    Commuting winners rebase the commit to the new head and the publish
+    retries; conflicting winners raise :class:`ConcurrentModificationError`.
+    """
+    version = read_version + 1
+    while True:
+        if _try_publish_commit(table, version, actions):
+            return version
+        head = _latest_version(table)
+        for v in range(version, head + 1):
+            for a in _read_commit(table, v):
+                if "metaData" in a:
+                    raise ConcurrentModificationError(
+                        f"{op} on {table}: concurrent metadata change "
+                        f"at version {v}"
+                    )
+                if "protocol" in a:
+                    raise ConcurrentModificationError(
+                        f"{op} on {table}: concurrent protocol change "
+                        f"at version {v}"
+                    )
+                if "add" in a:
+                    path = a["add"]["path"]
+                    if path in read_paths:
+                        raise ConcurrentModificationError(
+                            f"{op} on {table}: file {path} it read was "
+                            f"concurrently modified at version {v}"
+                        )
+                    if not tolerate_appends:
+                        raise ConcurrentModificationError(
+                            f"{op} on {table}: concurrent append at "
+                            f"version {v} could change its result"
+                        )
+                if "remove" in a:
+                    path = a["remove"]["path"]
+                    if path in read_paths:
+                        raise ConcurrentModificationError(
+                            f"{op} on {table}: file {path} it read was "
+                            f"concurrently removed at version {v}"
+                        )
+                    if not tolerate_removes:
+                        raise ConcurrentModificationError(
+                            f"{op} on {table}: concurrent remove at "
+                            f"version {v} could change its result"
+                        )
+        version = head + 1
+
+
 #: Automatic checkpoint cadence (delta-spark's default): every Nth
 #: commit collapses the log so replay cost stays bounded however long
 #: a table (e.g. a streaming sink) keeps committing.
@@ -1401,6 +1520,7 @@ def write_delta_commit(
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    strict_conflicts: bool = False,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -1617,12 +1737,35 @@ def write_delta_commit(
                 write_delta_checkpoint(table)
             return version
         # Optimistic-concurrency retry: another writer claimed this
-        # version. Appends are conflict-free (they only add files) and
-        # rebase cleanly onto the new head; overwrites rebuild their
-        # tombstone set against the new state (last-writer-wins, the
-        # semantics of a blind overwrite). The staged data files are
-        # already in place and carry over untouched.
-        version = _latest_version(table) + 1
+        # version. Blind appends are data-conflict-free (they only add
+        # files) and rebase cleanly onto the new head; overwrites
+        # rebuild their tombstone set against the new state
+        # (last-writer-wins, the semantics of a blind overwrite). The
+        # staged data files are already in place and carry over
+        # untouched. BUT a winning metaData or protocol action always
+        # conflicts (MetadataChanged/ProtocolChanged): this write
+        # validated constraints, generated columns, identity marks and
+        # column mapping against the OLD metadata, so rebasing would
+        # publish rows checked against rules that no longer hold.
+        # `strict_conflicts` marks content computed FROM a snapshot
+        # (MERGE overwrites): there, any concurrent commit invalidates
+        # the computed result and rebasing would silently drop it.
+        new_head = _latest_version(table)
+        for v in range(version, new_head + 1):
+            for a in _read_commit(table, v):
+                if "metaData" in a or "protocol" in a:
+                    kind = "metadata" if "metaData" in a else "protocol"
+                    raise ConcurrentModificationError(
+                        f"{mode} write on {table}: concurrent {kind} "
+                        f"change at version {v}"
+                    )
+                if strict_conflicts and ("add" in a or "remove" in a):
+                    raise ConcurrentModificationError(
+                        f"{mode} write on {table}: the written content "
+                        f"was computed from a stale snapshot — a "
+                        f"concurrent data commit landed at version {v}"
+                    )
+        version = new_head + 1
 
 
 def write_delta_checkpoint(table: str) -> int:
@@ -1775,7 +1918,11 @@ def merge_delta(
     # Materialize BEFORE the overwrite commit: the merged plan reads the
     # files the commit is about to tombstone.
     merged = merged.localCheckpoint(eager=True)
-    return write_delta_commit(merged, table, mode="overwrite")
+    # MERGE's output is computed from the snapshot it read: a rebase
+    # over concurrent data commits would silently drop their rows
+    return write_delta_commit(
+        merged, table, mode="overwrite", strict_conflicts=True
+    )
 
 
 def _zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
@@ -1912,8 +2059,17 @@ def optimize_delta(
             }
         }
     )
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # compaction rewrites exactly its input files without changing
+    # logical content: blind appends commute (delta-spark allows them),
+    # but removal or DV-modification of an input file is a conflict
+    return _publish_rmw_commit(
+        table,
+        new_version - 1,
+        actions,
+        op="OPTIMIZE",
+        read_paths=frozenset(live),
+        tolerate_appends=True,
+    )
 
 
 def restore_delta(spark: SparkSession, table: str, version: int) -> int:
@@ -1975,9 +2131,15 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> int:
             }
         }
     )
-    new_version = cur + 1
-    _write_commit_file(table, new_version, actions)
-    return new_version
+    # RESTORE replaces the whole table state it computed from `cur`:
+    # any concurrent commit invalidates the diff
+    return _publish_rmw_commit(
+        table,
+        cur,
+        actions,
+        op="RESTORE",
+        read_paths=frozenset(cur_live),
+    )
 
 
 def clone_delta(

@@ -1292,3 +1292,152 @@ def test_shallow_clone_version_as_of_and_target_guard(spark, tmp_path):
     assert read_delta_log(spark, dst).count() == 10
     with pytest.raises(FileExistsError, match="already has a Delta log"):
         clone_delta(spark, src, dst)
+
+
+# ---------------------------------------------------------------- races
+
+
+class _Race:
+    """Interleave a competitor commit at the version the writer under
+    test is about to claim — the deterministic simulation of two
+    processes racing the log store's put-if-absent."""
+
+    def __init__(self, competitor_actions, times=1):
+        import deg04_local_data_lake_spark.sources.delta_log as dl
+
+        self.dl = dl
+        self.orig = dl._try_publish_commit
+        self.actions = competitor_actions
+        self.times = times
+        self.won = []
+
+    def __enter__(self):
+        def racing(table, version, actions):
+            if self.times > 0:
+                self.times -= 1
+                assert self.orig(table, version, self.actions)
+                self.won.append(version)
+            return self.orig(table, version, actions)
+
+        self.dl._try_publish_commit = racing
+        return self
+
+    def __exit__(self, *exc):
+        self.dl._try_publish_commit = self.orig
+
+
+def _blind_append_actions(spark, table, lo, hi):
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+
+    adds = dl._stage_files(_df(spark, lo, hi), table, 999, None)
+    return adds + [
+        {"commitInfo": {"operation": "WRITE", "operationParameters": {"mode": "append"}}}
+    ]
+
+
+def test_append_racing_blind_append_rebases(spark, table):
+    write_delta_commit(_df(spark, 0, 10), table)
+    comp = _blind_append_actions(spark, table, 100, 120)
+    with _Race(comp) as race:
+        v = write_delta_commit(_df(spark, 10, 20), table)
+    assert race.won == [1]  # competitor claimed v1 under us
+    assert v == 2  # we rebased and committed after it
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(20)) + list(range(100, 120))
+
+
+def test_append_racing_metadata_change_conflicts(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        ConcurrentModificationError,
+        _replay,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    _live, meta = _replay(table, 0)
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        "delta.constraints.positive": "v >= 0.0"
+    }
+    comp = [
+        {"metaData": new_meta},
+        {"commitInfo": {"operation": "ADD CONSTRAINT"}},
+    ]
+    with _Race(comp):
+        with pytest.raises(ConcurrentModificationError, match="metadata"):
+            write_delta_commit(_df(spark, 10, 20), table)
+    # the competitor's commit stands; ours never landed
+    assert delta_versions(table) == [0, 1]
+    assert read_delta_log(spark, table).count() == 10
+
+
+def test_delete_racing_append_conflicts(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        ConcurrentModificationError,
+        delete_delta,
+    )
+    from pyspark.sql import functions as F
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    comp = _blind_append_actions(spark, table, 100, 110)
+    with _Race(comp):
+        with pytest.raises(ConcurrentModificationError, match="concurrent append"):
+            delete_delta(spark, table, F.col("id") < 5)
+    # nothing deleted; competitor rows present
+    assert read_delta_log(spark, table).count() == 20
+
+
+def test_optimize_racing_blind_append_rebases(spark, table):
+    write_delta_commit(_df(spark, 0, 10), table)
+    write_delta_commit(_df(spark, 10, 20), table)
+    comp = _blind_append_actions(spark, table, 100, 110)
+    with _Race(comp) as race:
+        v = optimize_delta(spark, table)
+    assert race.won == [2] and v == 3
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(20)) + list(range(100, 110))
+
+
+def test_optimize_racing_remove_of_input_conflicts(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        ConcurrentModificationError,
+        _replay,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    live, _meta = _replay(table, 0)
+    victim = sorted(live)[0]
+    comp = [
+        {"remove": {"path": victim, "deletionTimestamp": 0, "dataChange": True}},
+        {"commitInfo": {"operation": "DELETE"}},
+    ]
+    with _Race(comp):
+        with pytest.raises(ConcurrentModificationError, match="concurrently removed"):
+            optimize_delta(spark, table)
+
+
+def test_merge_racing_append_conflicts(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        ConcurrentModificationError,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    comp = _blind_append_actions(spark, table, 100, 110)
+    with _Race(comp):
+        with pytest.raises(ConcurrentModificationError, match="stale snapshot"):
+            merge_delta(spark, table, _df(spark, 5, 15), key="id")
+    assert read_delta_log(spark, table).count() == 20
+
+
+def test_drop_constraint_racing_append_rebases(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_constraint,
+        drop_delta_constraint,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    add_delta_constraint(spark, table, "nonneg", "v >= 0.0")
+    comp = _blind_append_actions(spark, table, 100, 110)
+    with _Race(comp) as race:
+        v = drop_delta_constraint(spark, table, "nonneg")
+    assert race.won == [2] and v == 3
+    assert read_delta_log(spark, table).count() == 20
