@@ -2187,6 +2187,114 @@ def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_concurrent_writers",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(4 AS BIGINT) AS n_snapshots,
+       TRUE AS rebase_ok,
+       TRUE AS conflict_detected
+FROM orders
+WHERE o_orderpriority IN
+      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED')
+""",
+)
+def iceberg_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg optimistic concurrency, driver-attested: the Hadoop
+    catalog's commit is an atomic rename-WITHOUT-overwrite of the next
+    ``v{N}.metadata.json`` (put-if-absent; the version hint is advisory
+    and readers probe forward past a stale hint), so two racing writers
+    can never both claim a version.  Race 1 (commuting): an append of
+    the 3-MEDIUM orders loses its version to a competitor's append of
+    the 2-HIGH orders and REBASES — Iceberg's retryable-commit contract:
+    data files staged once, only manifest/manifest-list/metadata rebuilt
+    against the new head after revalidating schema and default spec
+    (``rebase_ok``).  Race 2 (conflicting): an overwrite loses its
+    version to a competitor's append of the 4-NOT SPECIFIED orders and
+    raises ``CommitFailedError`` — its content replaced a snapshot that
+    no longer exists (``conflict_detected``), leaving all four priority
+    subsets live across 4 snapshots (create + competitor + rebase +
+    competitor). Symmetric to ``delta_log_concurrent_writers``."""
+    import os as _os
+    import shutil
+    import tempfile
+    from contextlib import contextmanager
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    @contextmanager
+    def race_once(competitor):
+        orig = ice._try_publish_metadata_version
+        state = {"pending": True}
+
+        def racing(table, version, meta):
+            if state["pending"]:
+                state["pending"] = False
+                ice._try_publish_metadata_version = orig
+                try:
+                    competitor()
+                finally:
+                    ice._try_publish_metadata_version = racing
+            return orig(table, version, meta)
+
+        ice._try_publish_metadata_version = racing
+        try:
+            yield
+        finally:
+            ice._try_publish_metadata_version = orig
+
+    root = tempfile.mkdtemp(prefix="deg04_ice_race_")
+    table = _os.path.join(root, "tbl")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(F.col("o_orderpriority") == p)  # noqa: E731
+        ice.write_iceberg_commit(pri("1-URGENT"), table)  # snapshot 1
+
+        # race 1: append vs append — loser must rebase, not fail/lose
+        sid = None
+        with race_once(
+            lambda: ice.write_iceberg_commit(pri("2-HIGH"), table)
+        ):
+            sid = ice.write_iceberg_commit(pri("3-MEDIUM"), table)
+        rebase_ok = sid == 3
+
+        # race 2: overwrite vs append — must refuse to clobber
+        conflict_detected = False
+        with race_once(
+            lambda: ice.write_iceberg_commit(
+                pri("4-NOT SPECIFIED"), table
+            )
+        ):
+            try:
+                ice.write_iceberg_commit(
+                    pri("1-URGENT"), table, mode="overwrite"
+                )
+            except ice.CommitFailedError:
+                conflict_detected = True
+
+        n_snapshots = len(ice._load_metadata(table)["snapshots"])
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("bigint")
+        out = (
+            ice.read_iceberg(spark, table)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).alias("total_cents"),
+            )
+            .withColumn("n_snapshots", F.lit(n_snapshots).cast("bigint"))
+            .withColumn("rebase_ok", F.lit(rebase_ok))
+            .withColumn("conflict_detected", F.lit(conflict_detected))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "event_transitions",
     oracle="""
 WITH nxt AS (

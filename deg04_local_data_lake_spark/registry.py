@@ -154,6 +154,7 @@ PRIORITY: list[str] = [
     "sample_dsir_weights",
     "xml_scan_roundtrip",
     "delta_log_concurrent_writers",
+    "iceberg_concurrent_writers",
 ]
 
 

@@ -485,8 +485,51 @@ def _hint_path(table: str) -> str:
 
 
 def _current_version(table: str) -> int:
+    # The hint is advisory (two racing winners may flip it out of
+    # order): probe forward for newer committed metadata files, the
+    # Hadoop catalog's own resolution rule.
     with open(_hint_path(table)) as f:
-        return int(f.read().strip())
+        v = int(f.read().strip())
+    while os.path.exists(
+        os.path.join(_meta_dir(table), f"v{v + 1}.metadata.json")
+    ):
+        v += 1
+    return v
+
+
+class CommitFailedError(RuntimeError):
+    """An optimistic Iceberg commit lost its race and cannot be safely
+    rebased (Iceberg's CommitFailedException / ValidationException):
+    the operation computed its result — schema evolution, snapshot
+    content, ref targets, delete validation — against table state that
+    a concurrent commit replaced. Re-run the operation from a fresh
+    snapshot. Blind appends never raise this on a plain lost race —
+    they rebase automatically (Iceberg's retryable-commit contract)."""
+
+
+def _try_publish_metadata_version(table: str, version: int, meta: dict) -> bool:
+    """PUT-IF-ABSENT publish of ``v{version}.metadata.json`` followed by
+    the version-hint flip — the Hadoop catalog's commit contract is an
+    atomic RENAME WITHOUT OVERWRITE of the metadata file (the hint file
+    is advisory). ``os.link`` fails with EEXIST when another writer
+    already claimed the version, so two racing committers can never
+    both succeed — ``os.replace`` here would silently discard the first
+    writer's snapshot (lost update)."""
+    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
+    tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+    hint_tmp = _hint_path(table) + f".{uuid.uuid4().hex}.tmp"
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, _hint_path(table))
+    return True
 
 
 def _load_metadata(table: str, version: int | None = None) -> dict:
@@ -846,80 +889,117 @@ def write_iceberg_commit(
 
     shutil.rmtree(stage)
 
-    # ---- manifest (avro)
-    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-    write_container(
-        manifest_path, _manifest_entry_schema(part_fields), entries
-    )
-    new_manifest = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec["spec-id"],
-        "content": 0,  # data manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": n_rows_total,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
-    manifests = [new_manifest]
-    if mode == "append" and prev and prev.get("current-snapshot-id"):
-        cur_snap = _snapshot(prev, prev["current-snapshot-id"])
-        _s, prev_manifests = read_container(cur_snap["manifest-list"])
-        manifests = prev_manifests + manifests
+    # ---- manifest + manifest list + metadata, under optimistic retry:
+    # data files are staged exactly once; each publish attempt rewrites
+    # only metadata-sized artifacts (manifest avro, manifest list,
+    # table metadata). A lost race rebases appends (Iceberg's
+    # retryable-commit contract) after revalidating that the racer left
+    # the schema and default spec this commit resolved against intact;
+    # overwrites (which may evolve the schema and replace the whole
+    # content) raise CommitFailedError — the caller re-runs from a
+    # fresh snapshot, Iceberg's own behavior for non-append operations.
+    while True:
+        for e in entries:
+            e["snapshot_id"] = snapshot_id
+        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        write_container(
+            manifest_path, _manifest_entry_schema(part_fields), entries
+        )
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": spec["spec-id"],
+            "content": 0,  # data manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows_total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        manifests = [new_manifest]
+        if mode == "append" and prev and prev.get("current-snapshot-id"):
+            cur_snap = _snapshot(prev, prev["current-snapshot-id"])
+            _s, prev_manifests = read_container(cur_snap["manifest-list"])
+            manifests = prev_manifests + manifests
 
-    # ---- manifest list (avro)
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
-    )
-    write_container(mlist_path, _MANIFEST_FILE, manifests)
+        mlist_path = os.path.join(
+            meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_container(mlist_path, _MANIFEST_FILE, manifests)
 
-    # ---- table metadata (json)
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "sequence-number": seq,
-        "timestamp-ms": 0,
-        "manifest-list": mlist_path,
-        "summary": {"operation": mode},
-        "schema-id": schema["schema-id"],
-    }
-    meta = {
-        "format-version": 2,
-        "table-uuid": prev["table-uuid"] if prev else uuid.uuid4().hex,
-        "location": table,
-        "last-sequence-number": seq,
-        "last-updated-ms": 0,
-        "last-column-id": last_col_id,
-        "current-schema-id": schema["schema-id"],
-        "schemas": schemas,
-        "default-spec-id": spec["spec-id"],
-        "partition-specs": specs,
-        "last-partition-id": last_part_id,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "current-snapshot-id": snapshot_id,
-        "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
-        "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
-        + [{"snapshot-id": snapshot_id, "timestamp-ms": 0}],
-        # named refs survive every commit untouched; ``main`` is
-        # implicit (resolve_iceberg_ref → current-snapshot-id)
-        "refs": dict(prev.get("refs", {})) if prev else {},
-        "metadata-log": [],
-    }
-    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, meta_path)
-    tmp = _hint_path(table) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _hint_path(table))  # the Hadoop-catalog atomic commit
-    return snapshot_id
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": mlist_path,
+            "summary": {"operation": mode},
+            "schema-id": schema["schema-id"],
+        }
+        meta = {
+            "format-version": 2,
+            "table-uuid": prev["table-uuid"] if prev else uuid.uuid4().hex,
+            "location": table,
+            "last-sequence-number": seq,
+            "last-updated-ms": 0,
+            "last-column-id": last_col_id,
+            "current-schema-id": schema["schema-id"],
+            "schemas": schemas,
+            "default-spec-id": spec["spec-id"],
+            "partition-specs": specs,
+            "last-partition-id": last_part_id,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": snapshot_id,
+            "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
+            "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
+            + [{"snapshot-id": snapshot_id, "timestamp-ms": 0}],
+            # named refs survive every commit untouched; ``main`` is
+            # implicit (resolve_iceberg_ref → current-snapshot-id)
+            "refs": dict(prev.get("refs", {})) if prev else {},
+            "metadata-log": [],
+        }
+        if _try_publish_metadata_version(table, version, meta):
+            return snapshot_id
+
+        # lost the race: validate against the racer's table state
+        if prev is None:
+            raise CommitFailedError(
+                f"create of {table}: the table was concurrently created"
+            )
+        if mode != "append":
+            raise CommitFailedError(
+                f"overwrite of {table}: a concurrent commit landed; "
+                "re-run the overwrite from the fresh snapshot"
+            )
+        prev = _load_metadata(table)
+        cur_schema2 = _schema_by_id(prev, prev.get("current-schema-id", 0))
+        if not _same_shape(schema, cur_schema2):
+            raise CommitFailedError(
+                f"append to {table}: a concurrent commit changed the "
+                "schema this append was validated against"
+            )
+        spec2 = _default_spec(prev)
+        if json.dumps(spec2["fields"], sort_keys=True) != json.dumps(
+            spec["fields"], sort_keys=True
+        ):
+            raise CommitFailedError(
+                f"append to {table}: a concurrent commit changed the "
+                "default partition spec this append staged under"
+            )
+        schema = cur_schema2
+        schemas = list(prev["schemas"])
+        specs = list(prev["partition-specs"])
+        last_col_id = prev.get(
+            "last-column-id", max(f["id"] for f in cur_schema2["fields"])
+        )
+        last_part_id = prev.get("last-partition-id", last_part_id)
+        version = _current_version(table) + 1
+        seq = prev["last-sequence-number"] + 1
+        snapshot_id = seq
 
 
 def evolve_iceberg_partition_spec(
@@ -972,15 +1052,11 @@ def evolve_iceberg_partition_spec(
         meta.get("last-partition-id", 999), last_part_id
     )
     version = _current_version(table) + 1
-    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=1)
-    os.replace(tmp, meta_path)
-    tmp = _hint_path(table) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _hint_path(table))
+    if not _try_publish_metadata_version(table, version, new_meta):
+        raise CommitFailedError(
+            f"spec evolution on {table}: a concurrent commit landed; "
+            "re-run against the fresh metadata"
+        )
     return new_spec["spec-id"]
 
 
@@ -1142,15 +1218,14 @@ def _publish_delete_snapshot(
     new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": 0}
     ]
-    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=1)
-    os.replace(tmp, meta_path)
-    tmp = _hint_path(table) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _hint_path(table))
+    if not _try_publish_metadata_version(table, version, new_meta):
+        # row-level deletes validated their targets against `meta`'s
+        # snapshot: a racer may have appended matching rows or replaced
+        # the files the delete coordinates point into
+        raise CommitFailedError(
+            f"row-level delete on {table}: a concurrent commit landed; "
+            "re-run the delete from the fresh snapshot"
+        )
     return snapshot_id
 
 
@@ -1543,15 +1618,11 @@ def _publish_metadata(table: str, new_meta: dict) -> int:
     version hint — the Hadoop-catalog atomic commit tail shared by every
     metadata-only operation (refs, expiry). Returns the new version."""
     version = _current_version(table) + 1
-    meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new_meta, f, indent=1)
-    os.replace(tmp, meta_path)
-    tmp = _hint_path(table) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _hint_path(table))
+    if not _try_publish_metadata_version(table, version, new_meta):
+        raise CommitFailedError(
+            f"metadata update on {table}: a concurrent commit landed; "
+            "re-apply the change to the fresh metadata"
+        )
     return version
 
 

@@ -993,3 +993,108 @@ def test_metadata_tables_count_delete_files_separately(spark, table):
     assert sum(r.record_count for r in parts) == 100
     with pytest.raises(ValueError, match="kind must be"):
         iceberg_metadata_table(spark, table, "nope")
+
+
+# ---------------------------------------------------------------- races
+
+
+class _IceRace:
+    """Run a competitor operation at the exact moment the writer under
+    test is about to publish its metadata version — the deterministic
+    simulation of two processes racing the Hadoop catalog's
+    rename-without-overwrite commit."""
+
+    def __init__(self, competitor):
+        import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+        self.ice = ice
+        self.orig = ice._try_publish_metadata_version
+        self.competitor = competitor
+        self.pending = True
+
+    def __enter__(self):
+        def racing(table, version, meta):
+            if self.pending:
+                self.pending = False
+                self.ice._try_publish_metadata_version = self.orig
+                try:
+                    self.competitor()
+                finally:
+                    self.ice._try_publish_metadata_version = racing
+            return self.orig(table, version, meta)
+
+        self.ice._try_publish_metadata_version = racing
+        return self
+
+    def __exit__(self, *exc):
+        self.ice._try_publish_metadata_version = self.orig
+
+
+def test_iceberg_append_racing_append_rebases(spark, table):
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    with _IceRace(lambda: write_iceberg_commit(_df(spark, 100, 120), table)):
+        sid = write_iceberg_commit(_df(spark, 10, 20), table)
+    assert sid == 3  # competitor took snapshot 2; the loser rebased to 3
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(20)) + list(range(100, 120))
+    # time travel still resolves every intermediate snapshot
+    assert read_iceberg(spark, table, 1).count() == 10
+    assert read_iceberg(spark, table, 2).count() == 30
+
+
+def test_iceberg_append_racing_schema_change_conflicts(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        CommitFailedError,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    wider = spark.range(100, 110).selectExpr(
+        "id", "CAST(id * 3 AS DOUBLE) AS v", "CAST(id AS STRING) AS tag"
+    )
+    with _IceRace(
+        lambda: write_iceberg_commit(wider, table, mode="overwrite")
+    ):
+        with pytest.raises(CommitFailedError, match="schema"):
+            write_iceberg_commit(_df(spark, 10, 20), table)
+    # the competitor's overwrite stands; the stale-schema append is gone
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(100, 110))
+
+
+def test_iceberg_overwrite_racing_append_conflicts(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        CommitFailedError,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    with _IceRace(lambda: write_iceberg_commit(_df(spark, 100, 110), table)):
+        with pytest.raises(CommitFailedError, match="overwrite"):
+            write_iceberg_commit(_df(spark, 0, 5), table, mode="overwrite")
+    assert read_iceberg(spark, table).count() == 20
+
+
+def test_iceberg_delete_racing_append_conflicts(spark, table):
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        CommitFailedError,
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    with _IceRace(lambda: write_iceberg_commit(_df(spark, 100, 110), table)):
+        with pytest.raises(CommitFailedError, match="concurrent"):
+            delete_iceberg(spark, table, F.col("id") < 5)
+    assert read_iceberg(spark, table).count() == 20
+
+
+def test_iceberg_hint_probe_survives_stale_hint(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    write_iceberg_commit(_df(spark, 10, 20), table)
+    # regress the hint, as an out-of-order flip by a slow winner would
+    with open(ice._hint_path(table), "w") as f:
+        f.write("1")
+    assert ice._current_version(table) == 2
+    assert read_iceberg(spark, table).count() == 20
