@@ -1695,6 +1695,87 @@ def iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_sort_order_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       TRUE AS unsorted_unprunable,
+       TRUE AS sorted_pruned,
+       TRUE AS order_declared
+FROM events WHERE user_id BETWEEN 10 AND 20
+""",
+)
+def iceberg_sort_order_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort orders (the spec's ``sort-orders`` / ``WRITE ORDERED BY``
+    metadata) driving data skipping, driver-attested: events land
+    SHUFFLED — every file's ``user_id`` bounds span the whole domain,
+    so ``column_ranges`` pruning provably cannot drop a file
+    (``unsorted_unprunable``). ``set_iceberg_sort_order`` then declares
+    ``user_id`` as the table's default order (metadata-only commit,
+    carried forward by later commits) and ``rewrite_iceberg_sorted``
+    (Iceberg's ``rewrite_data_files(strategy => 'sort')``) rewrites the
+    live data range-clustered on it — after which the SAME range
+    predicate prunes more than half the files from the manifests alone
+    (``sorted_pruned``) while returning exactly the oracle's rows.
+    The Iceberg twin of ``delta_log_zorder_skipping``: the layout move
+    that makes a selective scan O(matching files) at 100 TB."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        read_iceberg,
+        rewrite_iceberg_sorted,
+        set_iceberg_sort_order,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_sort_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_iceberg_commit(ev.repartition(8), path)
+        rng = {"user_id": (10, 20)}
+        n_files_0 = len(read_iceberg(spark, path).inputFiles())
+        unpruned = len(
+            read_iceberg(spark, path, column_ranges=rng).inputFiles()
+        )
+        order_id = set_iceberg_sort_order(path, ["user_id"])
+        rewrite_iceberg_sorted(spark, path, target_files=16)
+        meta = _load_metadata(path)
+        order_declared = (
+            meta["default-sort-order-id"] == order_id
+            and any(
+                o["order-id"] == order_id and o["fields"]
+                for o in meta["sort-orders"]
+            )
+        )
+        n_files_1 = len(read_iceberg(spark, path).inputFiles())
+        scan = read_iceberg(spark, path, column_ranges=rng)
+        n_kept = len(scan.inputFiles())
+        out = (
+            scan.filter(F.col("user_id").between(10, 20))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+            .withColumn(
+                "unsorted_unprunable",
+                F.lit(n_files_0 > 1 and unpruned == n_files_0),
+            )
+            .withColumn(
+                "sorted_pruned",
+                F.lit(0 < n_kept <= n_files_1 - n_files_1 // 2),
+            )
+            .withColumn("order_declared", F.lit(bool(order_declared)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "iceberg_position_deletes",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

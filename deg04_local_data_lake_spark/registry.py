@@ -155,6 +155,7 @@ PRIORITY: list[str] = [
     "xml_scan_roundtrip",
     "delta_log_concurrent_writers",
     "iceberg_concurrent_writers",
+    "iceberg_sort_order_skipping",
 ]
 
 

@@ -951,8 +951,17 @@ def write_iceberg_commit(
             "default-spec-id": spec["spec-id"],
             "partition-specs": specs,
             "last-partition-id": last_part_id,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            # declared sort orders survive every data commit (data
+            # written by THIS commit is not necessarily sorted — the
+            # order is a layout declaration rewrites honor)
+            "default-sort-order-id": (
+                prev.get("default-sort-order-id", 0) if prev else 0
+            ),
+            "sort-orders": (
+                list(prev.get("sort-orders") or [{"order-id": 0, "fields": []}])
+                if prev
+                else [{"order-id": 0, "fields": []}]
+            ),
             "current-snapshot-id": snapshot_id,
             "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
             "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
@@ -1611,6 +1620,71 @@ def compact_iceberg(
     if target_files:
         df = df.repartition(target_files)
     return write_iceberg_commit(df, table, mode="overwrite")
+
+
+def set_iceberg_sort_order(table: str, columns: list[str]) -> int:
+    """``ALTER TABLE ... WRITE ORDERED BY``: declare a sort order (the
+    spec's ``sort-orders`` metadata — identity transform, ascending,
+    nulls-first per column) and make it the table default. A metadata-
+    only commit: existing data files keep their layout; the order is
+    the contract :func:`rewrite_iceberg_sorted` (Iceberg's
+    ``rewrite_data_files(strategy => 'sort')``) clusters to. Returns
+    the new order-id."""
+    meta = _load_metadata(table)
+    schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    missing = [c for c in columns if c not in by_name]
+    if missing:
+        raise ValueError(f"sort columns not in schema: {missing}")
+    orders = list(meta.get("sort-orders") or [{"order-id": 0, "fields": []}])
+    new_order = {
+        "order-id": max(o["order-id"] for o in orders) + 1,
+        "fields": [
+            {
+                "transform": "identity",
+                "source-id": by_name[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in columns
+        ],
+    }
+    new_meta = dict(meta)
+    new_meta["sort-orders"] = orders + [new_order]
+    new_meta["default-sort-order-id"] = new_order["order-id"]
+    _publish_metadata(table, new_meta)
+    return new_order["order-id"]
+
+
+def rewrite_iceberg_sorted(
+    spark: SparkSession, table: str, target_files: int = 16
+) -> int:
+    """``rewrite_data_files(strategy => 'sort')``: rewrite the live data
+    range-clustered on the table's default sort order, so each output
+    file covers a narrow disjoint range of the sort columns and the
+    per-file bounds the writer lifts into the manifests turn a range
+    predicate into an O(matching-files) scan (InclusiveMetricsEvaluator
+    pruning via ``read_iceberg(column_ranges=...)``). Requires a
+    non-empty default order (:func:`set_iceberg_sort_order` first).
+    Returns the new snapshot id."""
+    meta = _load_metadata(table)
+    order_id = meta.get("default-sort-order-id", 0)
+    order = next(
+        o for o in meta.get("sort-orders", []) if o["order-id"] == order_id
+    )
+    if not order["fields"]:
+        raise ValueError(
+            f"{table} has no default sort order; set one with "
+            "set_iceberg_sort_order first"
+        )
+    schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    cols = [by_id[f["source-id"]] for f in order["fields"]]
+    df = read_iceberg(spark, table)
+    clustered = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
+        *cols
+    )
+    return write_iceberg_commit(clustered, table, mode="overwrite")
 
 
 def _publish_metadata(table: str, new_meta: dict) -> int:

@@ -1098,3 +1098,25 @@ def test_iceberg_hint_probe_survives_stale_hint(spark, table):
         f.write("1")
     assert ice._current_version(table) == 2
     assert read_iceberg(spark, table).count() == 20
+
+
+def test_sort_order_declared_and_survives_commits(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    write_iceberg_commit(_df(spark, 0, 40), table)
+    with pytest.raises(ValueError, match="no default sort order"):
+        ice.rewrite_iceberg_sorted(spark, table)
+    with pytest.raises(ValueError, match="not in schema"):
+        ice.set_iceberg_sort_order(table, ["nope"])
+    oid = ice.set_iceberg_sort_order(table, ["v"])
+    assert oid == 1
+    # later data commits carry the declared order forward
+    write_iceberg_commit(_df(spark, 40, 80), table)
+    meta = ice._load_metadata(table)
+    assert meta["default-sort-order-id"] == oid
+    assert any(o["order-id"] == oid and o["fields"] for o in meta["sort-orders"])
+    sid = ice.rewrite_iceberg_sorted(spark, table, target_files=8)
+    got = sorted(r.id for r in read_iceberg(spark, table, sid).collect())
+    assert got == list(range(80))
+    # sorted rewrite is an overwrite snapshot: order still the default
+    assert ice._load_metadata(table)["default-sort-order-id"] == oid
