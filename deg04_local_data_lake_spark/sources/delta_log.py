@@ -2256,6 +2256,31 @@ def vacuum_delta(table: str) -> list[str]:
     return sorted(doomed)
 
 
+def cleanup_delta_log(table: str) -> list[int]:
+    """Metadata cleanup (delta-spark's ``delta.logRetentionDuration``
+    sweep, run automatically after checkpoints): JSON commits and stale
+    checkpoint files strictly BELOW the last checkpoint are redundant —
+    the checkpoint fully reconstructs its version and everything above
+    replays from it — and are deleted. Time travel below the checkpoint
+    stops resolving (loudly; that is the retention trade, and why
+    retention must exceed the oldest reader). Retention here is
+    version-based rather than wall-clock for the same no-clocks reason
+    as :func:`vacuum_delta`. Returns the removed commit versions."""
+    cp = _read_last_checkpoint(table)
+    if cp is None:
+        return []  # nothing is reconstructable without the JSON log
+    removed: list[int] = []
+    for v in delta_versions(table):
+        if v >= cp:
+            continue
+        os.remove(_commit_file(table, v))
+        removed.append(v)
+        stale_cp = _checkpoint_file(table, v)
+        if os.path.exists(stale_cp):
+            os.remove(stale_cp)
+    return removed
+
+
 def read_delta_changes(
     spark: SparkSession, table: str, from_version: int, to_version: int
 ) -> DataFrame:

@@ -1441,3 +1441,35 @@ def test_drop_constraint_racing_append_rebases(spark, table):
         v = drop_delta_constraint(spark, table, "nonneg")
     assert race.won == [2] and v == 3
     assert read_delta_log(spark, table).count() == 20
+
+
+def test_cleanup_delta_log_retention(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        cleanup_delta_log,
+        vacuum_delta,
+    )
+
+    # no checkpoint yet: cleanup must refuse to touch anything
+    write_delta_commit(_df(spark, 0, 10), table)
+    assert cleanup_delta_log(table) == []
+
+    write_delta_commit(_df(spark, 10, 20), table)
+    write_delta_commit(_df(spark, 0, 5), table, mode="overwrite")
+    write_delta_checkpoint(table)  # checkpoint at version 2
+    write_delta_commit(_df(spark, 5, 8), table)
+
+    assert cleanup_delta_log(table) == [0, 1]
+    assert delta_versions(table) == [2, 3]
+    # everything >= the checkpoint still reconstructs, values exact
+    assert read_delta_log(spark, table, 2).count() == 5
+    got = sorted(r.id for r in read_delta_log(spark, table).collect())
+    assert got == list(range(8))
+    # below the checkpoint: gone, loudly
+    with pytest.raises(Exception):
+        read_delta_log(spark, table, 1).count()
+    # vacuum still computes its referenced set from the checkpoint floor
+    doomed = vacuum_delta(table)
+    assert all("part-" in p or p.endswith(".parquet") for p in doomed)
+    assert read_delta_log(spark, table).count() == 8
+    # idempotent
+    assert cleanup_delta_log(table) == []
