@@ -1521,6 +1521,7 @@ def write_delta_commit(
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
     strict_conflicts: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -1602,6 +1603,49 @@ def write_delta_commit(
     if prev_meta0 is not None:
         # CHECK constraints bind every writer, whatever the mode
         _enforce_constraints(df, prev_meta0, f"{mode} write")
+    merged_schema: str | None = None
+    if version > 0 and mode == "append":
+        # Append schema enforcement (delta-spark's writer contract): a
+        # type change on an existing column or an extra column without
+        # merge_schema must fail LOUDLY — the lax alternative silently
+        # drops the new column and nulls mis-typed ones on read.
+        prev_fields = {
+            f["name"]: f
+            for f in json.loads(prev_meta0["schemaString"])["fields"]
+        }
+        cur_fields = json.loads(df.schema.json())["fields"]
+        mismatched = sorted(
+            f["name"]
+            for f in cur_fields
+            if f["name"] in prev_fields
+            and f["type"] != prev_fields[f["name"]]["type"]
+        )
+        if mismatched:
+            raise ValueError(
+                f"append schema mismatch on columns {mismatched}; "
+                "cast to the table's types or use mode='overwrite' "
+                "to evolve the schema"
+            )
+        extra = [f for f in cur_fields if f["name"] not in prev_fields]
+        if extra and not merge_schema:
+            raise ValueError(
+                "append has columns not in the table: "
+                f"{sorted(f['name'] for f in extra)}; pass "
+                "merge_schema=True (mergeSchema) to add them"
+            )
+        if extra:
+            if mapping0:
+                raise ValueError(
+                    "merge_schema append is not supported on "
+                    "column-mapped tables (new columns need mapped "
+                    "physical names); evolve via overwrite instead"
+                )
+            doc = json.loads(prev_meta0["schemaString"])
+            for f in extra:
+                f = dict(f)
+                f["nullable"] = True  # absent in every pre-merge file
+                doc["fields"].append(f)
+            merged_schema = json.dumps(doc)
     schema_string = df.schema.json()
     if gen_cols and (version == 0 or mode == "overwrite"):
         schema_string = _embed_generation_exprs(schema_string, gen_cols)
@@ -1617,6 +1661,22 @@ def write_delta_commit(
             id_append_schema = _embed_identity_hwms(
                 prev_meta0["schemaString"], id_hwms
             )
+    if merged_schema is not None:
+        # mergeSchema append: the commit carries a metaData action with
+        # the widened schema (reusing the identity-HWM metaData branch);
+        # when the same commit also advances identity marks, the merged
+        # fields fold into the HWM-advanced schemaString
+        if id_append_schema is not None:
+            doc = json.loads(id_append_schema)
+            have = {f["name"] for f in doc["fields"]}
+            doc["fields"] += [
+                f
+                for f in json.loads(merged_schema)["fields"]
+                if f["name"] not in have
+            ]
+            id_append_schema = json.dumps(doc)
+        else:
+            id_append_schema = merged_schema
     # an overwrite rewrites content, not table properties: constraints,
     # column-mapping state, and any other configuration carry forward
     configuration: dict = dict(

@@ -1473,3 +1473,33 @@ def test_cleanup_delta_log_retention(spark, table):
     assert read_delta_log(spark, table).count() == 8
     # idempotent
     assert cleanup_delta_log(table) == []
+
+
+def test_append_schema_enforcement_and_merge(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        cleanup_delta_log as _unused,  # noqa: F401
+    )
+
+    write_delta_commit(_df(spark, 0, 5), table)
+    # extra column without mergeSchema: loud failure, nothing committed
+    drifted = spark.range(5, 8).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "'x' AS tag"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta_commit(drifted, table)
+    # type change on an existing column: loud failure
+    retyped = spark.range(5, 8).selectExpr("id", "'oops' AS v")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_commit(retyped, table)
+    assert delta_versions(table) == [0]
+    # mergeSchema: new column lands, old files read it as NULL
+    write_delta_commit(drifted, table, merge_schema=True)
+    cur = read_delta_log(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "v", "tag"]
+    rows = {r.id: (r.v, r.tag) for r in cur.collect()}
+    assert rows[0] == (0.0, None) and rows[5] == (10.0, "x")
+    # a later subset append (missing the nullable new column) still works
+    write_delta_commit(_df(spark, 8, 10), table)
+    cur = read_delta_log(spark, table)
+    assert cur.count() == 10
+    assert cur.filter("tag IS NULL").count() == 7
