@@ -156,6 +156,7 @@ PRIORITY: list[str] = [
     "delta_log_concurrent_writers",
     "iceberg_concurrent_writers",
     "iceberg_sort_order_skipping",
+    "stream_iceberg_sink_exactly_once",
 ]
 
 

@@ -690,6 +690,7 @@ def write_iceberg_commit(
     table: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    summary_props: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the Iceberg table at
     ``table`` (created on first commit); returns the new snapshot id.
@@ -936,7 +937,9 @@ def write_iceberg_commit(
             "sequence-number": seq,
             "timestamp-ms": 0,
             "manifest-list": mlist_path,
-            "summary": {"operation": mode},
+            # extra summary properties ride the snapshot (the spec's
+            # string map) — streaming sinks record their epoch here
+            "summary": {"operation": mode, **(summary_props or {})},
             "schema-id": schema["schema-id"],
         }
         meta = {
@@ -1009,6 +1012,50 @@ def write_iceberg_commit(
         version = _current_version(table) + 1
         seq = prev["last-sequence-number"] + 1
         snapshot_id = seq
+
+
+def last_committed_epoch(table: str, app_id: str) -> int:
+    """Highest streaming epoch recorded for ``app_id`` across all
+    snapshot summaries (-1 when none) — the Iceberg-side replacement for
+    Delta's ``txn`` action: Iceberg streaming writers (the public Spark
+    and Flink sinks both do this) stamp their commit epoch into the
+    snapshot summary string map, and a restarted sink consults it to
+    skip re-delivered epochs."""
+    try:
+        meta = _load_metadata(table)
+    except FileNotFoundError:
+        return -1
+    best = -1
+    for snap in meta.get("snapshots", []):
+        s = snap.get("summary") or {}
+        if s.get("streaming-app-id") == app_id:
+            best = max(best, int(s.get("streaming-epoch-id", -1)))
+    return best
+
+
+def iceberg_stream_writer(table: str, app_id: str):
+    """foreachBatch function for an EXACTLY-ONCE streaming append sink
+    on the jar-less Iceberg table: each microbatch commits one append
+    snapshot stamped with ``(streaming-app-id, streaming-epoch-id)`` in
+    its summary, and a batch whose epoch is already recorded is skipped
+    entirely — at-least-once batch re-delivery becomes exactly-once
+    table content. The skip check is one metadata.json read (kilobytes),
+    not a data comparison. Twin of ``delta_log.delta_stream_writer``."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_epoch(table, app_id):
+            return  # replayed epoch — already committed
+        write_iceberg_commit(
+            batch_df,
+            table,
+            mode="append",
+            summary_props={
+                "streaming-app-id": app_id,
+                "streaming-epoch-id": str(batch_id),
+            },
+        )
+
+    return apply_batch
 
 
 def evolve_iceberg_partition_spec(

@@ -816,6 +816,71 @@ def stream_delta_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_iceberg_sink_exactly_once",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+""",
+)
+def stream_iceberg_sink_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming sink into the jar-less Iceberg table,
+    driver-attested — the Iceberg twin of
+    ``stream_delta_sink_exactly_once``: each microbatch commits one
+    append snapshot stamped with its streaming epoch in the snapshot
+    summary (how the public Iceberg Spark/Flink sinks record progress),
+    then the ENTIRE drain re-runs from a fresh checkpoint, re-delivering
+    every epoch — all must be skipped from one metadata.json read. The
+    final table aggregate hash-matching the plain events oracle proves
+    the skip: without it the re-drain would double every row."""
+    import os
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        iceberg_stream_writer,
+        read_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="deg04_ice_sink_") + "/events"
+    try:
+        src = _bounded_event_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for _attempt in range(2):  # second pass re-delivers every epoch
+            q = (
+                src.writeStream.foreachBatch(
+                    iceberg_stream_writer(table, "deg04_ice_sink")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "iceberg sink drain did not finish in 600s"
+                )
+            q.stop()
+        n_snaps = len(_load_metadata(table)["snapshots"])
+        out = (
+            read_iceberg(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+        )
+        assert n_snaps >= 4  # multi-batch drain, and ONLY the first one
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+
+@register(
     "stream_dedup_union",
     oracle="""
 SELECT event_id, user_id, event_type, value FROM events

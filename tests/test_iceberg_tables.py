@@ -1120,3 +1120,21 @@ def test_sort_order_declared_and_survives_commits(spark, table):
     assert got == list(range(80))
     # sorted rewrite is an overwrite snapshot: order still the default
     assert ice._load_metadata(table)["default-sort-order-id"] == oid
+
+
+def test_stream_writer_epochs_are_exactly_once(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    w = ice.iceberg_stream_writer(table, "app1")
+    w(_df(spark, 0, 10), 0)
+    w(_df(spark, 10, 20), 1)
+    # re-delivery of both epochs: skipped entirely
+    w(_df(spark, 0, 10), 0)
+    w(_df(spark, 10, 20), 1)
+    assert read_iceberg(spark, table).count() == 20
+    assert len(ice._load_metadata(table)["snapshots"]) == 2
+    assert ice.last_committed_epoch(table, "app1") == 1
+    # a DIFFERENT app's epoch counter is independent
+    assert ice.last_committed_epoch(table, "other") == -1
+    ice.iceberg_stream_writer(table, "other")(_df(spark, 20, 25), 0)
+    assert read_iceberg(spark, table).count() == 25
