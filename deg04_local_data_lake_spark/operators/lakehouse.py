@@ -2376,6 +2376,93 @@ def iceberg_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "alter_add_column_lockstep",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER
+              (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS n_note_null,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')
+            AS BIGINT) AS n_note_filled,
+       TRUE AS old_schema_preserved,
+       TRUE AS formats_agree
+FROM orders
+""",
+)
+def alter_add_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ADD COLUMNS`` run in LOCKSTEP through both
+    from-scratch table-format layers, driver-attested: the 1-URGENT
+    orders land in a Delta table and an Iceberg table, both take the
+    same metadata-only ADD COLUMN (``note`` string — zero data files
+    touched, the 100 TB point of ALTER being O(metadata)), both then
+    append the 2-HIGH orders WITH the column filled, and the outputs
+    must agree with each other (``formats_agree`` — the two protocol
+    implementations locked against each other, not just the oracle)
+    and with the plain-orders oracle: pre-ALTER rows read the new
+    column as NULL, appended rows carry it, and time travel below the
+    ALTER still serves the old schema on both sides
+    (``old_schema_preserved``)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_alter_lockstep_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        high = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+        high_noted = high.withColumn("note", F.col("o_orderpriority"))
+
+        dl.write_delta_commit(urgent, dpath)
+        ice.write_iceberg_commit(urgent, ipath)
+        sid1 = ice._load_metadata(ipath)["current-snapshot-id"]
+        dl.add_delta_columns(dpath, {"note": "string"})
+        ice.add_iceberg_columns(ipath, {"note": "string"})
+        dl.write_delta_commit(high_noted, dpath)
+        ice.write_iceberg_commit(high_noted, ipath)
+
+        old_ok = (
+            [f.name for f in dl.read_delta_log(spark, dpath, 0).schema.fields]
+            == ["o_orderkey", "o_orderpriority"]
+            and [
+                f.name
+                for f in ice.read_iceberg(spark, ipath, sid1).schema.fields
+            ]
+            == ["o_orderkey", "o_orderpriority"]
+        )
+
+        def agg(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("note").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_note_null"),
+                F.sum(
+                    F.when(F.col("note").isNotNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_note_filled"),
+            )
+
+        d = agg(dl.read_delta_log(spark, dpath)).first()
+        i = agg(ice.read_iceberg(spark, ipath)).first()
+        out = (
+            agg(dl.read_delta_log(spark, dpath))
+            .withColumn("old_schema_preserved", F.lit(bool(old_ok)))
+            .withColumn("formats_agree", F.lit(d == i))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "event_transitions",
     oracle="""
 WITH nxt AS (

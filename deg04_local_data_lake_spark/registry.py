@@ -157,6 +157,7 @@ PRIORITY: list[str] = [
     "iceberg_concurrent_writers",
     "iceberg_sort_order_skipping",
     "stream_iceberg_sink_exactly_once",
+    "alter_add_column_lockstep",
 ]
 
 

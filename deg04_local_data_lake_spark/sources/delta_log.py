@@ -389,6 +389,65 @@ def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
     )
 
 
+_ADDABLE_TYPES = {
+    "string", "long", "integer", "double", "float", "boolean",
+    "date", "timestamp", "binary", "short", "byte",
+}
+
+
+def add_delta_columns(table: str, columns: dict[str, str]) -> int:
+    """``ALTER TABLE ... ADD COLUMNS``: a metadata-only commit widening
+    the schemaString with NULLABLE columns ({name: spark type name}).
+    No data file is touched — the explicit-schema scan serves the new
+    columns as null over every existing file, and time travel below
+    this commit keeps the old schema. Under column mapping the new
+    fields get fresh physical names and ids. Commutes with concurrent
+    data commits (conflicts only with other metadata/protocol changes).
+    Returns the committed version."""
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    doc = json.loads(meta["schemaString"])
+    existing = {f["name"] for f in doc["fields"]}
+    dup = sorted(set(columns) & existing)
+    if dup:
+        raise ValueError(f"columns already exist: {dup}")
+    config = dict(meta.get("configuration") or {})
+    mapping_on = config.get("delta.columnMapping.mode") == "name"
+    max_id = int(config.get(_CM_MAX, 0) or 0)
+    for name, t in columns.items():
+        if not (t in _ADDABLE_TYPES or t.startswith("decimal(")):
+            raise ValueError(f"unsupported type for {name!r}: {t}")
+        f: dict = {"name": name, "type": t, "nullable": True, "metadata": {}}
+        if mapping_on:
+            max_id += 1
+            f["metadata"] = {_CM_PHYS: f"col-{uuid.uuid4().hex}", _CM_ID: max_id}
+        doc["fields"].append(f)
+    if mapping_on:
+        config[_CM_MAX] = str(max_id)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(doc)
+    new_meta["configuration"] = config
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "ADD COLUMNS",
+                "operationParameters": {"columns": dict(columns)},
+            }
+        },
+    ]
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="ADD COLUMNS",
+        tolerate_appends=True,
+        tolerate_removes=True,
+    )
+
+
 # ------------------------------------------------- generated columns
 #
 # The protocol stores a generated column's expression in its

@@ -1058,6 +1058,45 @@ def iceberg_stream_writer(table: str, app_id: str):
     return apply_batch
 
 
+def add_iceberg_columns(table: str, columns: dict[str, str]) -> int:
+    """``ALTER TABLE ... ADD COLUMN`` (Iceberg's updateSchema): a
+    metadata-only commit appending OPTIONAL columns ({name: iceberg
+    type}) as a new schema entry with fresh field ids and making it the
+    table's current schema. No data file is touched: a latest read
+    serves the new columns as null over every pre-evolution file, while
+    time travel keeps each snapshot's pinned schema. Subsequent appends
+    must supply the widened shape (Iceberg writers write the full
+    current schema). Returns the new schema-id."""
+    meta = _load_metadata(table)
+    cur = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    existing = {f["name"] for f in cur["fields"]}
+    dup = sorted(set(columns) & existing)
+    if dup:
+        raise ValueError(f"columns already exist: {dup}")
+    last_id = meta.get(
+        "last-column-id", max(f["id"] for f in cur["fields"])
+    )
+    new_fields = []
+    for name, t in columns.items():
+        if not (t in _ICE_TO_SPARK or t.startswith("decimal(")):
+            raise ValueError(f"unsupported iceberg type for {name!r}: {t}")
+        last_id += 1
+        new_fields.append(
+            {"id": last_id, "name": name, "required": False, "type": t}
+        )
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+        "fields": list(cur["fields"]) + new_fields,
+    }
+    new_meta = dict(meta)
+    new_meta["schemas"] = meta["schemas"] + [new_schema]
+    new_meta["current-schema-id"] = new_schema["schema-id"]
+    new_meta["last-column-id"] = last_id
+    _publish_metadata(table, new_meta)
+    return new_schema["schema-id"]
+
+
 def evolve_iceberg_partition_spec(
     table: str, partition_by: list[str]
 ) -> int:
@@ -1440,10 +1479,20 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass either snapshot_id or ref, not both")
         snapshot_id = resolve_iceberg_ref(meta, ref)
+    latest_read = snapshot_id is None
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snap = _snapshot(meta, snapshot_id)
-    ice_schema = _schema_by_id(meta, snap.get("schema-id", 0))
+    # Iceberg's scan rule: a TABLE read uses the table's CURRENT schema
+    # (so a metadata-only ADD COLUMN surfaces immediately, as nulls over
+    # pre-evolution files); TIME TRAVEL reads use the schema the
+    # snapshot pinned when written.
+    ice_schema = _schema_by_id(
+        meta,
+        meta.get("current-schema-id", snap.get("schema-id", 0))
+        if latest_read
+        else snap.get("schema-id", 0),
+    )
     part_cols = {
         pf["name"]
         for s in meta["partition-specs"]

@@ -1503,3 +1503,27 @@ def test_append_schema_enforcement_and_merge(spark, table):
     cur = read_delta_log(spark, table)
     assert cur.count() == 10
     assert cur.filter("tag IS NULL").count() == 7
+
+
+def test_add_delta_columns_metadata_only(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import add_delta_columns
+
+    write_delta_commit(_df(spark, 0, 5), table)
+    with pytest.raises(ValueError, match="already exist"):
+        add_delta_columns(table, {"v": "double"})
+    with pytest.raises(ValueError, match="unsupported type"):
+        add_delta_columns(table, {"x": "struct<a:int>"})
+    v = add_delta_columns(table, {"tag": "string", "score": "long"})
+    assert v == 1
+    cur = read_delta_log(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "v", "tag", "score"]
+    assert cur.filter("tag IS NULL AND score IS NULL").count() == 5
+    # append supplying the new columns passes the schema guard
+    widened = spark.range(5, 8).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "'x' AS tag", "id AS score"
+    )
+    write_delta_commit(widened, table)
+    assert read_delta_log(spark, table).filter("tag = 'x'").count() == 3
+    # time travel below the ALTER keeps the old schema
+    old = read_delta_log(spark, table, 0)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]

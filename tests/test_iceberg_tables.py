@@ -1166,3 +1166,32 @@ def test_concurrent_iceberg_appends_serialize_without_loss(spark, table):
     # every intermediate snapshot remains time-travelable
     for sid in sorted(sids):
         assert read_iceberg(spark, table, sid).count() == 10 * (sid - 1) + 10
+
+
+def test_add_iceberg_columns_metadata_only(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    write_iceberg_commit(_df(spark, 0, 5), table)
+    with pytest.raises(ValueError, match="already exist"):
+        ice.add_iceberg_columns(table, {"v": "double"})
+    with pytest.raises(ValueError, match="unsupported iceberg type"):
+        ice.add_iceberg_columns(table, {"x": "map<string,int>"})
+    sid1 = ice._load_metadata(table)["current-snapshot-id"]
+    new_schema_id = ice.add_iceberg_columns(table, {"tag": "string"})
+    meta = ice._load_metadata(table)
+    assert meta["current-schema-id"] == new_schema_id
+    # latest read: current schema, nulls over pre-evolution files
+    cur = read_iceberg(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "v", "tag"]
+    assert cur.filter("tag IS NULL").count() == 5
+    # time travel: the snapshot keeps its pinned (old) schema
+    old = read_iceberg(spark, table, sid1)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]
+    # appends now must supply the widened shape — and then round-trip
+    widened = spark.range(5, 8).selectExpr(
+        "id", "CAST(id * 3 AS DOUBLE) AS v", "'x' AS tag"
+    )
+    write_iceberg_commit(widened, table)
+    assert read_iceberg(spark, table).filter("tag = 'x'").count() == 3
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg_commit(_df(spark, 8, 9), table)  # old shape now fails
