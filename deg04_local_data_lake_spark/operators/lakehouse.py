@@ -2463,6 +2463,86 @@ def alter_add_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "alter_drop_column_lockstep",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS n_urgent_before_drop,
+       TRUE AS column_gone,
+       TRUE AS formats_agree
+FROM orders
+""",
+)
+def alter_drop_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... DROP COLUMN`` in LOCKSTEP through both
+    from-scratch layers, driver-attested: orders land in a Delta table
+    (DROP auto-activates column mapping, the protocol's precondition)
+    and an Iceberg table (updateSchema delete, guarded against
+    partition/sort sources), both drop ``o_orderpriority`` as a
+    METADATA-ONLY commit — zero data files touched — and afterwards
+    (a) the column is gone from both current schemas (``column_gone``),
+    (b) the surviving columns aggregate identically on both sides and
+    match the plain-orders oracle (``formats_agree`` — proving the
+    Delta physical-name mapping still binds the survivors correctly),
+    and (c) time travel below the DROP still serves the column
+    (``n_urgent_before_drop`` is computed FROM THE PRE-DROP VERSIONS
+    of both tables and must agree with the oracle)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_drop_lockstep_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        dv0 = dl.write_delta_commit(orders, dpath)
+        ice.write_iceberg_commit(orders, ipath)
+        sid0 = ice._load_metadata(ipath)["current-snapshot-id"]
+        dl.drop_delta_columns(dpath, ["o_orderpriority"])
+        ice.drop_iceberg_columns(ipath, ["o_orderpriority"])
+
+        dcur = dl.read_delta_log(spark, dpath)
+        icur = ice.read_iceberg(spark, ipath)
+        gone = "o_orderpriority" not in dcur.columns + icur.columns
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("bigint")
+
+        def agg(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).alias("total_cents"),
+            )
+
+        d, i = agg(dcur).first(), agg(icur).first()
+        urgent = F.count(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        ).cast("bigint")
+        du = dl.read_delta_log(spark, dpath, dv0).agg(urgent.alias("u")).first()["u"]
+        iu = ice.read_iceberg(spark, ipath, sid0).agg(urgent.alias("u")).first()["u"]
+        out = (
+            agg(dcur)
+            .withColumn(
+                "n_urgent_before_drop",
+                F.lit(du if du == iu else -1).cast("bigint"),
+            )
+            .withColumn("column_gone", F.lit(bool(gone)))
+            .withColumn("formats_agree", F.lit(d == i))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "event_transitions",
     oracle="""
 WITH nxt AS (

@@ -158,6 +158,7 @@ PRIORITY: list[str] = [
     "iceberg_sort_order_skipping",
     "stream_iceberg_sink_exactly_once",
     "alter_add_column_lockstep",
+    "alter_drop_column_lockstep",
 ]
 
 

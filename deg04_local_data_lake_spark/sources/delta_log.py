@@ -448,6 +448,91 @@ def add_delta_columns(table: str, columns: dict[str, str]) -> int:
     )
 
 
+def drop_delta_columns(table: str, columns: list[str]) -> int:
+    """``ALTER TABLE ... DROP COLUMN``: metadata-only commit removing
+    the fields from the schemaString. Requires (and auto-activates,
+    like RENAME) column mapping — the public protocol's precondition
+    for DROP, so readers bind surviving columns by pinned physical
+    names whatever later renames do. Data bytes stay in the files
+    (O(metadata) ALTER; a later OPTIMIZE rewrite physically sheds
+    them); time travel below the commit still serves the column.
+    Guards: partition columns, identity/generated columns, and columns
+    referenced by CHECK constraints or generation expressions cannot
+    be dropped. Returns the committed version."""
+    import re as _re
+
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    doc = json.loads(meta["schemaString"])
+    names = [f["name"] for f in doc["fields"]]
+    missing = sorted(set(columns) - set(names))
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    part_cols = set(meta.get("partitionColumns") or [])
+    bad = sorted(set(columns) & part_cols)
+    if bad:
+        raise ValueError(f"cannot drop partition columns: {bad}")
+    protected = set(_identity_columns(meta)) | set(_generated_columns(meta))
+    bad = sorted(set(columns) & protected)
+    if bad:
+        raise ValueError(f"cannot drop identity/generated columns: {bad}")
+    exprs = list(_table_constraints(meta).values()) + list(
+        _generated_columns(meta).values()
+    )
+    for c in columns:
+        for e in exprs:
+            if _re.search(rf"\b{_re.escape(c)}\b", e):
+                raise ValueError(
+                    f"cannot drop {c!r}: referenced by a CHECK "
+                    f"constraint or generation expression ({e})"
+                )
+    if len(set(columns)) >= len(names):
+        raise ValueError("cannot drop every column")
+    config = dict(meta.get("configuration") or {})
+    if config.get(_CM_MODE) != "name":
+        # DROP requires column mapping (the protocol precondition);
+        # activate exactly as RENAME does — existing names become the
+        # pinned physical names, every written file stays valid
+        config[_CM_MODE] = "name"
+        config[_CM_MAX] = str(len(doc["fields"]))
+        for i, f in enumerate(doc["fields"], start=1):
+            md = dict(f.get("metadata") or {})
+            md.setdefault(_CM_PHYS, f["name"])
+            md.setdefault(_CM_ID, i)
+            f["metadata"] = md
+    doc["fields"] = [f for f in doc["fields"] if f["name"] not in set(columns)]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(doc)
+    new_meta["configuration"] = config
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": ["columnMapping", "deletionVectors"],
+            }
+        },
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "DROP COLUMNS",
+                "operationParameters": {"columns": list(columns)},
+            }
+        },
+    ]
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="DROP COLUMNS",
+        tolerate_appends=True,
+        tolerate_removes=True,
+    )
+
+
 # ------------------------------------------------- generated columns
 #
 # The protocol stores a generated column's expression in its

@@ -1097,6 +1097,61 @@ def add_iceberg_columns(table: str, columns: dict[str, str]) -> int:
     return new_schema["schema-id"]
 
 
+def drop_iceberg_columns(table: str, columns: list[str]) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` (updateSchema delete): a
+    metadata-only commit publishing a new current schema without the
+    fields. Data files keep the bytes (the column simply stops being
+    projected — the O(metadata) ALTER contract); time travel below the
+    commit still serves it. Guards: a field that any partition spec or
+    the default sort order sources cannot be dropped. (RENAME COLUMN is
+    deliberately NOT offered on this layer: real Iceberg readers bind
+    parquet columns by field id, while this jar-less reader binds by
+    name — a rename would silently null the column in pre-rename files.
+    Delta's rename works here because column mapping pins physical
+    names; use it, or add-then-backfill on Iceberg.) Returns the new
+    schema-id."""
+    meta = _load_metadata(table)
+    cur = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    by_name = {f["name"]: f for f in cur["fields"]}
+    missing = sorted(set(columns) - set(by_name))
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    doomed_ids = {by_name[c]["id"] for c in columns}
+    spec_sources = {
+        pf["source-id"]
+        for s in meta.get("partition-specs", [])
+        for pf in s["fields"]
+    }
+    if doomed_ids & spec_sources:
+        raise ValueError(
+            f"cannot drop partition-spec source columns: {sorted(columns)}"
+        )
+    order_id = meta.get("default-sort-order-id", 0)
+    sort_sources = {
+        f["source-id"]
+        for o in meta.get("sort-orders", [])
+        if o["order-id"] == order_id
+        for f in o["fields"]
+    }
+    if doomed_ids & sort_sources:
+        raise ValueError(
+            f"cannot drop default-sort-order source columns: {sorted(columns)}"
+        )
+    remaining = [f for f in cur["fields"] if f["name"] not in set(columns)]
+    if not remaining:
+        raise ValueError("cannot drop every column")
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+        "fields": remaining,
+    }
+    new_meta = dict(meta)
+    new_meta["schemas"] = meta["schemas"] + [new_schema]
+    new_meta["current-schema-id"] = new_schema["schema-id"]
+    _publish_metadata(table, new_meta)
+    return new_schema["schema-id"]
+
+
 def evolve_iceberg_partition_spec(
     table: str, partition_by: list[str]
 ) -> int:

@@ -1527,3 +1527,36 @@ def test_add_delta_columns_metadata_only(spark, table):
     # time travel below the ALTER keeps the old schema
     old = read_delta_log(spark, table, 0)
     assert [f.name for f in old.schema.fields] == ["id", "v"]
+
+
+def test_drop_delta_columns_metadata_only(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_constraint,
+        drop_delta_columns,
+    )
+
+    tagged = spark.range(0, 6).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CAST(id % 2 AS LONG) AS flag"
+    )
+    write_delta_commit(tagged, table)
+    add_delta_constraint(spark, table, "nonneg", "v >= 0.0")
+    with pytest.raises(ValueError, match="referenced by a CHECK"):
+        drop_delta_columns(table, ["v"])
+    with pytest.raises(ValueError, match="no such columns"):
+        drop_delta_columns(table, ["nope"])
+    v = drop_delta_columns(table, ["flag"])
+    cur = read_delta_log(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "v"]
+    assert cur.count() == 6
+    # time travel below the DROP still serves the column
+    old = read_delta_log(spark, table, v - 1)
+    assert "flag" in [f.name for f in old.schema.fields]
+    assert old.filter("flag = 1").count() == 3
+    # appends now reject the dropped column, accept the new shape
+    with pytest.raises(ValueError, match="not in the table"):
+        write_delta_commit(tagged, table)
+    write_delta_commit(
+        spark.range(6, 9).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v"),
+        table,
+    )
+    assert read_delta_log(spark, table).count() == 9

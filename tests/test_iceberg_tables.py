@@ -1195,3 +1195,42 @@ def test_add_iceberg_columns_metadata_only(spark, table):
     assert read_iceberg(spark, table).filter("tag = 'x'").count() == 3
     with pytest.raises(ValueError, match="schema mismatch"):
         write_iceberg_commit(_df(spark, 8, 9), table)  # old shape now fails
+
+
+def test_drop_iceberg_columns_metadata_only(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    df = spark.range(0, 6).selectExpr(
+        "id", "CAST(id * 3 AS DOUBLE) AS v", "CAST(id % 2 AS LONG) AS flag"
+    )
+    write_iceberg_commit(df, table)
+    sid1 = ice._load_metadata(table)["current-snapshot-id"]
+    ice.set_iceberg_sort_order(table, ["v"])
+    with pytest.raises(ValueError, match="sort-order source"):
+        ice.drop_iceberg_columns(table, ["v"])
+    with pytest.raises(ValueError, match="no such columns"):
+        ice.drop_iceberg_columns(table, ["nope"])
+    ice.drop_iceberg_columns(table, ["flag"])
+    cur = read_iceberg(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "v"]
+    assert cur.count() == 6
+    # time travel: pinned schema still carries the column
+    old = read_iceberg(spark, table, sid1)
+    assert old.filter("flag = 1").count() == 3
+    # appends must match the narrowed shape
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg_commit(df, table)
+    write_iceberg_commit(
+        spark.range(6, 9).selectExpr("id", "CAST(id * 3 AS DOUBLE) AS v"),
+        table,
+    )
+    assert read_iceberg(spark, table).count() == 9
+
+
+def test_drop_iceberg_partition_source_rejected(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    df = spark.range(0, 6).selectExpr("id", "CAST(id % 2 AS STRING) AS part")
+    write_iceberg_commit(df, table, partition_by=["part"])
+    with pytest.raises(ValueError, match="partition-spec source"):
+        ice.drop_iceberg_columns(table, ["part"])
