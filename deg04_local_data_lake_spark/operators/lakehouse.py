@@ -2463,6 +2463,77 @@ def alter_add_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_column_defaults",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT)
+         AS n_pre_alter_null,
+       CAST(COUNT(*) FILTER (WHERE event_id % 3 = 1) AS BIGINT)
+         AS n_defaulted,
+       CAST(COUNT(*) FILTER (WHERE event_id % 3 = 2) AS BIGINT)
+         AS n_explicit,
+       TRUE AS feature_declared
+FROM events
+""",
+)
+def delta_log_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (the protocol's ``CURRENT_DEFAULT`` field
+    metadata, writer feature ``allowColumnDefaults``, minWriterVersion
+    7), driver-attested: a third of events land, ``add_delta_columns``
+    ALTERs in a defaulted ``source_tag`` column as a METADATA-ONLY
+    commit, a second third appends OMITTING the column (the writer must
+    materialize the default), and the last third appends SUPPLYING it
+    (the explicit value must win). The split proves all three protocol
+    behaviors at once: pre-ALTER rows read NULL (defaults never rewrite
+    history), omitted writes get the default, explicit writes keep
+    their value — counted per group against the plain events oracle."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay_protocol,
+        add_delta_columns,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="deg04_delta_defaults_")
+    path = _os.path.join(root, "tbl")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        third = lambda k: ev.filter(F.col("event_id") % 3 == k)  # noqa: E731
+        write_delta_commit(third(0), path)
+        v_alter = add_delta_columns(
+            path, {"source_tag": "string"}, defaults={"source_tag": "'bulk'"}
+        )
+        write_delta_commit(third(1), path)  # omits → default
+        write_delta_commit(
+            third(2).withColumn("source_tag", F.lit("explicit")), path
+        )
+        proto = _replay_protocol(path, v_alter)
+        feature_ok = (
+            "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+            and proto.get("minWriterVersion") == 7
+        )
+        out = read_delta_log(spark, path).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("source_tag").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pre_alter_null"),
+            F.sum(F.when(F.col("source_tag") == "bulk", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_defaulted"),
+            F.sum(F.when(F.col("source_tag") == "explicit", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_explicit"),
+        ).withColumn("feature_declared", F.lit(bool(feature_ok)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "alter_drop_column_lockstep",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

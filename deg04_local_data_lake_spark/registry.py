@@ -159,6 +159,7 @@ PRIORITY: list[str] = [
     "stream_iceberg_sink_exactly_once",
     "alter_add_column_lockstep",
     "alter_drop_column_lockstep",
+    "delta_log_column_defaults",
 ]
 
 

@@ -395,7 +395,11 @@ _ADDABLE_TYPES = {
 }
 
 
-def add_delta_columns(table: str, columns: dict[str, str]) -> int:
+def add_delta_columns(
+    table: str,
+    columns: dict[str, str],
+    defaults: dict[str, str] | None = None,
+) -> int:
     """``ALTER TABLE ... ADD COLUMNS``: a metadata-only commit widening
     the schemaString with NULLABLE columns ({name: spark type name}).
     No data file is touched — the explicit-schema scan serves the new
@@ -403,7 +407,14 @@ def add_delta_columns(table: str, columns: dict[str, str]) -> int:
     this commit keeps the old schema. Under column mapping the new
     fields get fresh physical names and ids. Commutes with concurrent
     data commits (conflicts only with other metadata/protocol changes).
-    Returns the committed version."""
+
+    ``defaults`` ({column: SQL literal/expression}) declares ``DEFAULT``
+    values (the protocol's ``CURRENT_DEFAULT`` field-metadata key,
+    writer feature ``allowColumnDefaults``, minWriterVersion 7): every
+    LATER write that omits the column materializes the default instead
+    of null; existing rows are untouched and keep reading NULL —
+    defaults bind writes, never rewrite history. Returns the committed
+    version."""
     version = _latest_version(table)
     _live, meta = _replay(table, version)
     if meta is None:
@@ -413,6 +424,12 @@ def add_delta_columns(table: str, columns: dict[str, str]) -> int:
     dup = sorted(set(columns) & existing)
     if dup:
         raise ValueError(f"columns already exist: {dup}")
+    defaults = dict(defaults or {})
+    bad_defaults = sorted(set(defaults) - set(columns))
+    if bad_defaults:
+        raise ValueError(
+            f"defaults for columns not being added: {bad_defaults}"
+        )
     config = dict(meta.get("configuration") or {})
     mapping_on = config.get("delta.columnMapping.mode") == "name"
     max_id = int(config.get(_CM_MAX, 0) or 0)
@@ -423,13 +440,23 @@ def add_delta_columns(table: str, columns: dict[str, str]) -> int:
         if mapping_on:
             max_id += 1
             f["metadata"] = {_CM_PHYS: f"col-{uuid.uuid4().hex}", _CM_ID: max_id}
+        if name in defaults:
+            f["metadata"][_CURRENT_DEFAULT] = defaults[name]
         doc["fields"].append(f)
     if mapping_on:
         config[_CM_MAX] = str(max_id)
     new_meta = dict(meta)
     new_meta["schemaString"] = json.dumps(doc)
     new_meta["configuration"] = config
-    actions = [
+    actions = []
+    if defaults:
+        proto = dict(_replay_protocol(table, version))
+        proto["minWriterVersion"] = 7
+        feats = set(proto.get("writerFeatures") or [])
+        feats.add("allowColumnDefaults")
+        proto["writerFeatures"] = sorted(feats)
+        actions.append({"protocol": proto})
+    actions += [
         {"metaData": new_meta},
         {
             "commitInfo": {
@@ -546,6 +573,36 @@ def drop_delta_columns(table: str, columns: list[str]) -> int:
 # partition-prunable day/month columns for free at 100 TB.
 
 _GEN_EXPR = "delta.generationExpression"
+
+
+_CURRENT_DEFAULT = "CURRENT_DEFAULT"  # the protocol's default-value key
+
+
+def _column_defaults(meta: dict) -> dict[str, tuple[str, str]]:
+    """column → (default SQL expression, type), from the schemaString
+    field metadata (the public protocol's ``CURRENT_DEFAULT`` key,
+    writer feature ``allowColumnDefaults``)."""
+    doc = json.loads(meta["schemaString"])
+    return {
+        f["name"]: ((f.get("metadata") or {})[_CURRENT_DEFAULT], f["type"])
+        for f in doc["fields"]
+        if _CURRENT_DEFAULT in (f.get("metadata") or {})
+    }
+
+
+def _apply_column_defaults(df: DataFrame, meta: dict) -> DataFrame:
+    """Materialize defaults for defaulted columns the writer OMITTED —
+    the protocol's writer obligation: defaults apply to writes, never
+    rewrite existing rows (pre-ALTER files keep reading NULL)."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    for name, (expr, typ) in _column_defaults(meta).items():
+        if name not in have:
+            df = df.withColumn(
+                name, F.expr(expr).cast(typ if isinstance(typ, str) else "string")
+            )
+    return df
 
 
 def _generated_columns(meta: dict) -> dict[str, str]:
@@ -1745,6 +1802,9 @@ def write_delta_commit(
         # reference a generated column the writer is about to fill in
         df = _apply_generated_columns(df, gen_cols, f"{mode} write")
     if prev_meta0 is not None:
+        # declared column DEFAULTs fill omitted columns BEFORE the
+        # constraint check (a CHECK may reference a defaulted column)
+        df = _apply_column_defaults(df, prev_meta0)
         # CHECK constraints bind every writer, whatever the mode
         _enforce_constraints(df, prev_meta0, f"{mode} write")
     merged_schema: str | None = None

@@ -1560,3 +1560,35 @@ def test_drop_delta_columns_metadata_only(spark, table):
         table,
     )
     assert read_delta_log(spark, table).count() == 9
+
+
+def test_add_column_with_default_materializes_on_writes(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import add_delta_columns
+
+    write_delta_commit(_df(spark, 0, 4), table)
+    with pytest.raises(ValueError, match="not being added"):
+        add_delta_columns(table, {"s": "string"}, defaults={"other": "'x'"})
+    add_delta_columns(
+        table, {"status": "string", "rank": "long"},
+        defaults={"status": "'new'"},
+    )
+    # subset append omitting both: default materializes, no-default is null
+    write_delta_commit(_df(spark, 4, 6), table)
+    # append supplying the column explicitly: the supplied value wins
+    write_delta_commit(
+        spark.range(6, 7).selectExpr(
+            "id", "CAST(id*2 AS DOUBLE) AS v", "'old' AS status",
+            "CAST(1 AS LONG) AS rank",
+        ),
+        table,
+    )
+    rows = {r.id: (r.status, r.rank) for r in read_delta_log(spark, table).collect()}
+    assert all(rows[i] == (None, None) for i in range(4))   # history untouched
+    assert all(rows[i] == ("new", None) for i in (4, 5))    # default applied
+    assert rows[6] == ("old", 1)                            # explicit wins
+    # the protocol commit carries the writer feature
+    from deg04_local_data_lake_spark.sources.delta_log import _replay_protocol
+
+    proto = _replay_protocol(table, 3)
+    assert "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+    assert proto["minWriterVersion"] == 7
