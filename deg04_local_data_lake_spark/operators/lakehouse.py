@@ -2463,6 +2463,44 @@ def alter_add_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_update",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN CAST(value * 2 AS DOUBLE)
+            ELSE value END AS value
+FROM events
+""",
+)
+def iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE ... SET`` on the jar-less Iceberg table, driver-attested
+    end-to-end as a full-table row compare: events commit, every
+    ``event_id % 7 = 0`` row gets ``value`` doubled via
+    ``update_iceberg`` — ONE merge-on-read snapshot carrying the
+    position-delete manifest and the replacement-data manifest
+    atomically (no data file rewritten; doubling is an exact IEEE
+    operation, so the hash must match bit for bit) — and the read-back
+    table must equal the oracle's CASE projection row for row. Twin of
+    ``delta_log_update``."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_ice_update_")
+    path = _os.path.join(root, "tbl")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        ice.write_iceberg_commit(ev, path)
+        ice.update_iceberg(
+            spark, path, F.col("event_id") % 7 == 0, {"value": "value * 2"}
+        )
+        return ice.read_iceberg(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "delta_log_column_defaults",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -160,6 +160,7 @@ PRIORITY: list[str] = [
     "alter_add_column_lockstep",
     "alter_drop_column_lockstep",
     "delta_log_column_defaults",
+    "iceberg_update",
 ]
 
 

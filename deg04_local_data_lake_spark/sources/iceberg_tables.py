@@ -1262,17 +1262,29 @@ def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
         F.col("__ice_file").alias(_POS_DELETE_FILE_COL),
         F.col("__ice_pos").alias(_POS_DELETE_POS_COL),
     )
-    # stage the delete parquet (distributed write, then adopt the files)
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    entries, n_rows_total = _stage_position_deletes(table, matched, snapshot_id)
+    if not entries:
+        return cur_id  # nothing matched: no new snapshot
+    return _publish_delete_snapshot(
+        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total
+    )
+
+
+def _stage_position_deletes(
+    table: str, coords: DataFrame, snapshot_id: int
+) -> tuple[list[dict], int]:
+    """Distributed write of (file_path, pos) coordinate parquet, adopted
+    as POSITION_DELETES manifest entries."""
     import shutil
+
+    import pyarrow.parquet as pq
 
     data_dir = os.path.join(table, "data")
     stage = os.path.join(table, f"_stage_del_{uuid.uuid4().hex}")
-    matched.write.format("parquet").mode("errorifexists").save(stage)
-    import pyarrow.parquet as pq
-
-    seq = meta["last-sequence-number"] + 1
-    snapshot_id = seq
-    entries = []
+    coords.write.format("parquet").mode("errorifexists").save(stage)
+    entries: list[dict] = []
     n_rows_total = 0
     idx = 0
     for f in sorted(os.listdir(stage)):
@@ -1307,10 +1319,114 @@ def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
         n_rows_total += n_rows
         idx += 1
     shutil.rmtree(stage)
-    if not entries:
+    return entries, n_rows_total
+
+
+def update_iceberg(
+    spark: SparkSession, table: str, condition, set_exprs: dict[str, str]
+) -> int:
+    """``UPDATE ... SET`` as ONE merge-on-read row-delta snapshot
+    (Iceberg's copy-on-write-free UPDATE, the twin of
+    ``delta_log.update_delta``): rows matching ``condition`` get
+    position-delete coordinates (no data file rewritten) and are
+    re-appended with ``set_exprs`` ({column: SQL expression over the
+    pre-update row}) applied — the delete manifest and the replacement
+    data manifest land in a SINGLE manifest list, so readers see the
+    whole UPDATE or none of it. Cost is O(matched rows) written +
+    O(coordinates) of two-column parquet, never O(touched files).
+    Returns the new snapshot id (current one unchanged when nothing
+    matches). Partitioned tables are out of this subset's scope —
+    compose ``delete_iceberg`` + ``write_iceberg_commit`` there."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(table)
+    if _default_spec(meta)["fields"]:
+        raise ValueError(
+            "update_iceberg supports unpartitioned tables; on a "
+            "partitioned table compose delete_iceberg + "
+            "write_iceberg_commit"
+        )
+    schema = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    known = {f["name"] for f in schema["fields"]}
+    bad = sorted(set(set_exprs) - known)
+    if bad:
+        raise ValueError(f"SET on unknown columns: {bad}")
+    cur_id = meta["current-snapshot-id"]
+    tagged = _read_snapshot(spark, table, meta, cur_id, keep_tags=True)
+    matched = tagged.filter(condition).localCheckpoint(eager=True)
+    coords = matched.select(
+        F.col("__ice_file").alias(_POS_DELETE_FILE_COL),
+        F.col("__ice_pos").alias(_POS_DELETE_POS_COL),
+    )
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    del_entries, n_matched = _stage_position_deletes(
+        table, coords, snapshot_id
+    )
+    if not del_entries:
         return cur_id  # nothing matched: no new snapshot
+
+    updated = matched.drop("__ice_file", "__ice_pos")
+    types = {f.name: f.dataType for f in updated.schema.fields}
+    for col, expr in set_exprs.items():
+        # UPDATE never changes a column's type (same rule as the Delta
+        # twin): cast the SET expression to the existing type
+        updated = updated.withColumn(col, F.expr(expr).cast(types[col]))
+
+    # stage the replacement rows as ordinary data files with bounds
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(table, "data")
+    stage = os.path.join(table, f"_stage_upd_{uuid.uuid4().hex}")
+    updated.write.format("parquet").mode("errorifexists").save(stage)
+    data_entries: list[dict] = []
+    data_rows = 0
+    idx = 0
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(stage, f)
+        n_rows = pq.read_metadata(src).num_rows
+        if n_rows == 0:
+            continue
+        lower, upper = _file_bounds(src, schema["fields"])
+        name = f"{snapshot_id:05d}-update-{idx:05d}-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(data_dir, name)
+        os.rename(src, dst)
+        data_entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                    "equality_ids": None,
+                },
+            }
+        )
+        data_rows += n_rows
+        idx += 1
+    shutil.rmtree(stage)
     return _publish_delete_snapshot(
-        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total
+        table,
+        meta,
+        cur_id,
+        seq,
+        snapshot_id,
+        del_entries,
+        n_matched,
+        data_entries=data_entries,
+        data_rows=data_rows,
     )
 
 
@@ -1322,10 +1438,14 @@ def _publish_delete_snapshot(
     snapshot_id: int,
     entries: list[dict],
     n_rows_total: int,
+    data_entries: list[dict] | None = None,
+    data_rows: int = 0,
 ) -> int:
-    """Append a DELETE manifest (position or equality delete files) to
-    the current manifest list and publish the next snapshot + metadata
-    version — the shared commit tail of both row-level delete forms."""
+    """Append a DELETE manifest (position or equality delete files) —
+    and, for row-delta commits (UPDATE), a DATA manifest of replacement
+    rows — to the current manifest list and publish the next snapshot +
+    metadata version, atomically: the shared commit tail of DELETE and
+    UPDATE."""
     meta_dir = _meta_dir(table)
     manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
     write_container(manifest_path, _manifest_entry_schema([]), entries)
@@ -1347,6 +1467,26 @@ def _publish_delete_snapshot(
     cur_snap = _snapshot(meta, cur_id)
     _s, prev_manifests = read_container(cur_snap["manifest-list"])
     manifests = prev_manifests + [new_manifest]
+    if data_entries:
+        dman_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+        write_container(dman_path, _manifest_entry_schema([]), data_entries)
+        manifests.append(
+            {
+                "manifest_path": dman_path,
+                "manifest_length": os.path.getsize(dman_path),
+                "partition_spec_id": 0,
+                "content": 0,  # DATA manifest (the re-written rows)
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": data_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     mlist_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
@@ -1358,7 +1498,7 @@ def _publish_delete_snapshot(
         "sequence-number": seq,
         "timestamp-ms": 0,
         "manifest-list": mlist_path,
-        "summary": {"operation": "delete"},
+        "summary": {"operation": "overwrite" if data_entries else "delete"},
         "schema-id": cur_snap.get("schema-id", 0),
     }
     new_meta = dict(meta)

@@ -1234,3 +1234,39 @@ def test_drop_iceberg_partition_source_rejected(spark, table):
     write_iceberg_commit(df, table, partition_by=["part"])
     with pytest.raises(ValueError, match="partition-spec source"):
         ice.drop_iceberg_columns(table, ["part"])
+
+
+def test_update_iceberg_single_row_delta_snapshot(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+    from pyspark.sql import functions as F
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    with pytest.raises(ValueError, match="unknown columns"):
+        ice.update_iceberg(spark, table, F.col("id") < 3, {"nope": "1"})
+    sid = ice.update_iceberg(
+        spark, table, F.col("id") < 3, {"v": "v + 100.0"}
+    )
+    rows = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    assert len(rows) == 10
+    assert all(rows[i] == i * 3.0 + 100.0 for i in range(3))
+    assert all(rows[i] == i * 3.0 for i in range(3, 10))
+    # ONE snapshot carries delete + replacement manifests atomically
+    meta = ice._load_metadata(table)
+    assert len(meta["snapshots"]) == 2
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    # time travel below the UPDATE: original values
+    assert {r.v for r in read_iceberg(spark, table, 1).collect()} == {
+        i * 3.0 for i in range(10)
+    }
+    # no-match UPDATE commits nothing
+    assert ice.update_iceberg(spark, table, F.col("id") > 99, {"v": "0.0"}) == sid
+    # compaction folds the row delta into plain files
+    ice.compact_iceberg(spark, table)
+    rows = {r.id: r.v for r in read_iceberg(spark, table).collect()}
+    assert rows[0] == 100.0 and rows[9] == 27.0
+    # partitioned tables are explicitly out of scope
+    p = table + "_part"
+    df = spark.range(0, 6).selectExpr("id", "CAST(id % 2 AS STRING) AS part")
+    write_iceberg_commit(df, p, partition_by=["part"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        ice.update_iceberg(spark, p, F.col("id") < 3, {"id": "id"})
