@@ -2463,6 +2463,83 @@ def alter_add_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_travel_timestamp_lockstep",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER
+              (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS n_asof_mid,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH', '3-MEDIUM'))
+            AS BIGINT) AS n_asof_late,
+       TRUE AS early_out_of_retention,
+       TRUE AS formats_agree
+FROM orders
+""",
+)
+def time_travel_timestamp_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` in LOCKSTEP through both from-scratch layers,
+    driver-attested: three timestamped appends (t=1000/2000/3000 —
+    caller-supplied instants, the engine's no-ambient-clocks rule) land
+    the 1-URGENT / 2-HIGH / 3-MEDIUM orders in a Delta table
+    (``commit_timestamp`` → commitInfo) and an Iceberg table
+    (``timestamp_ms`` → snapshot-log). Reading AS OF t=2500 must
+    resolve the SECOND state on both sides, AS OF t=9999 the third,
+    an instant before the first commit must fail loudly on both
+    (``early_out_of_retention``), and the two engines' counts must
+    agree with each other and the plain-orders oracle."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_ts_lockstep_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(F.col("o_orderpriority") == p)  # noqa: E731
+        for ts, p in ((1000, "1-URGENT"), (2000, "2-HIGH"), (3000, "3-MEDIUM")):
+            dl.write_delta_commit(pri(p), dpath, commit_timestamp=ts)
+            ice.write_iceberg_commit(pri(p), ipath, timestamp_ms=ts)
+
+        def counts(asof):
+            d = dl.read_delta_log(spark, dpath, timestamp_as_of=asof).count()
+            i = ice.read_iceberg(spark, ipath, as_of_timestamp_ms=asof).count()
+            return d, i
+
+        d_mid, i_mid = counts(2500)
+        d_late, i_late = counts(9999)
+        early_fails = 0
+        for fn in (
+            lambda: dl.read_delta_log(spark, dpath, timestamp_as_of=500),
+            lambda: ice.read_iceberg(spark, ipath, as_of_timestamp_ms=500),
+        ):
+            try:
+                fn()
+            except ValueError:
+                early_fails += 1
+        out = spark.createDataFrame(
+            [
+                (
+                    d_mid if d_mid == i_mid else -1,
+                    d_late if d_late == i_late else -1,
+                    early_fails == 2,
+                    d_mid == i_mid and d_late == i_late,
+                )
+            ],
+            "n_asof_mid long, n_asof_late long, "
+            "early_out_of_retention boolean, formats_agree boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "iceberg_update",
     oracle="""
 SELECT event_id,

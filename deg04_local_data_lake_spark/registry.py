@@ -161,6 +161,7 @@ PRIORITY: list[str] = [
     "alter_drop_column_lockstep",
     "delta_log_column_defaults",
     "iceberg_update",
+    "time_travel_timestamp_lockstep",
 ]
 
 

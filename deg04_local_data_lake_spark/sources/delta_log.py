@@ -960,12 +960,36 @@ def _scan_adds(
     return reduce(DataFrame.unionByName, scans)
 
 
+def _version_at_timestamp(table: str, ts: int) -> int:
+    """``TIMESTAMP AS OF`` resolution: the newest version whose
+    commitInfo timestamp is ≤ ``ts`` (delta-spark's rule). Commits
+    written without a caller-supplied timestamp carry 0 and therefore
+    always qualify; versions truncated below a checkpoint are out of
+    retention and never resolve."""
+    best = None
+    for v in delta_versions(table):
+        t = 0
+        for a in _read_commit(table, v):
+            if "commitInfo" in a:
+                t = int(a["commitInfo"].get("timestamp", 0) or 0)
+        if t <= ts:
+            best = v  # versions ascend and timestamps are monotone
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts} in {table}"
+        )
+    return best
+
+
 def read_delta_log(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
     column_ranges: dict[str, tuple] | None = None,
+    timestamp_as_of: int | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table (latest, or ``VERSION AS OF`` when
     ``version`` is given) by replaying the transaction log from scratch.
@@ -992,6 +1016,10 @@ def read_delta_log(
     cluster_by=...)``) the per-file ranges are narrow, so a selective
     range predicate scans O(matching files) — delta-spark's
     OPTIMIZE ZORDER + data-skipping story, reproduced on the log."""
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp_as_of, not both")
+        version = _version_at_timestamp(table, timestamp_as_of)
     if version is None:
         version = _latest_version(table)
     live, meta = _replay(table, version)
@@ -1723,6 +1751,7 @@ def write_delta_commit(
     identity_columns: dict[str, dict] | None = None,
     strict_conflicts: bool = False,
     merge_schema: bool = False,
+    commit_timestamp: int | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -1993,6 +2022,9 @@ def write_delta_commit(
                 "commitInfo": {
                     "operation": "WRITE",
                     "operationParameters": {"mode": mode},
+                    # deterministic wall-clock: the caller supplies it
+                    # (no ambient clocks in this engine); 0 = unset
+                    "timestamp": int(commit_timestamp or 0),
                 }
             }
         )

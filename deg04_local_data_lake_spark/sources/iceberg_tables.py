@@ -691,6 +691,7 @@ def write_iceberg_commit(
     mode: str = "append",
     partition_by: list[str] | None = None,
     summary_props: dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the Iceberg table at
     ``table`` (created on first commit); returns the new snapshot id.
@@ -935,7 +936,7 @@ def write_iceberg_commit(
         snapshot = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
-            "timestamp-ms": 0,
+            "timestamp-ms": int(timestamp_ms or 0),
             "manifest-list": mlist_path,
             # extra summary properties ride the snapshot (the spec's
             # string map) — streaming sinks record their epoch here
@@ -968,7 +969,8 @@ def write_iceberg_commit(
             "current-snapshot-id": snapshot_id,
             "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
             "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
-            + [{"snapshot-id": snapshot_id, "timestamp-ms": 0}],
+            + [{"snapshot-id": snapshot_id,
+                "timestamp-ms": int(timestamp_ms or 0)}],
             # named refs survive every commit untouched; ``main`` is
             # implicit (resolve_iceberg_ref → current-snapshot-id)
             "refs": dict(prev.get("refs", {})) if prev else {},
@@ -1650,6 +1652,7 @@ def read_iceberg(
     column_ranges: dict[str, tuple] | None = None,
     keep_tags: bool = False,
     ref: str | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``) by
     resolving version-hint → metadata.json → manifest list (avro) →
@@ -1674,6 +1677,25 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass either snapshot_id or ref, not both")
         snapshot_id = resolve_iceberg_ref(meta, ref)
+    if as_of_timestamp_ms is not None:
+        # ``TIMESTAMP AS OF``: the snapshot-log entry with the newest
+        # timestamp-ms ≤ the requested instant (Iceberg's rule; entries
+        # are append-ordered and timestamps monotone)
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass either snapshot_id/ref or as_of_timestamp_ms, not both"
+            )
+        best = None
+        for entry in meta.get("snapshot-log", []):
+            if int(entry.get("timestamp-ms", 0)) <= as_of_timestamp_ms:
+                best = entry["snapshot-id"]
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_timestamp_ms}"
+            )
+        snapshot_id = best
     latest_read = snapshot_id is None
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]

@@ -1592,3 +1592,16 @@ def test_add_column_with_default_materializes_on_writes(spark, table):
     proto = _replay_protocol(table, 3)
     assert "allowColumnDefaults" in (proto.get("writerFeatures") or [])
     assert proto["minWriterVersion"] == 7
+
+
+def test_timestamp_as_of_resolution(spark, table):
+    write_delta_commit(_df(spark, 0, 10), table, commit_timestamp=1000)
+    write_delta_commit(_df(spark, 10, 20), table, commit_timestamp=2000)
+    write_delta_commit(_df(spark, 20, 30), table, commit_timestamp=3000)
+    assert read_delta_log(spark, table, timestamp_as_of=2500).count() == 20
+    assert read_delta_log(spark, table, timestamp_as_of=2000).count() == 20
+    assert read_delta_log(spark, table, timestamp_as_of=99999).count() == 30
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_delta_log(spark, table, timestamp_as_of=500)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_log(spark, table, version=1, timestamp_as_of=2500)

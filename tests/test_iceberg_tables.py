@@ -1270,3 +1270,16 @@ def test_update_iceberg_single_row_delta_snapshot(spark, table):
     write_iceberg_commit(df, p, partition_by=["part"])
     with pytest.raises(ValueError, match="unpartitioned"):
         ice.update_iceberg(spark, p, F.col("id") < 3, {"id": "id"})
+
+
+def test_iceberg_timestamp_as_of_resolution(spark, table):
+    write_iceberg_commit(_df(spark, 0, 10), table, timestamp_ms=1000)
+    write_iceberg_commit(_df(spark, 10, 20), table, timestamp_ms=2000)
+    write_iceberg_commit(_df(spark, 20, 30), table, timestamp_ms=3000)
+    assert read_iceberg(spark, table, as_of_timestamp_ms=2500).count() == 20
+    assert read_iceberg(spark, table, as_of_timestamp_ms=2000).count() == 20
+    assert read_iceberg(spark, table, as_of_timestamp_ms=99999).count() == 30
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg(spark, table, as_of_timestamp_ms=500)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, table, snapshot_id=1, as_of_timestamp_ms=2500)
