@@ -2463,6 +2463,61 @@ def alter_add_column_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_change_feed",
+    oracle="""
+SELECT event_id, value,
+       'insert' AS _change_type,
+       CAST(2 AS BIGINT) AS _commit_snapshot_id
+FROM events WHERE event_id % 3 = 2
+UNION ALL
+SELECT event_id, CAST(value * 2 AS DOUBLE), 'insert', CAST(3 AS BIGINT)
+FROM events
+WHERE event_id % 3 <> 2 AND event_id % 5 = 0 AND value * 2 <> value
+UNION ALL
+SELECT event_id, value, 'delete', CAST(3 AS BIGINT)
+FROM events
+WHERE event_id % 3 <> 2 AND event_id % 5 = 0 AND value * 2 <> value
+""",
+)
+def iceberg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan over the jar-less Iceberg table, driver-attested:
+    snapshot 1 seeds two thirds of events, snapshot 2 appends the rest
+    (the changelog's FAST PATH — only the added files are read, tagged
+    'insert'), snapshot 3 doubles ``value`` where ``event_id % 5 = 0``
+    via ``update_iceberg`` (a row-delta snapshot — the changelog yields
+    its exact delete+insert pairs from the adjacent-snapshot multiset
+    diff), and ``read_iceberg_changes(1, 3)`` must hash-match the
+    oracle's UNION ALL of all three change sets. Twin of
+    ``delta_log_change_feed``; doubling is IEEE-exact so values match
+    bit for bit. Rows whose value is 0 appear on neither side: doubling
+    them is a no-op and a value-level changelog correctly emits nothing
+    for an update that changed nothing."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_ice_cdf_")
+    path = _os.path.join(root, "tbl")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        ice.write_iceberg_commit(ev.filter(F.col("event_id") % 3 != 2), path)
+        ice.write_iceberg_commit(ev.filter(F.col("event_id") % 3 == 2), path)
+        ice.update_iceberg(
+            spark,
+            path,
+            (F.col("event_id") % 3 != 2) & (F.col("event_id") % 5 == 0),
+            {"value": "value * 2"},
+        )
+        return ice.read_iceberg_changes(spark, path, 1, 3).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "time_travel_timestamp_lockstep",
     oracle="""
 SELECT CAST(COUNT(*) FILTER

@@ -162,6 +162,7 @@ PRIORITY: list[str] = [
     "delta_log_column_defaults",
     "iceberg_update",
     "time_travel_timestamp_lockstep",
+    "iceberg_change_feed",
 ]
 
 

@@ -1283,3 +1283,23 @@ def test_iceberg_timestamp_as_of_resolution(spark, table):
         read_iceberg(spark, table, as_of_timestamp_ms=500)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, table, snapshot_id=1, as_of_timestamp_ms=2500)
+
+
+def test_read_iceberg_changes_paths(spark, table):
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+    from pyspark.sql import functions as F
+
+    write_iceberg_commit(_df(spark, 0, 10), table)          # snap 1
+    write_iceberg_commit(_df(spark, 10, 15), table)         # snap 2 append
+    ice.update_iceberg(spark, table, F.col("id") < 2, {"v": "v * 2"})  # snap 3
+    ch = ice.read_iceberg_changes(spark, table, 1, 3)
+    got = {(r.id, r.v, r._change_type, r._commit_snapshot_id) for r in ch.collect()}
+    expect = {(i, i * 3.0, "insert", 2) for i in range(10, 15)}
+    # id 0 has v=0.0: doubling is a no-op, and a value-level changelog
+    # correctly reports NOTHING for a row the update didn't change
+    expect |= {(1, 6.0, "insert", 3), (1, 3.0, "delete", 3)}
+    assert got == expect
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        ice.read_iceberg_changes(spark, table, 1, 99)
+    with pytest.raises(ValueError, match="must precede"):
+        ice.read_iceberg_changes(spark, table, 3, 1)
