@@ -75,7 +75,10 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_lake_table(
-    spark: SparkSession, path_or_name: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path_or_name: str,
+    fmt: str = "parquet",
+    timestamp_as_of: int | None = None,
 ) -> DataFrame:
     """Lake-table scan: by path for delta/parquet (S3:
     custom/delta_table_read.py:31), by catalog name for managed/Iceberg
@@ -88,7 +91,12 @@ def read_lake_table(
     same table layouts the jars produce, resolved offline. A path that
     contains a ``_delta_log`` / ``metadata/version-hint.text`` routes
     directly to the log reader even before trying the jar, so behavior
-    is deterministic in both environments."""
+    is deterministic in both environments.
+
+    ``timestamp_as_of`` is ``TIMESTAMP AS OF`` time travel for the
+    delta/iceberg formats (delta-spark's ``timestampAsOf`` option /
+    Iceberg's ``as-of-timestamp``), resolved against the deterministic
+    caller-supplied commit timestamps."""
     import os
 
     if fmt == "catalog":
@@ -97,7 +105,10 @@ def read_lake_table(
         os.path.join(path_or_name, "_delta_log")
     ):
         try:
-            return spark.read.format("delta").load(path_or_name)
+            reader = spark.read.format("delta")
+            if timestamp_as_of is not None:
+                reader = reader.option("timestampAsOf", timestamp_as_of)
+            return reader.load(path_or_name)
         except Exception as exc:
             if not _is_missing_datasource(exc, "delta"):
                 raise
@@ -105,12 +116,17 @@ def read_lake_table(
                 read_delta_log,
             )
 
-            return read_delta_log(spark, path_or_name)
+            return read_delta_log(
+                spark, path_or_name, timestamp_as_of=timestamp_as_of
+            )
     if fmt == "iceberg" and os.path.exists(
         os.path.join(path_or_name, "metadata", "version-hint.text")
     ):
         try:
-            return spark.read.format("iceberg").load(path_or_name)
+            reader = spark.read.format("iceberg")
+            if timestamp_as_of is not None:
+                reader = reader.option("as-of-timestamp", timestamp_as_of)
+            return reader.load(path_or_name)
         except Exception as exc:
             if not _is_missing_datasource(exc, "iceberg"):
                 raise
@@ -118,7 +134,9 @@ def read_lake_table(
                 read_iceberg,
             )
 
-            return read_iceberg(spark, path_or_name)
+            return read_iceberg(
+                spark, path_or_name, as_of_timestamp_ms=timestamp_as_of
+            )
     return spark.read.format(fmt).load(path_or_name)
 
 

@@ -1605,3 +1605,22 @@ def test_timestamp_as_of_resolution(spark, table):
         read_delta_log(spark, table, timestamp_as_of=500)
     with pytest.raises(ValueError, match="not both"):
         read_delta_log(spark, table, version=1, timestamp_as_of=2500)
+
+
+def test_read_lake_table_timestamp_as_of(spark, table, tmp_path):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        write_iceberg_commit,
+    )
+    from deg04_local_data_lake_spark.sources.readers import read_lake_table
+
+    write_delta_commit(_df(spark, 0, 10), table, commit_timestamp=1000)
+    write_delta_commit(_df(spark, 10, 20), table, commit_timestamp=2000)
+    assert read_lake_table(
+        spark, table, fmt="delta", timestamp_as_of=1500
+    ).count() == 10
+    ice = str(tmp_path / "ice")
+    write_iceberg_commit(_df(spark, 0, 10), ice, timestamp_ms=1000)
+    write_iceberg_commit(_df(spark, 10, 20), ice, timestamp_ms=2000)
+    assert read_lake_table(
+        spark, ice, fmt="iceberg", timestamp_as_of=1500
+    ).count() == 10
