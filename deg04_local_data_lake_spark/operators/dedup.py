@@ -1069,6 +1069,19 @@ def prefix_jaccard_pairs(
 
 SEM_TAU = 0.3  # synthetic embeddings peak at ~0.51 pairwise cosine
 
+#: Mega-CLUSTER guard, the SemDeDup twin of MEGA_BUCKET_CAP: the in-
+#: cluster pair join is quadratic in cluster size, so a degenerate
+#: corpus (one giant embedding cluster — near-constant embeddings, or a
+#: k-means that never separated) is the same failure mode a mega band
+#: bucket is for MinHash. Clusters larger than the cap are salted into
+#: ceil(n/cap) deterministic sub-groups (xxhash64(vec_id) mod nsub) and
+#: pairs form within a sub-group only: per-cluster work drops from n²
+#: to ~n·cap. Observed cluster maxima on the testdata are 63 (sf0.001),
+#: 59 (sf0.01) and 218 (sf0.1) — all under the cap, so the drop set is
+#: exactly the uncapped one there (property-tested in
+#: tests/test_dedup_skew.py, adversarial single-cluster corpus).
+SEM_CLUSTER_CAP = 256
+
 
 @register(
     "dedup_semdedup",
@@ -1142,11 +1155,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: quantized integer components, exact-integer dots, and
     every double is one division of exact values — bitwise identical in
-    DuckDB.
+    DuckDB.  The DuckDB oracle is the UNCAPPED drop set; they coincide
+    whenever no cluster exceeds ``SEM_CLUSTER_CAP``, which holds for the
+    testdata (max observed cluster 218 vs cap 256; the adversarial skew
+    property test pins the capped behavior).
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_drop_counts(emb)
+
+
+def semdedup_drop_counts(
+    emb: DataFrame, *, cluster_cap: int = SEM_CLUSTER_CAP
+) -> DataFrame:
+    """SemDeDup core over ``(vec_id, label, embedding)`` →
+    ``(label, n_items, n_dropped, n_kept)`` with the mega-cluster salt
+    cap (see :data:`SEM_CLUSTER_CAP`): clusters above ``cluster_cap``
+    split into deterministic sub-groups and the quadratic pair join is
+    keyed on ``(label, salt)`` — bounded work per cluster whatever the
+    corpus does, the exact trade MinHash's band buckets make."""
     from deg04_local_data_lake_spark.operators.similarity import int_dot, quantized
 
-    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("qe"))
     ex = q.select(
         "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
@@ -1161,15 +1189,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dotc"))
     )
     v_nrm = F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double"))
+    # mega-cluster salt: metadata-sized per-label counts, broadcast back;
+    # at/below the cap nsub == 1 and salt == 0 everywhere — the join is
+    # then exactly the uncapped (label-only) one
+    sizes = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_in_cluster"))
+    nsub = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("n_in_cluster") / F.lit(cluster_cap)).cast("int"),
+    )
     cs = (
         q.join(vdot, "vec_id")
         .join(F.broadcast(cnorm), "label")
+        .join(F.broadcast(sizes), "label")
         .select(
             "vec_id",
             "label",
             "qe",
             v_nrm.alias("v_nrm"),
             (F.col("dotc").cast("double") / (v_nrm * F.col("c_nrm"))).alias("csim"),
+            F.pmod(F.xxhash64(F.col("vec_id")), nsub).cast("int").alias("salt"),
         )
     )
     a, b = cs.alias("a"), cs.alias("b")
@@ -1179,6 +1217,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.salt") == F.col("b.salt"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).filter(pair_cos >= SEM_TAU)
     dropped = pairs.select(

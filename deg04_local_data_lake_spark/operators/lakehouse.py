@@ -3055,3 +3055,183 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_at_purchase",
         "version_at_purchase",
     )
+
+
+@register(
+    "time_travel_monotonized_mutations",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_asof_append,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+         AS n_asof_after,
+       TRUE AS formats_agree
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def time_travel_monotonized_mutations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF across an UNTIMESTAMPED mutation, lockstep on
+    both from-scratch layers: a timestamped append (t=1000) followed by
+    an untimestamped row-level DELETE must leave ``asof=1000`` serving
+    the FULL pre-delete state (the mutation monotonizes to strictly
+    after its predecessor — carry-forward + 1, delta-spark's
+    DeltaHistoryManager rule), while ``asof=1001`` serves the deleted
+    state. A 0-defaulted mutation timestamp — the bug this attests
+    against — would return the deleted state at every instant."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_ts_mono_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        urgent = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        dl.write_delta_commit(urgent, dpath, commit_timestamp=1000)
+        ice.write_iceberg_commit(urgent, ipath, timestamp_ms=1000)
+        dl.delete_delta(spark, dpath, "o_orderkey % 2 = 0")  # untimestamped
+        ice.delete_iceberg(spark, ipath, "o_orderkey % 2 = 0")
+
+        def counts(asof):
+            d = dl.read_delta_log(spark, dpath, timestamp_as_of=asof).count()
+            i = ice.read_iceberg(spark, ipath, as_of_timestamp_ms=asof).count()
+            return d, i
+
+        d_pre, i_pre = counts(1000)   # the append instant: pre-delete
+        d_post, i_post = counts(1001)  # strictly after: deleted state
+        out = spark.createDataFrame(
+            [
+                (
+                    d_pre if d_pre == i_pre else -1,
+                    d_post if d_post == i_post else -1,
+                    d_pre == i_pre and d_post == i_post,
+                )
+            ],
+            "n_asof_append long, n_asof_after long, formats_agree boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_epoch_survives_expiry",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS high_water_after_expiry,
+       TRUE AS replays_skipped
+FROM orders
+WHERE o_orderkey % 4 < 4
+""",
+)
+def stream_epoch_survives_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE past snapshot expiry, driver-attested: four epochs
+    land in a jar-less Iceberg sink, ``expire_snapshots`` drops all but
+    the newest snapshot (taking the old epochs' summaries with it), and
+    a full at-least-once REDELIVERY of every epoch must commit nothing —
+    the skip set lives in table PROPERTIES carried forward by every
+    commit and preserved by expiry, not in the retained snapshot set.
+    The bug this attests against: deriving the high-water epoch from
+    retained summaries alone doubles every expired epoch's rows."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_epoch_expiry_")
+    ipath = _os.path.join(root, "sink")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        part = lambda k: orders.filter(  # noqa: E731
+            F.col("o_orderkey") % 4 == k
+        )
+        sink = ice.iceberg_stream_writer(ipath, "epoch_expiry_app")
+        for epoch in range(4):
+            sink(part(epoch), epoch)
+        ice.expire_iceberg_snapshots(ipath, keep_last=1)
+        hw = ice.last_committed_epoch(ipath, "epoch_expiry_app")
+        before = ice.read_iceberg(spark, ipath).count()
+        for epoch in range(4):  # at-least-once redelivery of everything
+            sink(part(epoch), epoch)
+        after = ice.read_iceberg(spark, ipath).count()
+        out = spark.createDataFrame(
+            [(int(after), int(hw), bool(after == before))],
+            "n_rows long, high_water_after_expiry long, "
+            "replays_skipped boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_protocol_feature_preservation",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS default_survived_drop,
+       TRUE AS features_preserved
+FROM customer
+""",
+)
+def delta_protocol_feature_preservation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Protocol-feature preservation across ALTERs, driver-attested: a
+    column default (writer feature ``allowColumnDefaults``) declared by
+    ADD COLUMN must stay in force after a later DROP COLUMN emits its
+    own protocol action — the DROP merges into the declared feature set
+    instead of overwriting it (a writer-version-7 table honors ONLY
+    listed features, so an overwrite silently deactivates defaults).
+    Attested end-to-end: a post-DROP write omitting the defaulted
+    column must still materialize the default."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+
+    root = tempfile.mkdtemp(prefix="deg04_proto_keep_")
+    dpath = _os.path.join(root, "delta")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        half = cust.filter(F.col("c_custkey") % 2 == 0)
+        rest = cust.filter(F.col("c_custkey") % 2 == 1)
+        dl.write_delta_commit(half, dpath)
+        dl.add_delta_columns(
+            dpath, {"tier": "string"}, defaults={"tier": "'std'"}
+        )
+        dl.drop_delta_columns(dpath, ["c_acctbal"])
+        proto = dl._replay_protocol(dpath, dl._latest_version(dpath))
+        feats_ok = "allowColumnDefaults" in (
+            proto.get("writerFeatures") or []
+        ) and "columnMapping" in (proto.get("readerFeatures") or [])
+        # a write omitting `tier` AFTER the drop must still default it
+        # (rows written BEFORE the default was declared read NULL —
+        # defaults bind writes, never rewrite history)
+        dl.write_delta_commit(rest.select("c_custkey"), dpath)
+        got = dl.read_delta_log(spark, dpath)
+        n = got.count()
+        new_rows = got.filter(F.col("c_custkey") % 2 == 1)
+        default_ok = (
+            new_rows.filter(F.col("tier") == "std").count()
+            == new_rows.count()
+        )
+        out = spark.createDataFrame(
+            [(int(n), bool(default_ok), bool(feats_ok))],
+            "n_rows long, default_survived_drop boolean, "
+            "features_preserved boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

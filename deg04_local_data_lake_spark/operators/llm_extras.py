@@ -672,7 +672,10 @@ def bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR-style importance resampling score (hashed-unigram surrogate)
 # ---------------------------------------------------------------------------
 
-DSIR_SCALE = 10**12  # per-token frequency micro-units (drop to 1e9 past ~sf10)
+#: Per-token frequency micro-units. sc * DSIR_SCALE must fit in int64 —
+#: ENFORCED at runtime in sample_dsir_weights (≈9.2M-token corpus bound);
+#: drop to 1e9 for larger corpora and the bound scales to ~9.2B tokens.
+DSIR_SCALE = 10**12
 DSIR_TOPK = 100
 
 
@@ -746,6 +749,19 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t_total"),
     )
+    # int64 guard: every per-token product is bounded by s_total *
+    # DSIR_SCALE (sc ≤ s_total, tc ≤ t_total ≤ s_total). Spark wraps
+    # silently on BIGINT overflow in non-ANSI mode while DuckDB errors,
+    # so past the bound the bitwise-parity contract would break without
+    # a sound — enforce it, don't comment it. One metadata-cheap job on
+    # an aggregate the query needs anyway (the broadcast totals frame).
+    s_total = (tot.first() or {"s_total": 0})["s_total"] or 0
+    if s_total > (2**63 - 1) // DSIR_SCALE:
+        raise ValueError(
+            f"DSIR integer scale overflow: corpus has {s_total} tokens, "
+            f"but sc * {DSIR_SCALE} must fit in int64 "
+            f"(max {(2**63 - 1) // DSIR_SCALE} tokens); lower DSIR_SCALE"
+        )
     freq = scnt.join(tcnt, "w", "left").select(
         "w", "sc", F.coalesce("tc", F.lit(0).cast("bigint")).alias("tc")
     )

@@ -84,85 +84,36 @@ def load_all() -> None:
 
 #: Queries pushed to the FRONT of ``queries()`` iteration order regardless
 #: of module import order.  The driver samples the first 50 registered
-#: queries each round.  Round 6 window = (a) the two round-5 reds, fixed
-#: this round, for re-attestation; (b) the queries NEW this round; (c) the
-#: 43 queries never driver-sampled across rounds 1-5 (diff of
-#: CORRECTNESS_r0*.json keys vs the registry).  Exactly 50 — a full-window
-#: round would leave every registered query driver-attested at least once.
+#: queries each round.  Round 7 window = (a) the 19 queries never
+#: driver-sampled across rounds 1-6 (diff of CORRECTNESS_r0*.json keys vs
+#: the registry — the round-6 verdict's task #2, verbatim); (b) everything
+#: NEW this round.  A full-window round leaves every registered query
+#: driver-attested at least once (272 pre-round-7 queries, 253 attested).
 PRIORITY: list[str] = [
-    # --- round-5 reds, fixed (dtype canonicalization), re-attest first ---
-    "q12_late_priority_counts",
-    "orders_filter_project",
-    # --- new in round 6 ---
-    "iceberg_spec_evolution",
-    "delta_log_generated_columns",
-    "delta_iceberg_interop",
-    "stream_delta_source_restart",
-    "stream_iceberg_source_restart",
-    "iceberg_refs_time_travel",
-    "delta_log_identity_columns",
-    "delta_log_zorder_skipping",
-    "delta_log_shallow_clone",
-    "iceberg_metadata_tables",
-    "delta_log_dv_spec_framing",
-    # --- never sampled in rounds 1-5 ---
-    "silver_scd2_snapshot",
-    "scd2_temporal_join",
-    "sample_token_budget",
-    "pack_sequences",
-    "sample_stratified_fixed_k",
-    "sample_sqrt_temperature",
-    "approx_distinct_calibration",
-    "approx_quantile_calibration",
-    "unpivot_event_matrix",
-    "expectations_audit",
-    "full_outer_wealth_by_nation",
-    "corr_price_quantity",
-    "ols_price_on_quantity",
-    "table_fingerprint",
-    "benford_first_digit",
-    "feature_minmax_scale",
-    "robust_outliers_mad",
-    "value_percentiles_by_type",
-    "cusum_changepoint",
-    "weighted_median_price",
-    "fulfillment_lag_distribution",
-    "winsorized_value_mean",
-    "monthly_revenue_growth",
-    "ks_value_distribution",
-    "skyline_orders",
-    "grouping_sets_revenue",
-    "chi2_dow_event_mix",
-    "dedup_containment",
-    "dedup_prefix_jaccard",
-    "local_clustering_topk",
-    "langid_confusion",
-    "text_char_diversity",
-    "bm25_top_terms",
-    "vocab_oov_rate",
-    "vwap_daily",
-    "sma_crossover",
-    "rsi_14",
-    "price_momentum",
-    "max_drawdown",
-    "rolling_trend_daily_revenue",
-    "revenue_autocorr_lag1",
-    "weekday_seasonality",
-    "ewma_daily_revenue",
-    # --- new in round 6, queued behind the never-sampled backlog ---
+    # --- never driver-sampled through round 6 (VERDICT r6 "missing" #3) ---
     "dedup_semdedup",
     "sample_dsir_weights",
-    "xml_scan_roundtrip",
     "delta_log_concurrent_writers",
     "iceberg_concurrent_writers",
     "iceberg_sort_order_skipping",
-    "stream_iceberg_sink_exactly_once",
+    "iceberg_update",
+    "iceberg_change_feed",
+    "delta_log_column_defaults",
+    "time_travel_timestamp_lockstep",
     "alter_add_column_lockstep",
     "alter_drop_column_lockstep",
-    "delta_log_column_defaults",
-    "iceberg_update",
-    "time_travel_timestamp_lockstep",
-    "iceberg_change_feed",
+    "stream_iceberg_sink_exactly_once",
+    "xml_scan_roundtrip",
+    "ewma_daily_revenue",
+    "max_drawdown",
+    "price_momentum",
+    "revenue_autocorr_lag1",
+    "rolling_trend_daily_revenue",
+    "weekday_seasonality",
+    # --- new in round 7 (each attests a round-6 ADVICE fix) ---
+    "time_travel_monotonized_mutations",
+    "stream_epoch_survives_expiry",
+    "delta_protocol_feature_preservation",
 ]
 
 

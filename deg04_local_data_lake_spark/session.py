@@ -33,6 +33,11 @@ def get_spark_session(
     iceberg: bool = False,
     hive: bool = False,
     warehouse: str | None = None,
+    s3_endpoint: str | None = None,
+    s3_access_key: str | None = None,
+    s3_secret_key: str | None = None,
+    s3_path_style: bool = True,
+    s3_ssl: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
@@ -42,7 +47,16 @@ def get_spark_session(
     ``iceberg=True`` to wire the respective catalog extensions when the
     packages are importable; otherwise the session is plain Parquet-capable,
     which every operator in this engine supports as a first-class format.
-    """
+
+    ``s3_endpoint`` / ``s3_access_key`` / ``s3_secret_key`` wire an
+    S3-compatible object store exactly as the reference's
+    ``configure_s3`` does (``spark_session_factory.py:44-51,74-81``:
+    endpoint, credentials, path-style access for MinIO-style stores,
+    SSL toggle, the S3AFileSystem impl) — but through ``spark.hadoop.*``
+    BUILDER conf rather than post-hoc ``sc._jsc.hadoopConfiguration()``
+    mutation, so the settings reach every executor at startup and
+    ``getOrCreate`` reuse can't race them. The keys land whether or not
+    the hadoop-aws jar is present (conf is inert without it)."""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -106,11 +120,50 @@ def get_spark_session(
             "spark.sql.catalog.local.warehouse", warehouse
         )
 
+    for k, v in s3a_conf(
+        endpoint=s3_endpoint,
+        access_key=s3_access_key,
+        secret_key=s3_secret_key,
+        path_style=s3_path_style,
+        ssl=s3_ssl,
+    ).items():
+        builder = builder.config(k, v)
+
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
 
     return builder.getOrCreate()
+
+
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """``spark.hadoop.fs.s3a.*`` conf for an S3-compatible object store —
+    one key per ``hadoopConfiguration().set`` line in the reference's
+    ``configure_s3`` (``spark_session_factory.py:44-51,74-81``): impl,
+    endpoint, credentials, path-style access (MinIO-style stores route
+    by path, not virtual host), SSL toggle. Empty dict when no S3
+    parameter is supplied, so plain local sessions carry no S3 noise.
+    Pure function: unit-testable without a JVM."""
+    if not (endpoint or access_key or secret_key):
+        return {}
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
 
 
 def _importable(mod: str) -> bool:

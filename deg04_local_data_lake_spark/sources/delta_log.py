@@ -207,6 +207,60 @@ def _replay_protocol(table: str, version: int) -> dict:
     return proto
 
 
+#: Features a LEGACY protocol version implies without listing them
+#: (PROTOCOL.md's version-to-feature table). An upgrade to table
+#: features (writer 7) must carry these forward explicitly: a
+#: writer-version-7 table honors ONLY listed features, so overwriting
+#: the lists silently deactivates whatever the legacy version implied.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def _protocol_action_with(
+    table: str,
+    version: int,
+    reader_features: tuple[str, ...],
+    writer_features: tuple[str, ...],
+) -> dict:
+    """Protocol action upgrading the table to table features (reader 3 /
+    writer 7) while PRESERVING everything already in force: previously
+    listed reader/writer features survive, and a legacy version's
+    implied features are materialized into the lists before the new
+    ones are unioned in. This is the only correct way to emit a
+    ``protocol`` action on an existing table — a hardcoded list would
+    wipe e.g. ``allowColumnDefaults`` declared by an earlier ALTER."""
+    proto = _replay_protocol(table, version)
+    r = int(proto.get("minReaderVersion", 1))
+    w = int(proto.get("minWriterVersion", 2))
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if w < 7:
+        for lv, feats in _LEGACY_WRITER_FEATURES.items():
+            if w >= lv:
+                wf.update(feats)
+    if r < 3:
+        for lv, feats in _LEGACY_READER_FEATURES.items():
+            if r >= lv:
+                rf.update(feats)
+    rf.update(reader_features)
+    wf.update(writer_features)
+    wf.update(rf)  # reader-writer features appear in BOTH lists (spec)
+    out = {
+        "minReaderVersion": 3 if rf else max(r, 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if rf:
+        out["readerFeatures"] = sorted(rf)
+    return {"protocol": out}
+
+
 def last_txn_version(table: str, app_id: str) -> int:
     """Highest committed ``txn`` version for ``app_id`` (−1 if none)."""
     try:
@@ -307,7 +361,11 @@ def _enforce_constraints(df: DataFrame, meta: dict, what: str) -> None:
 
 
 def add_delta_constraint(
-    spark: SparkSession, table: str, name: str, expr: str
+    spark: SparkSession,
+    table: str,
+    name: str,
+    expr: str,
+    commit_timestamp: int | None = None,
 ) -> int:
     """ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>): validates
     the CURRENT snapshot against ``expr`` (a constraint the existing
@@ -350,10 +408,16 @@ def add_delta_constraint(
         actions,
         op="ADD CONSTRAINT",
         read_paths=frozenset(_live),
+        commit_timestamp=commit_timestamp,
     )
 
 
-def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
+def drop_delta_constraint(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    commit_timestamp: int | None = None,
+) -> int:
     """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing
     the configuration entry. Returns the committed version."""
     del spark
@@ -386,6 +450,7 @@ def drop_delta_constraint(spark: SparkSession, table: str, name: str) -> int:
         op="DROP CONSTRAINT",
         tolerate_appends=True,
         tolerate_removes=True,
+        commit_timestamp=commit_timestamp,
     )
 
 
@@ -399,6 +464,7 @@ def add_delta_columns(
     table: str,
     columns: dict[str, str],
     defaults: dict[str, str] | None = None,
+    commit_timestamp: int | None = None,
 ) -> int:
     """``ALTER TABLE ... ADD COLUMNS``: a metadata-only commit widening
     the schemaString with NULLABLE columns ({name: spark type name}).
@@ -450,12 +516,9 @@ def add_delta_columns(
     new_meta["configuration"] = config
     actions = []
     if defaults:
-        proto = dict(_replay_protocol(table, version))
-        proto["minWriterVersion"] = 7
-        feats = set(proto.get("writerFeatures") or [])
-        feats.add("allowColumnDefaults")
-        proto["writerFeatures"] = sorted(feats)
-        actions.append({"protocol": proto})
+        actions.append(
+            _protocol_action_with(table, version, (), ("allowColumnDefaults",))
+        )
     actions += [
         {"metaData": new_meta},
         {
@@ -472,10 +535,13 @@ def add_delta_columns(
         op="ADD COLUMNS",
         tolerate_appends=True,
         tolerate_removes=True,
+        commit_timestamp=commit_timestamp,
     )
 
 
-def drop_delta_columns(table: str, columns: list[str]) -> int:
+def drop_delta_columns(
+    table: str, columns: list[str], commit_timestamp: int | None = None
+) -> int:
     """``ALTER TABLE ... DROP COLUMN``: metadata-only commit removing
     the fields from the schemaString. Requires (and auto-activates,
     like RENAME) column mapping — the public protocol's precondition
@@ -534,14 +600,12 @@ def drop_delta_columns(table: str, columns: list[str]) -> int:
     new_meta["schemaString"] = json.dumps(doc)
     new_meta["configuration"] = config
     actions = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["columnMapping", "deletionVectors"],
-                "writerFeatures": ["columnMapping", "deletionVectors"],
-            }
-        },
+        _protocol_action_with(
+            table,
+            version,
+            ("columnMapping", "deletionVectors"),
+            ("columnMapping", "deletionVectors"),
+        ),
         {"metaData": new_meta},
         {
             "commitInfo": {
@@ -557,6 +621,7 @@ def drop_delta_columns(table: str, columns: list[str]) -> int:
         op="DROP COLUMNS",
         tolerate_appends=True,
         tolerate_removes=True,
+        commit_timestamp=commit_timestamp,
     )
 
 
@@ -815,7 +880,10 @@ def _embed_identity_hwms(schema_string: str, hwms: dict[str, int]) -> str:
 
 
 def rename_delta_column(
-    spark: SparkSession, table: str, renames: dict[str, str]
+    spark: SparkSession,
+    table: str,
+    renames: dict[str, str],
+    commit_timestamp: int | None = None,
 ) -> int:
     """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit: activate
     column mapping on first use (existing columns keep their current
@@ -857,14 +925,12 @@ def rename_delta_column(
     new_meta["schemaString"] = json.dumps(doc)
     new_meta["configuration"] = config
     actions = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["columnMapping", "deletionVectors"],
-                "writerFeatures": ["columnMapping", "deletionVectors"],
-            }
-        },
+        _protocol_action_with(
+            table,
+            version,
+            ("columnMapping", "deletionVectors"),
+            ("columnMapping", "deletionVectors"),
+        ),
         {"metaData": new_meta},
         {
             "commitInfo": {
@@ -882,6 +948,7 @@ def rename_delta_column(
         op="RENAME COLUMN",
         tolerate_appends=True,
         tolerate_removes=True,
+        commit_timestamp=commit_timestamp,
     )
 
 
@@ -960,20 +1027,76 @@ def _scan_adds(
     return reduce(DataFrame.unionByName, scans)
 
 
+def _supplied_commit_timestamp(table: str, version: int) -> int | None:
+    """Caller-supplied commitInfo timestamp of ``version`` (None when
+    the commit carries none — 0 means unset in this engine's
+    no-ambient-clocks convention)."""
+    t = None
+    for a in _read_commit(table, version):
+        if "commitInfo" in a:
+            raw = int(a["commitInfo"].get("timestamp", 0) or 0)
+            t = raw if raw > 0 else None
+    return t
+
+
+def _effective_timestamps(table: str):
+    """Yield ``(version, effective_timestamp)`` pairs under
+    delta-spark's MONOTONIZATION rule (``DeltaHistoryManager``: adjusted
+    ts[i] = max(ts[i], ts[i-1] + 1)). delta-spark falls back to commit-file
+    modification time for untimestamped commits; this engine has no ambient
+    clocks, so an untimestamped commit inherits previous-effective + 1 —
+    strictly after its predecessor, never instant 0. Effective timestamps
+    are therefore strictly increasing whatever the caller supplied."""
+    eff = None
+    for v in delta_versions(table):
+        t = _supplied_commit_timestamp(table, v)
+        if eff is None:
+            eff = t if t is not None else 0
+        elif t is not None and t > eff:
+            eff = t
+        else:
+            eff += 1
+        yield v, eff
+
+
+def _effective_head_timestamp(table: str) -> int:
+    """Effective (monotonized) timestamp of the table's latest commit;
+    -1 for a table with no commits yet."""
+    eff = -1
+    for _v, eff in _effective_timestamps(table):
+        pass
+    return eff
+
+
+def _reject_nonmonotone_timestamp(table: str, commit_timestamp: int | None):
+    """Commit-time guard: a caller-supplied timestamp must land strictly
+    after every existing commit's effective timestamp — otherwise
+    ``TIMESTAMP AS OF`` history silently reorders (delta-spark would
+    monotonize such a commit forward, changing the instant the caller
+    asked to record; rejecting is louder and lossless)."""
+    if commit_timestamp is None:
+        return
+    head = _effective_head_timestamp(table)
+    if commit_timestamp <= head:
+        raise ValueError(
+            f"commit_timestamp {commit_timestamp} is not after the "
+            f"table's latest effective commit timestamp {head}; "
+            "supplied commit timestamps must be strictly increasing"
+        )
+
+
 def _version_at_timestamp(table: str, ts: int) -> int:
     """``TIMESTAMP AS OF`` resolution: the newest version whose
-    commitInfo timestamp is ≤ ``ts`` (delta-spark's rule). Commits
-    written without a caller-supplied timestamp carry 0 and therefore
-    always qualify; versions truncated below a checkpoint are out of
-    retention and never resolve."""
+    MONOTONIZED commitInfo timestamp is ≤ ``ts`` (delta-spark's rule,
+    see :func:`_effective_timestamps`). An untimestamped DELETE/UPDATE/
+    OPTIMIZE after a timestamped append resolves strictly AFTER the
+    append — ``timestamp_as_of=<append instant>`` returns the
+    pre-delete state, never the mutated one. Versions truncated below a
+    checkpoint are out of retention and never resolve."""
     best = None
-    for v in delta_versions(table):
-        t = 0
-        for a in _read_commit(table, v):
-            if "commitInfo" in a:
-                t = int(a["commitInfo"].get("timestamp", 0) or 0)
-        if t <= ts:
-            best = v  # versions ascend and timestamps are monotone
+    for v, eff in _effective_timestamps(table):
+        if eff <= ts:
+            best = v  # effective timestamps strictly increase
         else:
             break
     if best is None:
@@ -1264,7 +1387,10 @@ def _apply_deletion_vectors(
     return tagged.mapInPandas(drop_deleted, schema=out_schema)
 
 
-def delete_delta(spark: SparkSession, table: str, condition) -> int:
+def delete_delta(
+    spark: SparkSession, table: str, condition,
+    commit_timestamp: int | None = None,
+) -> int:
     """Row-level DELETE via deletion vectors: mark the rows matching
     ``condition`` (SQL string or Column) deleted WITHOUT rewriting any
     data file. Touched files re-commit as ``remove`` + ``add`` of the
@@ -1290,7 +1416,7 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
     actions, n_removed_rows = _dv_delete_actions(table, live, matched)
     if not actions:
         return version
-    actions.insert(0, dict(_DV_PROTOCOL_ACTION))
+    actions.insert(0, _dv_protocol_action(table, version))
     actions.append(
         {
             "commitInfo": {
@@ -1308,6 +1434,7 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
         actions,
         op="DELETE",
         read_paths=frozenset(live),
+        commit_timestamp=commit_timestamp,
     )
 
 
@@ -1315,14 +1442,14 @@ def delete_delta(spark: SparkSession, table: str, condition) -> int:
 #: feature; re-asserting it in every DV commit is idempotent (last
 #: protocol action wins) and keeps jarful readers honest about what
 #: they must support before scanning.
-_DV_PROTOCOL_ACTION = {
-    "protocol": {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
-    }
-}
+def _dv_protocol_action(table: str, version: int) -> dict:
+    """DV table-feature assertion for a DELETE/UPDATE commit — built by
+    MERGING into the table's replayed protocol (a static action here
+    would wipe columnMapping/allowColumnDefaults declared earlier,
+    because the last protocol action wins on replay)."""
+    return _protocol_action_with(
+        table, version, ("deletionVectors",), ("deletionVectors",)
+    )
 
 
 def _dv_tagged_snapshot(spark: SparkSession, table: str):
@@ -1438,7 +1565,11 @@ def _dv_delete_actions(
 
 
 def update_delta(
-    spark: SparkSession, table: str, condition, set_exprs: dict[str, str]
+    spark: SparkSession,
+    table: str,
+    condition,
+    set_exprs: dict[str, str],
+    commit_timestamp: int | None = None,
 ) -> int:
     """UPDATE ... SET via deletion vectors, in ONE atomic commit: rows
     matching ``condition`` are marked dead in their files (merged DV,
@@ -1501,7 +1632,7 @@ def update_delta(
     new_version = version + 1
     part_cols = list(meta.get("partitionColumns") or []) or None
     adds = _stage_files(updated, table, new_version, part_cols)
-    actions = [dict(_DV_PROTOCOL_ACTION)] + actions + adds
+    actions = [_dv_protocol_action(table, version)] + actions + adds
     actions.append(
         {
             "commitInfo": {
@@ -1519,6 +1650,7 @@ def update_delta(
         actions,
         op="UPDATE",
         read_paths=frozenset(live),
+        commit_timestamp=commit_timestamp,
     )
 
 
@@ -1667,6 +1799,7 @@ def _publish_rmw_commit(
     read_paths: frozenset[str] = frozenset(),
     tolerate_appends: bool = False,
     tolerate_removes: bool = False,
+    commit_timestamp: int | None = None,
 ) -> int:
     """Publish the commit of a read-modify-write operation that built
     ``actions`` against snapshot ``read_version``, applying the Delta
@@ -1689,7 +1822,16 @@ def _publish_rmw_commit(
 
     Commuting winners rebase the commit to the new head and the publish
     retries; conflicting winners raise :class:`ConcurrentModificationError`.
+
+    ``commit_timestamp`` stamps the trailing commitInfo action (the
+    ``TIMESTAMP AS OF`` instant this op records); it must be strictly
+    after every prior commit's effective timestamp.
     """
+    if commit_timestamp is not None:
+        _reject_nonmonotone_timestamp(table, commit_timestamp)
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = int(commit_timestamp)
     version = read_version + 1
     while True:
         if _try_publish_commit(table, version, actions):
@@ -1783,6 +1925,8 @@ def write_delta_commit(
         version = _latest_version(table) + 1
     except FileNotFoundError:
         version = 0
+    if version > 0:
+        _reject_nonmonotone_timestamp(table, commit_timestamp)
 
     # Under column mapping the parquet files store PHYSICAL names:
     # translate before staging, and (on overwrite) preserve the mapping
@@ -2183,6 +2327,7 @@ def merge_delta(
     source: DataFrame,
     key: str,
     op_col: str | None = None,
+    commit_timestamp: int | None = None,
 ) -> int:
     """MERGE INTO on the jar-less Delta table; returns the committed
     version. Without ``op_col``: whole-row upsert by ``key`` (matched →
@@ -2217,7 +2362,11 @@ def merge_delta(
     # MERGE's output is computed from the snapshot it read: a rebase
     # over concurrent data commits would silently drop their rows
     return write_delta_commit(
-        merged, table, mode="overwrite", strict_conflicts=True
+        merged,
+        table,
+        mode="overwrite",
+        strict_conflicts=True,
+        commit_timestamp=commit_timestamp,
     )
 
 
@@ -2237,7 +2386,6 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
 
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    ranks = []
     for c in cols:
         f = df.schema[c].dataType.typeName()
         if f not in (
@@ -2246,7 +2394,13 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 4):
             raise ValueError(
                 f"zorder_by column {c!r} must be numeric, got {f}"
             )
-        cuts = df.approxQuantile(c, probs, 0.01)
+    # ONE stats pass for every z-column: approxQuantile takes a column
+    # LIST and computes all sketches in a single job — per-column calls
+    # would scan the table once per dimension before the rewrite even
+    # starts (3-4 wasted full passes per OPTIMIZE at 100 TB).
+    all_cuts = df.approxQuantile(cols, probs, 0.01)
+    ranks = []
+    for c, cuts in zip(cols, all_cuts):
         bnd = sorted(set(cuts))
         ranks.append(
             reduce(
@@ -2272,6 +2426,7 @@ def optimize_delta(
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    commit_timestamp: int | None = None,
 ) -> int:
     """OPTIMIZE (small-file compaction) as a Delta commit: rewrite the
     current snapshot into ⌈bytes/target⌉ files and commit removes + adds
@@ -2365,10 +2520,14 @@ def optimize_delta(
         op="OPTIMIZE",
         read_paths=frozenset(live),
         tolerate_appends=True,
+        commit_timestamp=commit_timestamp,
     )
 
 
-def restore_delta(spark: SparkSession, table: str, version: int) -> int:
+def restore_delta(
+    spark: SparkSession, table: str, version: int,
+    commit_timestamp: int | None = None,
+) -> int:
     """RESTORE TABLE ... VERSION AS OF: commit a new version whose live
     state equals snapshot ``version`` — adds back files the target had
     (including their deletion-vector state), removes files added since,
@@ -2435,6 +2594,7 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> int:
         actions,
         op="RESTORE",
         read_paths=frozenset(cur_live),
+        commit_timestamp=commit_timestamp,
     )
 
 

@@ -685,6 +685,43 @@ def _parse_part_value(parse_kind: str, raw: str):
     return raw
 
 
+def _effective_snaplog_timestamps(meta: dict):
+    """Yield ``(snapshot-id, effective timestamp-ms)`` over the
+    snapshot-log under the same monotonization rule the Delta layer
+    applies (``delta_log._effective_timestamps``): an entry without a
+    caller-supplied timestamp (0 = unset, no ambient clocks) inherits
+    previous-effective + 1, so a DELETE/UPDATE published after a
+    timestamped append resolves strictly AFTER it — never at instant 0."""
+    eff = None
+    for entry in meta.get("snapshot-log", []):
+        raw = int(entry.get("timestamp-ms", 0) or 0)
+        t = raw if raw > 0 else None
+        if eff is None:
+            eff = t if t is not None else 0
+        elif t is not None and t > eff:
+            eff = t
+        else:
+            eff += 1
+        yield entry["snapshot-id"], eff
+
+
+def _reject_nonmonotone_timestamp_ms(meta: dict, timestamp_ms: int | None):
+    """A caller-supplied snapshot timestamp must land strictly after
+    every existing entry's effective timestamp, or TIMESTAMP AS OF
+    history silently reorders."""
+    if timestamp_ms is None:
+        return
+    eff = -1
+    for _sid, eff in _effective_snaplog_timestamps(meta):
+        pass
+    if timestamp_ms <= eff:
+        raise ValueError(
+            f"timestamp_ms {timestamp_ms} is not after the table's "
+            f"latest effective snapshot timestamp {eff}; supplied "
+            "snapshot timestamps must be strictly increasing"
+        )
+
+
 def write_iceberg_commit(
     df: DataFrame,
     table: str,
@@ -692,6 +729,7 @@ def write_iceberg_commit(
     partition_by: list[str] | None = None,
     summary_props: dict[str, str] | None = None,
     timestamp_ms: int | None = None,
+    properties_update: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the Iceberg table at
     ``table`` (created on first commit); returns the new snapshot id.
@@ -724,6 +762,8 @@ def write_iceberg_commit(
 
     exists = os.path.exists(_hint_path(table))
     prev = _load_metadata(table) if exists else None
+    if prev is not None:
+        _reject_nonmonotone_timestamp_ms(prev, timestamp_ms)
     version = (_current_version(table) + 1) if exists else 1
     seq = (prev["last-sequence-number"] + 1) if prev else 1
     snapshot_id = seq  # deterministic ids: sequence number doubles as id
@@ -974,6 +1014,13 @@ def write_iceberg_commit(
             # named refs survive every commit untouched; ``main`` is
             # implicit (resolve_iceberg_ref → current-snapshot-id)
             "refs": dict(prev.get("refs", {})) if prev else {},
+            # table properties persist across every commit AND snapshot
+            # expiry (the spec's string map) — exactly-once sinks park
+            # their per-app high-water epoch here so it survives expiry
+            "properties": {
+                **(dict(prev.get("properties", {})) if prev else {}),
+                **(properties_update or {}),
+            },
             "metadata-log": [],
         }
         if _try_publish_metadata_version(table, version, meta):
@@ -1016,18 +1063,31 @@ def write_iceberg_commit(
         snapshot_id = seq
 
 
+def _epoch_property_key(app_id: str) -> str:
+    return f"streaming.app.{app_id}.epoch-high-water"
+
+
 def last_committed_epoch(table: str, app_id: str) -> int:
-    """Highest streaming epoch recorded for ``app_id`` across all
-    snapshot summaries (-1 when none) — the Iceberg-side replacement for
-    Delta's ``txn`` action: Iceberg streaming writers (the public Spark
-    and Flink sinks both do this) stamp their commit epoch into the
-    snapshot summary string map, and a restarted sink consults it to
-    skip re-delivered epochs."""
+    """Highest streaming epoch recorded for ``app_id`` (-1 when none) —
+    the Iceberg-side replacement for Delta's ``txn`` action: Iceberg
+    streaming writers (the public Spark and Flink sinks both do this)
+    stamp their commit epoch into the snapshot summary string map, and
+    a restarted sink consults it to skip re-delivered epochs.
+
+    The authoritative record is the TABLE-PROPERTIES high-water mark
+    (``streaming.app.<id>.epoch-high-water``), which every commit
+    carries forward and snapshot EXPIRY preserves — deriving the skip
+    set from retained snapshot summaries alone would re-commit an old
+    epoch re-delivered after its snapshot expired, doubling its rows.
+    Summaries are still consulted for tables written before the
+    property existed."""
     try:
         meta = _load_metadata(table)
     except FileNotFoundError:
         return -1
-    best = -1
+    best = int(
+        (meta.get("properties") or {}).get(_epoch_property_key(app_id), -1)
+    )
     for snap in meta.get("snapshots", []):
         s = snap.get("summary") or {}
         if s.get("streaming-app-id") == app_id:
@@ -1055,6 +1115,9 @@ def iceberg_stream_writer(table: str, app_id: str):
                 "streaming-app-id": app_id,
                 "streaming-epoch-id": str(batch_id),
             },
+            # the expiry-proof record: properties survive every commit
+            # and expire_iceberg_snapshots, unlike snapshot summaries
+            properties_update={_epoch_property_key(app_id): str(batch_id)},
         )
 
     return apply_batch
@@ -1245,7 +1308,10 @@ _POS_DELETE_FILE_COL = "file_path"
 _POS_DELETE_POS_COL = "pos"
 
 
-def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
+def delete_iceberg(
+    spark: SparkSession, table: str, condition,
+    timestamp_ms: int | None = None,
+) -> int:
     """Row-level DELETE via position delete files: mark the rows
     matching ``condition`` (SQL string or Column) deleted WITHOUT
     rewriting any data file — a new snapshot appends a delete manifest
@@ -1270,7 +1336,8 @@ def delete_iceberg(spark: SparkSession, table: str, condition) -> int:
     if not entries:
         return cur_id  # nothing matched: no new snapshot
     return _publish_delete_snapshot(
-        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total
+        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total,
+        timestamp_ms=timestamp_ms,
     )
 
 
@@ -1325,7 +1392,11 @@ def _stage_position_deletes(
 
 
 def update_iceberg(
-    spark: SparkSession, table: str, condition, set_exprs: dict[str, str]
+    spark: SparkSession,
+    table: str,
+    condition,
+    set_exprs: dict[str, str],
+    timestamp_ms: int | None = None,
 ) -> int:
     """``UPDATE ... SET`` as ONE merge-on-read row-delta snapshot
     (Iceberg's copy-on-write-free UPDATE, the twin of
@@ -1429,6 +1500,7 @@ def update_iceberg(
         n_matched,
         data_entries=data_entries,
         data_rows=data_rows,
+        timestamp_ms=timestamp_ms,
     )
 
 
@@ -1442,6 +1514,7 @@ def _publish_delete_snapshot(
     n_rows_total: int,
     data_entries: list[dict] | None = None,
     data_rows: int = 0,
+    timestamp_ms: int | None = None,
 ) -> int:
     """Append a DELETE manifest (position or equality delete files) —
     and, for row-delta commits (UPDATE), a DATA manifest of replacement
@@ -1494,11 +1567,12 @@ def _publish_delete_snapshot(
     )
     write_container(mlist_path, _MANIFEST_FILE, manifests)
 
+    _reject_nonmonotone_timestamp_ms(meta, timestamp_ms)
     version = _current_version(table) + 1
     snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
-        "timestamp-ms": 0,
+        "timestamp-ms": int(timestamp_ms or 0),
         "manifest-list": mlist_path,
         "summary": {"operation": "overwrite" if data_entries else "delete"},
         "schema-id": cur_snap.get("schema-id", 0),
@@ -1508,7 +1582,7 @@ def _publish_delete_snapshot(
     new_meta["current-snapshot-id"] = snapshot_id
     new_meta["snapshots"] = meta["snapshots"] + [snapshot]
     new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": 0}
+        {"snapshot-id": snapshot_id, "timestamp-ms": int(timestamp_ms or 0)}
     ]
     if not _try_publish_metadata_version(table, version, new_meta):
         # row-level deletes validated their targets against `meta`'s
@@ -1522,7 +1596,11 @@ def _publish_delete_snapshot(
 
 
 def delete_iceberg_equality(
-    spark: SparkSession, table: str, keys: DataFrame, equality_cols: list[str]
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    equality_cols: list[str],
+    timestamp_ms: int | None = None,
 ) -> int:
     """Iceberg v2 EQUALITY DELETES — the CDC-writer delete form: every
     table row whose ``equality_cols`` values equal some row of ``keys``
@@ -1606,7 +1684,8 @@ def delete_iceberg_equality(
     if not entries:
         return cur_id  # empty key set: no new snapshot
     return _publish_delete_snapshot(
-        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total
+        table, meta, cur_id, seq, snapshot_id, entries, n_rows_total,
+        timestamp_ms=timestamp_ms,
     )
 
 
@@ -1679,16 +1758,17 @@ def read_iceberg(
         snapshot_id = resolve_iceberg_ref(meta, ref)
     if as_of_timestamp_ms is not None:
         # ``TIMESTAMP AS OF``: the snapshot-log entry with the newest
-        # timestamp-ms ≤ the requested instant (Iceberg's rule; entries
-        # are append-ordered and timestamps monotone)
+        # EFFECTIVE timestamp-ms ≤ the requested instant (Iceberg's
+        # rule, with untimestamped entries monotonized forward — see
+        # _effective_snaplog_timestamps)
         if snapshot_id is not None:
             raise ValueError(
                 "pass either snapshot_id/ref or as_of_timestamp_ms, not both"
             )
         best = None
-        for entry in meta.get("snapshot-log", []):
-            if int(entry.get("timestamp-ms", 0)) <= as_of_timestamp_ms:
-                best = entry["snapshot-id"]
+        for sid, eff in _effective_snaplog_timestamps(meta):
+            if eff <= as_of_timestamp_ms:
+                best = sid  # effective timestamps strictly increase
             else:
                 break
         if best is None:

@@ -107,7 +107,15 @@ def read_lake_table(
         try:
             reader = spark.read.format("delta")
             if timestamp_as_of is not None:
-                reader = reader.option("timestampAsOf", timestamp_as_of)
+                # delta-spark parses timestampAsOf as a timestamp STRING
+                # (Iceberg's as-of-timestamp takes epoch millis); convert
+                # so jarful and jar-less paths read the same instant.
+                from datetime import datetime, timezone
+
+                iso = datetime.fromtimestamp(
+                    timestamp_as_of / 1000.0, tz=timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+                reader = reader.option("timestampAsOf", iso)
             return reader.load(path_or_name)
         except Exception as exc:
             if not _is_missing_datasource(exc, "delta"):

@@ -97,3 +97,84 @@ def test_semdedup_every_duplicate_group_keeps_a_survivor(spark, sf_dir):
             assert row["n_dropped"] == 0, f"label {label} dropped without pairs"
     # the synthetic corpus at this tau must actually exercise the drop path
     assert any(row["n_dropped"] > 0 for row in sem.values())
+
+
+# ---------------------------------------------------- SemDeDup cluster cap
+
+
+@pytest.fixture(scope="module")
+def mega_cluster_emb(spark):
+    """500 near-identical embeddings in ONE cluster — the degenerate
+    corpus (near-constant embeddings / a k-means that never separated)
+    whose in-cluster pair join would go quadratic without the cap."""
+    dim = 8
+    rows = [
+        (i, 0, [1.0] * (dim - 1) + [1.0 + (i % 5) * 1e-4])
+        for i in range(500)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+
+def test_semdedup_cap_is_noop_on_normal_corpus(spark, sf_dir):
+    from deg04_local_data_lake_spark.operators.dedup import (
+        semdedup_drop_counts,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    capped = {tuple(r) for r in semdedup_drop_counts(emb).collect()}
+    uncapped = {
+        tuple(r)
+        for r in semdedup_drop_counts(
+            emb, cluster_cap=1_000_000_000
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_semdedup_mega_cluster_is_salted_and_bounded(mega_cluster_emb):
+    """Above the cap the 500-vector cluster splits into ceil(500/cap)
+    sub-groups: every sub-group keeps >= 1 survivor (so n_kept is at
+    least nsub, at most nsub * distinct-duplicate-groups), dropped
+    strictly exceeds zero (the corpus is all near-dups), and the result
+    is deterministic across runs."""
+    from deg04_local_data_lake_spark.operators.dedup import (
+        SEM_CLUSTER_CAP,
+        semdedup_drop_counts,
+    )
+
+    cap = 64  # force several sub-groups without a 500² join
+    rows = semdedup_drop_counts(mega_cluster_emb, cluster_cap=cap).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    nsub = -(-500 // cap)
+    assert row["n_items"] == 500
+    assert row["n_dropped"] > 0, "near-dup corpus must drop members"
+    assert row["n_kept"] >= 1
+    # each of the nsub salted sub-groups independently keeps at least
+    # its own (csim, vec_id)-minimum, and at most its 5 drift variants
+    assert nsub <= row["n_kept"] <= nsub * 5
+    again = semdedup_drop_counts(
+        mega_cluster_emb, cluster_cap=cap
+    ).collect()[0]
+    assert tuple(row) == tuple(again)
+
+
+def test_semdedup_capped_drops_subset_of_uncapped(mega_cluster_emb):
+    """Salting only REMOVES cross-sub-group pairs: the capped drop count
+    never exceeds the uncapped one (lossy-but-bounded, exactly the
+    MinHash mega-bucket trade)."""
+    from deg04_local_data_lake_spark.operators.dedup import (
+        semdedup_drop_counts,
+    )
+
+    capped = semdedup_drop_counts(
+        mega_cluster_emb, cluster_cap=64
+    ).collect()[0]
+    uncapped = semdedup_drop_counts(
+        mega_cluster_emb, cluster_cap=1_000_000_000
+    ).collect()[0]
+    assert capped["n_dropped"] <= uncapped["n_dropped"]
+    assert capped["n_kept"] >= uncapped["n_kept"]
+    assert uncapped["n_kept"] >= 1

@@ -1624,3 +1624,92 @@ def test_read_lake_table_timestamp_as_of(spark, table, tmp_path):
     assert read_lake_table(
         spark, ice, fmt="iceberg", timestamp_as_of=1500
     ).count() == 10
+
+
+def test_untimestamped_mutation_resolves_after_timestamped_append(
+    spark, table
+):
+    """An untimestamped DELETE after a timestamped append must resolve
+    strictly AFTER it: asof=<append instant> returns the pre-delete
+    state (delta-spark's monotonization rule; a 0-default would make
+    the DELETE qualify for EVERY instant)."""
+    from deg04_local_data_lake_spark.sources.delta_log import delete_delta
+
+    write_delta_commit(_df(spark, 0, 10), table, commit_timestamp=1000)
+    delete_delta(spark, table, "id < 5")  # untimestamped mutation
+    assert read_delta_log(spark, table).count() == 5
+    # asof the append instant: the full pre-delete state
+    assert read_delta_log(spark, table, timestamp_as_of=1000).count() == 10
+    # asof any later instant: the deleted state (carry-forward + 1)
+    assert read_delta_log(spark, table, timestamp_as_of=1001).count() == 5
+
+
+def test_rmw_ops_thread_commit_timestamp(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        optimize_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table, commit_timestamp=1000)
+    delete_delta(spark, table, "id < 5", commit_timestamp=2000)
+    optimize_delta(spark, table, commit_timestamp=3000)
+    assert read_delta_log(spark, table, timestamp_as_of=1500).count() == 10
+    assert read_delta_log(spark, table, timestamp_as_of=2500).count() == 5
+    assert read_delta_log(spark, table, timestamp_as_of=9999).count() == 5
+
+
+def test_nonmonotone_commit_timestamp_rejected(spark, table):
+    from deg04_local_data_lake_spark.sources.delta_log import delete_delta
+
+    write_delta_commit(_df(spark, 0, 10), table, commit_timestamp=2000)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        write_delta_commit(_df(spark, 10, 20), table, commit_timestamp=2000)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        delete_delta(spark, table, "id < 5", commit_timestamp=1500)
+    # still exactly one version: the rejected commits published nothing
+    assert delta_versions(table) == [0]
+
+
+def test_drop_column_preserves_declared_protocol_features(spark, table):
+    """DROP COLUMN emits a protocol action; it must MERGE into the
+    declared feature set, not overwrite it — allowColumnDefaults
+    declared by an earlier ADD COLUMN survives and its default still
+    binds writers afterwards."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _replay_protocol,
+        add_delta_columns,
+        drop_delta_columns,
+    )
+
+    write_delta_commit(_df(spark, 0, 5), table)
+    add_delta_columns(table, {"tag": "string"}, defaults={"tag": "'x'"})
+    drop_delta_columns(table, ["v"])
+    proto = _replay_protocol(table, 2)
+    assert "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+    assert "columnMapping" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+    # the default is still LIVE: a write omitting `tag` materializes it
+    write_delta_commit(spark.range(5, 7).selectExpr("id"), table)
+    got = read_delta_log(spark, table).filter("id >= 5").collect()
+    assert {r.tag for r in got} == {"x"}
+
+
+def test_dv_commit_preserves_declared_protocol_features(spark, table):
+    """A DV DELETE re-asserts the protocol; a static action here would
+    wipe columnMapping activated by an earlier RENAME."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _latest_version,
+        _replay_protocol,
+        delete_delta,
+        rename_delta_column,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    rename_delta_column(spark, table, {"v": "val"})
+    delete_delta(spark, table, "id < 3")
+    proto = _replay_protocol(table, _latest_version(table))
+    assert "columnMapping" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    got = read_delta_log(spark, table)
+    assert got.columns == ["id", "val"]
+    assert got.count() == 7

@@ -1303,3 +1303,78 @@ def test_read_iceberg_changes_paths(spark, table):
         ice.read_iceberg_changes(spark, table, 1, 99)
     with pytest.raises(ValueError, match="must precede"):
         ice.read_iceberg_changes(spark, table, 3, 1)
+
+
+def test_untimestamped_delete_resolves_after_timestamped_append(
+    spark, table
+):
+    """A row-level DELETE published without a timestamp must resolve
+    strictly AFTER the timestamped append it follows — the snapshot-log
+    monotonization rule (a 0-default would make it qualify at every
+    instant, returning the deleted state for asof=<append instant>)."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table, timestamp_ms=1000)
+    delete_iceberg(spark, table, "id < 5")  # untimestamped
+    assert read_iceberg(spark, table).count() == 5
+    assert read_iceberg(spark, table, as_of_timestamp_ms=1000).count() == 10
+    assert read_iceberg(spark, table, as_of_timestamp_ms=1001).count() == 5
+
+
+def test_row_level_ops_thread_timestamp_ms(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        update_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table, timestamp_ms=1000)
+    delete_iceberg(spark, table, "id < 3", timestamp_ms=2000)
+    update_iceberg(spark, table, "id >= 8", {"v": "v + 100"}, timestamp_ms=3000)
+    assert read_iceberg(spark, table, as_of_timestamp_ms=1500).count() == 10
+    assert read_iceberg(spark, table, as_of_timestamp_ms=2500).count() == 7
+    asof_late = read_iceberg(spark, table, as_of_timestamp_ms=9999)
+    assert asof_late.filter("v > 100").count() == 2
+
+
+def test_nonmonotone_timestamp_ms_rejected(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table, timestamp_ms=2000)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        write_iceberg_commit(_df(spark, 10, 20), table, timestamp_ms=2000)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        delete_iceberg(spark, table, "id < 5", timestamp_ms=1500)
+    assert len(iceberg_history(table)) == 1
+
+
+def test_stream_epoch_high_water_survives_snapshot_expiry(spark, table):
+    """Exactly-once skip set must survive expire_snapshots: the
+    high-water epoch lives in table PROPERTIES (carried forward by
+    every commit), not only in retained snapshot summaries — a
+    re-delivered old epoch after expiry must still be skipped."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        expire_iceberg_snapshots,
+        iceberg_stream_writer,
+        last_committed_epoch,
+    )
+
+    sink = iceberg_stream_writer(table, "appA")
+    for epoch in range(4):
+        sink(_df(spark, epoch * 10, epoch * 10 + 10), epoch)
+    assert read_iceberg(spark, table).count() == 40
+    assert last_committed_epoch(table, "appA") == 3
+    expire_iceberg_snapshots(table, keep_last=1)
+    # summaries for epochs 0-2 are gone with their snapshots, but the
+    # properties high-water mark survives: replays are still skipped
+    assert last_committed_epoch(table, "appA") == 3
+    for epoch in range(4):  # full at-least-once redelivery
+        sink(_df(spark, epoch * 10, epoch * 10 + 10), epoch)
+    assert read_iceberg(spark, table).count() == 40
+    # a genuinely new epoch still commits
+    sink(_df(spark, 40, 50), 4)
+    assert read_iceberg(spark, table).count() == 50
+    assert last_committed_epoch(table, "appA") == 4
