@@ -1179,7 +1179,14 @@ def semdedup_drop_counts(
     ex = q.select(
         "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
     ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
-    cent = ex.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("c"))
+    # centroid MATERIALIZED once (k×dim rows — metadata-sized at any SF):
+    # cnorm and the vdot join would otherwise each recompute the
+    # full-corpus posexplode + aggregate that dominates this query
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("v").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     cnorm = cent.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
     )

@@ -237,11 +237,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantized(F.col("embedding")).alias("qe")
     )
-    # centroid direction per cell: component sums (posexplode → keyed agg)
+    # centroid direction per cell: component sums (posexplode → keyed agg).
+    # MATERIALIZED once (|cells|×|dim| rows — metadata-sized at any SF):
+    # two consumers (cnorm and the cell-score join) would otherwise each
+    # recompute the full-corpus posexplode + aggregate, doubling the
+    # dominant scan of this query.
     ex = emb.select(
         "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
     ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
-    cent = ex.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("c"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("v").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     cnorm = cent.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
     )
