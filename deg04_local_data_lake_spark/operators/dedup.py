@@ -308,17 +308,18 @@ SELECT doc_id, {cols} FROM hs GROUP BY doc_id"""
 #: these chains; memoizing the SAME DataFrame object per session lets
 #: Spark reuse its shuffle map outputs across their actions (the
 #: triangle-subtree trick, ``analytics._co_purchase_oriented``) without
-#: forcing any cache materialization. Dropped by
-#: ``caching.release_caches()`` alongside tracked persists.
+#: forcing any cache materialization. Session-fixture tier: dropped by
+#: ``caching.release_all()`` (test teardown), survives the per-query
+#: ``release_caches()``.
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _session_memo(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
-    from deg04_local_data_lake_spark.caching import on_release
+    from deg04_local_data_lake_spark.caching import on_release_fixtures
 
     key = (spark.sparkContext.applicationId, sf_dir, stage)
     if key not in _MEMO:
-        on_release(_MEMO.clear)
+        on_release_fixtures(_MEMO.clear)
         _MEMO[key] = build()
     return _MEMO[key]
 
@@ -788,15 +789,16 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are persisted once (16 longs/doc, ~3 orders smaller than the corpus)
     and both probes are shuffle joins on that compact table; nothing
     touches raw text in this stage."""
-    from deg04_local_data_lake_spark.caching import persist_tracked
+    from deg04_local_data_lake_spark.caching import persist_fixture
 
     # Three consumers share the signature pipeline (both probe sides here
     # plus the LSH banding inside dedup_minhash_pairs). One persist serves
     # all of them: Spark's cache manager matches canonicalized plans, so
     # the pairs query's internally-rebuilt signature subtree hits this
-    # cache too. Measured 3.0s → ~1.6s at sf0.1. Tracked: released by
-    # caching.release_caches().
-    sig = persist_tracked(dedup_minhash_signatures(spark, sf_dir))
+    # cache too. Measured 3.0s → ~1.6s at sf0.1. Session-fixture tier:
+    # the dedup chain is shared by six registered queries, released by
+    # caching.release_all().
+    sig = persist_fixture(dedup_minhash_signatures(spark, sf_dir))
     cand = dedup_minhash_pairs(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),

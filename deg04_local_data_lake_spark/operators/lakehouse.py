@@ -3235,3 +3235,85 @@ def delta_protocol_feature_preservation(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "changelog_lockstep_delete_update",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0
+                               AND o_orderkey % 5 = 0) AS BIGINT)
+         AS n_inserts,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0
+                               OR (o_orderkey % 3 <> 0
+                                   AND o_orderkey % 5 = 0)) AS BIGINT)
+         AS n_deletes,
+       TRUE AS engines_agree
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def changelog_lockstep_delete_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Change feeds in LOCKSTEP through both from-scratch layers on the
+    SAME op sequence — append, row-level DELETE (a delete-only commit),
+    row-level UPDATE (one row-delta commit) — driver-attested: the Delta
+    CDF (``read_delta_changes``) and the Iceberg changelog
+    (``read_iceberg_changes``) must emit identical (change_type, key)
+    MULTISETS, and those must equal the closed-form oracle over plain
+    orders. A delete applies to URGENT keys divisible by 3; the update
+    bumps ``o_custkey`` on survivors divisible by 5 (its CDF image: one
+    delete of the pre-row + one insert of the post-row per match)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_cdf_lockstep_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        urgent = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_custkey")
+        )
+        dl.write_delta_commit(urgent, dpath)                     # v0
+        s1 = ice.write_iceberg_commit(urgent, ipath)
+        dl.delete_delta(spark, dpath, "o_orderkey % 3 = 0")      # v1
+        ice.delete_iceberg(spark, ipath, "o_orderkey % 3 = 0")
+        dl.update_delta(                                          # v2
+            spark, dpath, "o_orderkey % 5 = 0",
+            {"o_custkey": "o_custkey + 100000"},
+        )
+        ice.update_iceberg(
+            spark, ipath, "o_orderkey % 5 = 0",
+            {"o_custkey": "o_custkey + 100000"},
+        )
+        s3 = ice.iceberg_history(ipath)[-1]["snapshot_id"]
+
+        def flat(df, ver_col):
+            return {
+                (r["_change_type"], r["o_orderkey"], r["o_custkey"])
+                for r in df.select(
+                    "_change_type", "o_orderkey", "o_custkey"
+                ).collect()
+            }
+
+        d = flat(dl.read_delta_changes(spark, dpath, 0, 2), "_commit_version")
+        i = flat(
+            ice.read_iceberg_changes(spark, ipath, s1, s3),
+            "_commit_snapshot_id",
+        )
+        agree = d == i
+        n_ins = sum(1 for t in d if t[0] == "insert")
+        n_del = sum(1 for t in d if t[0] == "delete")
+        out = spark.createDataFrame(
+            [(n_ins if agree else -1, n_del if agree else -1, agree)],
+            "n_inserts long, n_deletes long, engines_agree boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

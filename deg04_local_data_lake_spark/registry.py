@@ -110,10 +110,11 @@ PRIORITY: list[str] = [
     "revenue_autocorr_lag1",
     "rolling_trend_daily_revenue",
     "weekday_seasonality",
-    # --- new in round 7 (each attests a round-6 ADVICE fix) ---
+    # --- new in round 7 (each attests a round-6 ADVICE/VERDICT fix) ---
     "time_travel_monotonized_mutations",
     "stream_epoch_survives_expiry",
     "delta_protocol_feature_preservation",
+    "changelog_lockstep_delete_update",
 ]
 
 

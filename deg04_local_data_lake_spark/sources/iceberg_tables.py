@@ -975,6 +975,12 @@ def write_iceberg_commit(
 
         snapshot = {
             "snapshot-id": snapshot_id,
+            # the spec's lineage field: changelog reconstruction must
+            # KNOW whether two retained snapshots are truly adjacent
+            # (a snapshot whose parent expired cannot be diffed)
+            "parent-snapshot-id": (
+                prev.get("current-snapshot-id") if prev else None
+            ),
             "sequence-number": seq,
             "timestamp-ms": int(timestamp_ms or 0),
             "manifest-list": mlist_path,
@@ -1571,6 +1577,7 @@ def _publish_delete_snapshot(
     version = _current_version(table) + 1
     snapshot = {
         "snapshot-id": snapshot_id,
+        "parent-snapshot-id": cur_id,  # spec lineage (changelog adjacency)
         "sequence-number": seq,
         "timestamp-ms": int(timestamp_ms or 0),
         "manifest-list": mlist_path,
@@ -2037,6 +2044,17 @@ def read_iceberg_changes(
             )
         else:
             prev_sid = snaps[pos - 1]["snapshot-id"]
+            parent = s.get("parent-snapshot-id")
+            if parent is not None and parent != prev_sid:
+                # the true parent was EXPIRED: diffing against the
+                # nearest retained snapshot would merge several
+                # commits under this snapshot id — refuse loudly, the
+                # contract Iceberg's changelog procedure keeps
+                raise ValueError(
+                    f"snapshot {sid} has expired parent {parent}; "
+                    "changelog cannot reconstruct changes across an "
+                    "expired snapshot boundary"
+                )
             cur = read_iceberg(spark, table, sid)
             prev = read_iceberg(spark, table, prev_sid)
             cols = cur.columns

@@ -23,9 +23,9 @@ def spark():
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
-    from deg04_local_data_lake_spark.caching import release_caches
+    from deg04_local_data_lake_spark.caching import release_all
 
-    release_caches()
+    release_all()
 
 
 @pytest.fixture(scope="session")

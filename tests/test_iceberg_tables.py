@@ -1378,3 +1378,68 @@ def test_stream_epoch_high_water_survives_snapshot_expiry(spark, table):
     sink(_df(spark, 40, 50), 4)
     assert read_iceberg(spark, table).count() == 50
     assert last_committed_epoch(table, "appA") == 4
+
+
+def test_changelog_delete_only_snapshot(spark, table):
+    """A DELETE-only snapshot's changelog entry is pure deletes: the
+    exact rows the predicate matched, nothing else."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg,
+        read_iceberg_changes,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 20), table)
+    delete_iceberg(spark, table, "id < 5")
+    meta_sid = iceberg_history(table)[-1]["snapshot_id"]
+    ch = read_iceberg_changes(spark, table, s1, meta_sid)
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4]
+    assert {r["_commit_snapshot_id"] for r in rows} == {meta_sid}
+
+
+def test_changelog_refuses_expired_parent(spark, table):
+    """Diffing across an EXPIRED snapshot boundary must raise, not merge
+    several commits under one snapshot id. A ref-protected old snapshot
+    makes retention non-contiguous: s1 survives via a tag, s2 expires,
+    and s3 (an overwrite whose true parent is s2) cannot be diffed."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg_changes,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    create_iceberg_ref(table, "pinned", snapshot_id=s1, kind="tag")
+    s2 = write_iceberg_commit(_df(spark, 10, 20), table)
+    s3 = write_iceberg_commit(_df(spark, 0, 5), table, mode="overwrite")
+    expired = expire_iceberg_snapshots(table, keep_last=1)
+    assert expired == [s2]  # s1 ref-protected, s3 current
+    # expired endpoints fail loudly (unknown ids)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        read_iceberg_changes(spark, table, s2, s3)
+    # retained-but-nonadjacent: s3 sits next to s1 in the retained list,
+    # but its true parent s2 is gone — refuse, never diff s3 vs s1
+    with pytest.raises(ValueError, match="expired parent"):
+        read_iceberg_changes(spark, table, s1, s3)
+
+
+def test_changelog_append_fast_path_survives_expiry(spark, table):
+    """Append snapshots list their OWN added files — no parent diff — so
+    the changelog still reconstructs them even when their parent
+    expired (non-contiguous retention via a ref)."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg_changes,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    create_iceberg_ref(table, "pinned", snapshot_id=s1, kind="tag")
+    write_iceberg_commit(_df(spark, 10, 20), table)
+    s3 = write_iceberg_commit(_df(spark, 20, 25), table)
+    expire_iceberg_snapshots(table, keep_last=1)
+    ch = read_iceberg_changes(spark, table, s1, s3)
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert sorted(r["id"] for r in rows) == list(range(20, 25))
