@@ -1246,3 +1246,103 @@ def semdedup_drop_counts(
             "n_kept"
         ),
     )
+
+
+# ------------------------------------- exact-substring (window) dedup
+
+#: Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+#: Better", arXiv:2107.06499) deduplicate EXACT SUBSTRINGS shared across
+#: documents (their ExactSubstr, 50-token windows over a suffix array).
+#: Distributed surrogate: fixed W-word windows (every offset — the
+#: W-shingle multiset) hashed and counted across documents; a window
+#: present in >= SUBSTR_MIN_DOCS distinct docs is a cross-doc duplicate
+#: span. Per document: the fraction of its windows that are duplicated,
+#: and a keep verdict. A suffix array finds variable-length matches; the
+#: fixed-W form finds every match of length >= W at 1/W the state, the
+#: standard large-scale approximation.
+SUBSTR_W = 8
+SUBSTR_MIN_DOCS = 2
+SUBSTR_MAX_DUP_FRAC = 0.5
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+         list_aggregate(words[i:i+{SUBSTR_W - 1}], 'string_agg', ' ') AS s
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(1, len(words) - {SUBSTR_W - 1})) AS i) u
+  WHERE len(words) >= {SUBSTR_W}
+),
+freq AS (
+  SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM win GROUP BY 1
+)
+SELECT win.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE n_docs >= {SUBSTR_MIN_DOCS}) AS BIGINT)
+         AS n_dup_windows,
+       COUNT(*) FILTER (WHERE n_docs >= {SUBSTR_MIN_DOCS}) / COUNT(*)
+         AS dup_fraction,
+       COUNT(*) FILTER (WHERE n_docs >= {SUBSTR_MIN_DOCS}) / COUNT(*)
+         <= {SUBSTR_MAX_DUP_FRAC} AS keep
+FROM win JOIN freq USING (s)
+GROUP BY 1
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication audit (Lee et al.
+    2022's ExactSubstr, fixed-window surrogate): every {SUBSTR_W}-word
+    window of every document, counted across DISTINCT documents; a
+    document whose duplicated-window fraction exceeds the cap is
+    dropped. This is the span-level gate the doc-level dedups
+    (MinHash/SimHash/semantic) cannot express — boilerplate shared by
+    otherwise-distinct documents.
+
+    Scale: windows are the W-shingle rows (posexplode + window leads,
+    all codegen, one doc_id exchange); the cross-doc frequency is one
+    groupBy on the window hash (map-side combinable); the join back is
+    keyed on the same hash. Shuffle rows carry a 32-byte md5, never the
+    window text. Nothing quadratic: cost is O(total windows), the same
+    shape the MinHash signature build already proves at 100 TB.
+
+    Determinism: counts are exact BIGINTs; the fraction is one IEEE
+    division — bitwise identical in DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    win = shingle_rows(docs, k=SUBSTR_W).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    freq = win.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    dup = F.count(
+        F.when(F.col("n_docs") >= SUBSTR_MIN_DOCS, F.lit(1))
+    ).cast("bigint")
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        win.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_windows"),
+            dup.alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") / F.col("n_windows")).alias(
+                "dup_fraction"
+            ),
+            (
+                F.col("n_dup_windows") / F.col("n_windows")
+                <= SUBSTR_MAX_DUP_FRAC
+            ).alias("keep"),
+        )
+    )

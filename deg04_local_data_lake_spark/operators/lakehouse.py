@@ -3317,3 +3317,193 @@ def changelog_lockstep_delete_update(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "iceberg_wap_publish",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_main_before,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_branch,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_main_after,
+       TRUE AS divergence_rejected
+FROM orders
+""",
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the jar-less Iceberg layer,
+    driver-attested: stage an append on an ``audit`` BRANCH (main's
+    head, snapshot-log, and every reader untouched), audit the branch
+    via ``ref=`` reads, then ``fast_forward_iceberg`` publishes it to
+    main atomically. Also attests the safety rail: once main diverges,
+    fast-forward REFUSES (main must be an ancestor of the branch head —
+    never clobber published history)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_wap_")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        ice.write_iceberg_commit(pri("2-HIGH"), ipath, branch="audit")
+        n_main_before = ice.read_iceberg(spark, ipath).count()
+        n_branch = ice.read_iceberg(spark, ipath, ref="audit").count()
+        ice.fast_forward_iceberg(ipath, "audit")
+        n_main_after = ice.read_iceberg(spark, ipath).count()
+        # divergence rail: move main, branch again, publish must refuse
+        ice.write_iceberg_commit(pri("3-MEDIUM"), ipath, branch="stale")
+        ice.write_iceberg_commit(pri("5-LOW"), ipath)  # main diverges
+        rejected = False
+        try:
+            ice.fast_forward_iceberg(ipath, "stale")
+        except ValueError:
+            rejected = True
+        out = spark.createDataFrame(
+            [(n_main_before, n_branch, n_main_after, rejected)],
+            "n_main_before long, n_branch long, n_main_after long, "
+            "divergence_rejected boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "iceberg_cherry_pick_recovery",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS BIGINT) AS n_after_pick,
+       TRUE AS ff_refused,
+       TRUE AS pick_tagged
+FROM orders
+""",
+)
+def iceberg_cherry_pick_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick as the WAP recovery path, driver-attested: an append
+    staged on a branch cannot fast-forward once main diverged (the
+    ancestry rail refuses), so ``cherry_pick_iceberg`` replays exactly
+    the staged manifests onto main as a NEW snapshot — metadata-only,
+    original sequence numbers preserved — tagged with Iceberg's
+    ``source-snapshot-id`` summary key. Final main content = both
+    lineages' rows; the overwrite-pick rejection rail is exercised in
+    tests (non-append changes do not commute)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_pick_")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        ice.write_iceberg_commit(pri("2-HIGH"), ipath, branch="audit")
+        ice.write_iceberg_commit(pri("3-MEDIUM"), ipath)  # main diverges
+        ff_refused = False
+        try:
+            ice.fast_forward_iceberg(ipath, "audit")
+        except ValueError:
+            ff_refused = True
+        staged = ice.resolve_iceberg_ref(
+            ice._load_metadata(ipath), "audit"
+        )
+        new_id = ice.cherry_pick_iceberg(ipath, staged)
+        meta = ice._load_metadata(ipath)
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == new_id
+        )
+        tagged = (snap.get("summary") or {}).get(
+            "source-snapshot-id"
+        ) == str(staged)
+        n = ice.read_iceberg(spark, ipath).count()
+        out = spark.createDataFrame(
+            [(int(n), bool(ff_refused), bool(tagged))],
+            "n_after_pick long, ff_refused boolean, pick_tagged boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "rollback_lockstep",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_after_rollback,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_after_rollforward,
+       TRUE AS formats_agree
+FROM orders
+""",
+)
+def rollback_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK in lockstep through both layers, driver-attested: after
+    two appends, ``restore_delta(v0)`` and ``rollback_iceberg(s1)`` must
+    serve the first-append state; rolling FORWARD again (restore v1 /
+    rollback s2 — both layers keep later snapshots in history, so a
+    rollback is itself reversible) must serve the full state. Delta's
+    RESTORE is a diff commit (removes+adds); Iceberg's is pure metadata
+    (current-snapshot-id) — same user-visible contract, attested equal."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_rollback_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        dl.write_delta_commit(pri("1-URGENT"), dpath)   # v0
+        s1 = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        dl.write_delta_commit(pri("2-HIGH"), dpath)     # v1
+        s2 = ice.write_iceberg_commit(pri("2-HIGH"), ipath)
+
+        dl.restore_delta(spark, dpath, 0)
+        ice.rollback_iceberg(ipath, s1)
+        d_back = dl.read_delta_log(spark, dpath).count()
+        i_back = ice.read_iceberg(spark, ipath).count()
+
+        dl.restore_delta(spark, dpath, 1)
+        ice.rollback_iceberg(ipath, s2)
+        d_fwd = dl.read_delta_log(spark, dpath).count()
+        i_fwd = ice.read_iceberg(spark, ipath).count()
+
+        out = spark.createDataFrame(
+            [
+                (
+                    d_back if d_back == i_back else -1,
+                    d_fwd if d_fwd == i_fwd else -1,
+                    d_back == i_back and d_fwd == i_fwd,
+                )
+            ],
+            "n_after_rollback long, n_after_rollforward long, "
+            "formats_agree boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -795,3 +795,152 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+# ----------------------------------------------- Gopher quality rules
+
+#: Rae et al. 2021 (Gopher, arXiv:2112.11446 §A1.1) document filters,
+#: adapted to this corpus's scale (the paper's 50-100k word bounds are
+#: for web pages; the synthetic docs are short, so the bounds here keep
+#: the rules' SHAPE while every branch stays exercised). All thresholds
+#: compare exact integers or exact-integer ratios — bitwise portable.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_TOP2GRAM_FRAC = 0.20
+GOPHER_MAX_DUP3GRAM_FRAC = 0.60
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, x -> length(x)))
+              AS BIGINT) AS n_word_chars,
+         CAST(len(list_filter(words, x -> list_contains(
+              ['the','a','is','of','and','to','in','that','it','for'], x)))
+              AS BIGINT) AS stopword_hits
+  FROM w
+),
+g2 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) u
+),
+g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+g2m AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2, CAST(SUM(c) AS BIGINT) AS n2
+  FROM g2c GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) u
+),
+g3c AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+g3m AS (
+  SELECT doc_id,
+         CAST(SUM(c) FILTER (WHERE c > 1) AS BIGINT) AS dup3,
+         CAST(SUM(c) AS BIGINT) AS n3
+  FROM g3c GROUP BY 1
+)
+SELECT base.doc_id,
+       n_words,
+       n_word_chars / n_words AS mean_word_len,
+       stopword_hits,
+       top2 / n2 AS top2gram_frac,
+       COALESCE(dup3, CAST(0 AS BIGINT)) / n3 AS dup3gram_frac,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND n_word_chars / n_words BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                        AND {GOPHER_MAX_MEAN_WORD_LEN}
+         AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
+         AND top2 / n2 <= {GOPHER_MAX_TOP2GRAM_FRAC}
+         AND COALESCE(dup3, CAST(0 AS BIGINT)) / n3
+               <= {GOPHER_MAX_DUP3GRAM_FRAC}
+         AS keep
+FROM base JOIN g2m USING (doc_id) JOIN g3m USING (doc_id)
+""",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1) as one
+    keep/drop verdict per document: word-count bounds, mean-word-length
+    bounds, stopword presence, the most-frequent 2-gram's share, and
+    the fraction of 3-grams occurring more than once (the paper's
+    duplicate-n-gram family, the repetition gate ``text_repetition``'s
+    single metric generalizes from). Complements ``text_quality``'s
+    char-class ratios — together they are the standard pre-training
+    heuristic filter stack.
+
+    Scale: per-doc array metrics are one projection (no shuffle); each
+    n-gram family is one doc_id-partitioned window chain (shingle_rows)
+    plus a two-level aggregate sharing the same doc_id exchange. No
+    joins wider than doc_id; nothing quadratic.
+
+    Determinism: every ratio is one IEEE division of exact BIGINTs —
+    bitwise identical in DuckDB.
+    """
+    from deg04_local_data_lake_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("n_word_chars"),
+        F.size(
+            F.filter(words, lambda x: F.array_contains(stop, x))
+        ).cast("bigint").alias("stopword_hits"),
+    )
+    g2c = (
+        shingle_rows(docs, k=2)
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g2m = g2c.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top2"),
+        F.sum("c").cast("bigint").alias("n2"),
+    )
+    g3c = (
+        shingle_rows(docs, k=3)
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g3m = g3c.groupBy("doc_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("dup3"),
+        F.sum("c").cast("bigint").alias("n3"),
+    )
+    mean_len = F.col("n_word_chars") / F.col("n_words")
+    top2f = F.col("top2") / F.col("n2")
+    dup3f = F.col("dup3") / F.col("n3")
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (top2f <= GOPHER_MAX_TOP2GRAM_FRAC)
+        & (dup3f <= GOPHER_MAX_DUP3GRAM_FRAC)
+    )
+    return (
+        base.join(g2m, "doc_id")
+        .join(g3m, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            mean_len.alias("mean_word_len"),
+            "stopword_hits",
+            top2f.alias("top2gram_frac"),
+            dup3f.alias("dup3gram_frac"),
+            keep.alias("keep"),
+        )
+    )

@@ -115,6 +115,11 @@ PRIORITY: list[str] = [
     "stream_epoch_survives_expiry",
     "delta_protocol_feature_preservation",
     "changelog_lockstep_delete_update",
+    "iceberg_wap_publish",
+    "iceberg_cherry_pick_recovery",
+    "rollback_lockstep",
+    "quality_gopher_rules",
+    "dedup_exact_substring",
 ]
 
 

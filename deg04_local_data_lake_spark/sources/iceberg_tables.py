@@ -730,6 +730,7 @@ def write_iceberg_commit(
     summary_props: dict[str, str] | None = None,
     timestamp_ms: int | None = None,
     properties_update: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the Iceberg table at
     ``table`` (created on first commit); returns the new snapshot id.
@@ -752,7 +753,15 @@ def write_iceberg_commit(
     manifests alone — no listing, no footer reads. Every data file also
     carries per-column lower/upper bounds lifted from its parquet
     footer (the spec's map<int,binary> single-value serialization) for
-    ``column_ranges`` data skipping."""
+    ``column_ranges`` data skipping.
+
+    ``branch`` commits to a NAMED BRANCH instead of main — the
+    write-audit-publish staging flow: the snapshot's parent is the
+    branch head (auto-created from the current snapshot on first use),
+    the branch ref advances, and ``current-snapshot-id`` / the
+    snapshot-log stay untouched (the spec logs main-branch history
+    only). Readers of the table see nothing until
+    :func:`fast_forward_iceberg` publishes the branch to main."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     meta_dir = _meta_dir(table)
@@ -764,6 +773,23 @@ def write_iceberg_commit(
     prev = _load_metadata(table) if exists else None
     if prev is not None:
         _reject_nonmonotone_timestamp_ms(prev, timestamp_ms)
+    if branch is not None and prev is None:
+        raise ValueError("cannot commit to a branch of a table that does not exist yet")
+
+    def _parent_id(meta_prev):
+        if meta_prev is None:
+            return None
+        if branch is None:
+            return meta_prev.get("current-snapshot-id")
+        ref = meta_prev.get("refs", {}).get(branch)
+        if ref is not None:
+            if ref.get("type") == "tag":
+                raise ValueError(f"{branch!r} is a tag, not a writable branch")
+            return ref["snapshot-id"]
+        # first write to the branch: fork from the current snapshot
+        return meta_prev.get("current-snapshot-id")
+
+    parent_id = _parent_id(prev)
     version = (_current_version(table) + 1) if exists else 1
     seq = (prev["last-sequence-number"] + 1) if prev else 1
     snapshot_id = seq  # deterministic ids: sequence number doubles as id
@@ -963,8 +989,8 @@ def write_iceberg_commit(
             "deleted_rows_count": 0,
         }
         manifests = [new_manifest]
-        if mode == "append" and prev and prev.get("current-snapshot-id"):
-            cur_snap = _snapshot(prev, prev["current-snapshot-id"])
+        if mode == "append" and prev and parent_id:
+            cur_snap = _snapshot(prev, parent_id)
             _s, prev_manifests = read_container(cur_snap["manifest-list"])
             manifests = prev_manifests + manifests
 
@@ -978,9 +1004,7 @@ def write_iceberg_commit(
             # the spec's lineage field: changelog reconstruction must
             # KNOW whether two retained snapshots are truly adjacent
             # (a snapshot whose parent expired cannot be diffed)
-            "parent-snapshot-id": (
-                prev.get("current-snapshot-id") if prev else None
-            ),
+            "parent-snapshot-id": parent_id,
             "sequence-number": seq,
             "timestamp-ms": int(timestamp_ms or 0),
             "manifest-list": mlist_path,
@@ -1012,14 +1036,29 @@ def write_iceberg_commit(
                 if prev
                 else [{"order-id": 0, "fields": []}]
             ),
-            "current-snapshot-id": snapshot_id,
+            # a BRANCH commit advances its ref only — main's head and
+            # the snapshot-log (main history, per spec) stay untouched
+            "current-snapshot-id": (
+                prev["current-snapshot-id"] if branch else snapshot_id
+            ),
             "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
             "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
-            + [{"snapshot-id": snapshot_id,
-                "timestamp-ms": int(timestamp_ms or 0)}],
+            + (
+                []
+                if branch
+                else [{"snapshot-id": snapshot_id,
+                       "timestamp-ms": int(timestamp_ms or 0)}]
+            ),
             # named refs survive every commit untouched; ``main`` is
             # implicit (resolve_iceberg_ref → current-snapshot-id)
-            "refs": dict(prev.get("refs", {})) if prev else {},
+            "refs": {
+                **(dict(prev.get("refs", {})) if prev else {}),
+                **(
+                    {branch: {"snapshot-id": snapshot_id, "type": "branch"}}
+                    if branch
+                    else {}
+                ),
+            },
             # table properties persist across every commit AND snapshot
             # expiry (the spec's string map) — exactly-once sinks park
             # their per-app high-water epoch here so it survives expiry
@@ -1064,6 +1103,7 @@ def write_iceberg_commit(
             "last-column-id", max(f["id"] for f in cur_schema2["fields"])
         )
         last_part_id = prev.get("last-partition-id", last_part_id)
+        parent_id = _parent_id(prev)
         version = _current_version(table) + 1
         seq = prev["last-sequence-number"] + 1
         snapshot_id = seq
@@ -2258,6 +2298,141 @@ def resolve_iceberg_ref(meta: dict, ref: str) -> int:
             f"no such ref {ref!r} (have {sorted(refs) + ['main']})"
         )
     return refs[ref]["snapshot-id"]
+
+
+def fast_forward_iceberg(table: str, branch: str) -> int:
+    """``fast_forward('main', branch)`` — the PUBLISH half of
+    write-audit-publish: point main at the branch head, REQUIRING that
+    main's current snapshot is an ancestor of it (walked over the
+    spec's ``parent-snapshot-id`` lineage; diverged branches must
+    rebase, never silently clobber main). The branch's commits become
+    main history: their snapshot-log entries are appended in commit
+    order. Metadata-only, O(branch length). Returns the new main head."""
+    meta = _load_metadata(table)
+    refs = meta.get("refs", {})
+    if branch not in refs or refs[branch].get("type") == "tag":
+        raise ValueError(f"no such branch {branch!r}")
+    head = refs[branch]["snapshot-id"]
+    main = meta["current-snapshot-id"]
+    if head == main:
+        return main
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    chain = []
+    cur = head
+    while cur is not None and cur != main:
+        snap = by_id.get(cur)
+        if snap is None:
+            cur = None
+            break
+        chain.append(snap)
+        cur = snap.get("parent-snapshot-id")
+    if cur != main:
+        raise ValueError(
+            f"cannot fast-forward: main ({main}) is not an ancestor of "
+            f"branch {branch!r} head ({head}); rebase the branch instead"
+        )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = head
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {
+            "snapshot-id": sn["snapshot-id"],
+            "timestamp-ms": int(sn.get("timestamp-ms", 0) or 0),
+        }
+        for sn in reversed(chain)
+    ]
+    _publish_metadata(table, new_meta)
+    return head
+
+
+def rollback_iceberg(table: str, snapshot_id: int) -> int:
+    """``rollback_to_snapshot``: point main back at a RETAINED older
+    snapshot — the Iceberg twin of ``delta_log.restore_delta``, but
+    purely metadata (no diff commit is needed: a snapshot's manifest
+    list fully defines its content, so changing ``current-snapshot-id``
+    IS the restore). Later snapshots stay in history until expiry, so
+    the rollback itself is reversible. Returns ``snapshot_id``."""
+    meta = _load_metadata(table)
+    _snapshot(meta, snapshot_id)  # raises for unknown/expired ids
+    if meta["current-snapshot-id"] == snapshot_id:
+        return snapshot_id
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    # the spec logs every main-branch head change, rollbacks included
+    prior = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] == snapshot_id
+    ]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": int(prior[-1]["timestamp-ms"]) if prior else 0,
+        }
+    ]
+    _publish_metadata(table, new_meta)
+    return snapshot_id
+
+
+def cherry_pick_iceberg(table: str, snapshot_id: int) -> int:
+    """``cherrypick_snapshot``: apply an APPEND snapshot's changes onto
+    the (possibly diverged) main head as a NEW snapshot — the recovery
+    path when :func:`fast_forward_iceberg` refuses because main moved
+    on. Appends commute with anything, so the pick is metadata-only:
+    the new manifest list is main's manifests plus exactly the
+    manifests ``snapshot_id`` ADDED. Non-append snapshots are rejected
+    (their changes were computed against a snapshot main no longer is —
+    Iceberg's own cherrypick keeps the same rule). Returns the new main
+    snapshot id."""
+    meta = _load_metadata(table)
+    src = _snapshot(meta, snapshot_id)
+    if (src.get("summary") or {}).get("operation") != "append":
+        raise ValueError(
+            f"cherry-pick of snapshot {snapshot_id}: only append "
+            "snapshots commute with a moved main; re-run the operation "
+            "against the current snapshot instead"
+        )
+    main_id = meta["current-snapshot-id"]
+    _s, src_manifests = read_container(src["manifest-list"])
+    added = [
+        m for m in src_manifests if m.get("added_snapshot_id") == snapshot_id
+    ]
+    if not added:
+        raise ValueError(
+            f"snapshot {snapshot_id} added no manifests; nothing to pick"
+        )
+    main_snap = _snapshot(meta, main_id)
+    _s2, main_manifests = read_container(main_snap["manifest-list"])
+    seq = meta["last-sequence-number"] + 1
+    new_id = seq
+    meta_dir = _meta_dir(table)
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{new_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    # the picked manifests keep their ORIGINAL sequence numbers — the
+    # data files' rows were written then, and the equality-delete
+    # applicability rule depends on it (spec: sequence inheritance)
+    write_container(mlist_path, _MANIFEST_FILE, main_manifests + added)
+    snapshot = {
+        "snapshot-id": new_id,
+        "parent-snapshot-id": main_id,
+        "sequence-number": seq,
+        "timestamp-ms": int(src.get("timestamp-ms", 0) or 0),
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "append",
+            "source-snapshot-id": str(snapshot_id),  # Iceberg's WAP tag
+        },
+        "schema-id": main_snap.get("schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["current-snapshot-id"] = new_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": new_id, "timestamp-ms": snapshot["timestamp-ms"]}
+    ]
+    _publish_metadata(table, new_meta)
+    return new_id
 
 
 def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:

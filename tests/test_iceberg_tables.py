@@ -1443,3 +1443,126 @@ def test_changelog_append_fast_path_survives_expiry(spark, table):
     rows = ch.collect()
     assert {r["_change_type"] for r in rows} == {"insert"}
     assert sorted(r["id"] for r in rows) == list(range(20, 25))
+
+
+def test_branch_write_audit_publish(spark, table):
+    """WAP: branch commits are invisible on main until fast-forward."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        fast_forward_iceberg,
+        read_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    write_iceberg_commit(_df(spark, 10, 20), table, branch="audit")
+    write_iceberg_commit(_df(spark, 20, 25), table, branch="audit")
+    # main untouched; branch sees its own lineage
+    assert read_iceberg(spark, table).count() == 10
+    assert read_iceberg(spark, table, ref="audit").count() == 25
+    new_head = fast_forward_iceberg(table, "audit")
+    assert read_iceberg(spark, table).count() == 25
+    assert read_iceberg(spark, table, ref="audit").count() == 25
+    hist = iceberg_history(table)
+    assert hist[-1]["snapshot_id"] == new_head
+
+
+def test_fast_forward_refuses_diverged_branch(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        fast_forward_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    write_iceberg_commit(_df(spark, 10, 20), table, branch="audit")
+    write_iceberg_commit(_df(spark, 20, 30), table)  # main moved on
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg(table, "audit")
+
+
+def test_branch_write_to_tag_rejected(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    create_iceberg_ref(table, "pinned", snapshot_id=s1, kind="tag")
+    with pytest.raises(ValueError, match="tag, not a writable branch"):
+        write_iceberg_commit(_df(spark, 10, 20), table, branch="pinned")
+
+
+def test_branch_timestamp_travel_unaffected(spark, table):
+    """Branch commits stay out of the snapshot-log (main history, per
+    spec) until published — TIMESTAMP AS OF never resolves to an
+    unpublished audit snapshot."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        fast_forward_iceberg,
+        read_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table, timestamp_ms=1000)
+    write_iceberg_commit(
+        _df(spark, 10, 20), table, branch="audit", timestamp_ms=2000
+    )
+    assert read_iceberg(spark, table, as_of_timestamp_ms=5000).count() == 10
+    fast_forward_iceberg(table, "audit")
+    assert read_iceberg(spark, table, as_of_timestamp_ms=5000).count() == 20
+    assert read_iceberg(spark, table, as_of_timestamp_ms=1500).count() == 10
+
+
+def test_cherry_pick_append_onto_diverged_main(spark, table):
+    """fast-forward refuses a diverged branch; cherry-pick recovers by
+    replaying the branch's APPEND manifests onto main as a new
+    snapshot."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        cherry_pick_iceberg,
+        fast_forward_iceberg,
+        read_iceberg,
+        resolve_iceberg_ref,
+        _load_metadata,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    write_iceberg_commit(_df(spark, 10, 20), table, branch="audit")
+    write_iceberg_commit(_df(spark, 20, 30), table)  # main diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg(table, "audit")
+    staged = resolve_iceberg_ref(_load_metadata(table), "audit")
+    new_id = cherry_pick_iceberg(table, staged)
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(30))
+    hist = iceberg_history(table)
+    assert hist[-1]["snapshot_id"] == new_id
+
+
+def test_cherry_pick_rejects_non_append(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        cherry_pick_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    s2 = write_iceberg_commit(_df(spark, 0, 5), table, mode="overwrite")
+    write_iceberg_commit(_df(spark, 5, 8), table)
+    with pytest.raises(ValueError, match="only append"):
+        cherry_pick_iceberg(table, s2)
+
+
+def test_rollback_iceberg_metadata_only(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        expire_iceberg_snapshots,
+        read_iceberg,
+        rollback_iceberg,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    s2 = write_iceberg_commit(_df(spark, 10, 20), table)
+    rollback_iceberg(table, s1)
+    assert read_iceberg(spark, table).count() == 10
+    # reversible: s2 stays in history until expiry
+    rollback_iceberg(table, s2)
+    assert read_iceberg(spark, table).count() == 20
+    rollback_iceberg(table, s1)
+    # expiry always keeps the newest window AND the current snapshot:
+    # rolling back does not orphan s2 out of retention here
+    expire_iceberg_snapshots(table, keep_last=1)
+    assert read_iceberg(spark, table).count() == 10
+    assert read_iceberg(spark, table, snapshot_id=s2).count() == 20
+    with pytest.raises(FileNotFoundError, match="not in table"):
+        rollback_iceberg(table, 99999)  # unknown target fails loudly
