@@ -958,12 +958,7 @@ def _co_purchase_oriented(
     # column instead of a two-column join — measured 5.6× faster on the
     # wedge-join stage at sf0.1, same result. Packing is valid while node
     # ids < 2^31 (partkeys well inside; past ~2 B ids revert to the
-    # two-column conjunction). The corner frame (one row per triangle,
-    # three bigints) is memoized but NOT persisted: both consumers hold
-    # the SAME DataFrame object, so its shuffle map outputs are reused
-    # across their actions within the session (free sharing), while a
-    # cache materialization of every corner row would cost the
-    # standalone global count ~40% extra (measured 8→11.6 s at sf0.1).
+    # two-column conjunction).
     packed = oriented.select(
         (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("code")
     )
@@ -980,6 +975,13 @@ def _co_purchase_oriented(
             F.col("e2.dst").alias("c"),
         )
     )
+    # corners IS persisted now (fixture tier): with two registered
+    # consumers (triangle_count, local_clustering_topk) surviving the
+    # per-query cache release, one materialization of the wedge join —
+    # the dominant cost — replaces two full recomputes. One row per
+    # triangle, three bigints: bounded by the triangle count, far under
+    # the edge list it derives from.
+    corners = persist_fixture(corners)
     _TRI_CACHE[key] = (edges, deg, corners)
     return edges, deg, corners
 

@@ -2470,11 +2470,12 @@ SELECT event_id, value,
        CAST(2 AS BIGINT) AS _commit_snapshot_id
 FROM events WHERE event_id % 3 = 2
 UNION ALL
-SELECT event_id, CAST(value * 2 AS DOUBLE), 'insert', CAST(3 AS BIGINT)
+SELECT event_id, CAST(value * 2 AS DOUBLE), 'update_postimage',
+       CAST(3 AS BIGINT)
 FROM events
 WHERE event_id % 3 <> 2 AND event_id % 5 = 0 AND value * 2 <> value
 UNION ALL
-SELECT event_id, value, 'delete', CAST(3 AS BIGINT)
+SELECT event_id, value, 'update_preimage', CAST(3 AS BIGINT)
 FROM events
 WHERE event_id % 3 <> 2 AND event_id % 5 = 0 AND value * 2 <> value
 """,
@@ -2485,8 +2486,8 @@ def iceberg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the changelog's FAST PATH — only the added files are read, tagged
     'insert'), snapshot 3 doubles ``value`` where ``event_id % 5 = 0``
     via ``update_iceberg`` (a row-delta snapshot — the changelog yields
-    its exact delete+insert pairs from the adjacent-snapshot multiset
-    diff), and ``read_iceberg_changes(1, 3)`` must hash-match the
+    its exact pre/post-image pairs from the adjacent-snapshot multiset
+    diff, CDF-flavored), and ``read_iceberg_changes(1, 3)`` must hash-match the
     oracle's UNION ALL of all three change sets. Twin of
     ``delta_log_change_feed``; doubling is IEEE-exact so values match
     bit for bit. Rows whose value is 0 appear on neither side: doubling
@@ -3242,10 +3243,8 @@ def delta_protocol_feature_preservation(
     oracle="""
 SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0
                                AND o_orderkey % 5 = 0) AS BIGINT)
-         AS n_inserts,
-       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0
-                               OR (o_orderkey % 3 <> 0
-                                   AND o_orderkey % 5 = 0)) AS BIGINT)
+         AS n_update_pairs,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT)
          AS n_deletes,
        TRUE AS engines_agree
 FROM orders
@@ -3260,10 +3259,13 @@ def changelog_lockstep_delete_update(
     row-level UPDATE (one row-delta commit) — driver-attested: the Delta
     CDF (``read_delta_changes``) and the Iceberg changelog
     (``read_iceberg_changes``) must emit identical (change_type, key)
-    MULTISETS, and those must equal the closed-form oracle over plain
-    orders. A delete applies to URGENT keys divisible by 3; the update
-    bumps ``o_custkey`` on survivors divisible by 5 (its CDF image: one
-    delete of the pre-row + one insert of the post-row per match)."""
+    MULTISETS — including the CDF FLAVOR: both engines must tag the
+    UPDATE commit's diff rows ``update_preimage``/``update_postimage``
+    (Delta detects it from commitInfo.operation, Iceberg from the
+    row-delta manifest shape) — and the counts must equal the
+    closed-form oracle over plain orders. A delete applies to URGENT
+    keys divisible by 3; the update bumps ``o_custkey`` on survivors
+    divisible by 5."""
     import os as _os
     import shutil
     import tempfile
@@ -3308,11 +3310,19 @@ def changelog_lockstep_delete_update(
             "_commit_snapshot_id",
         )
         agree = d == i
-        n_ins = sum(1 for t in d if t[0] == "insert")
+        n_post = sum(1 for t in d if t[0] == "update_postimage")
+        n_pre = sum(1 for t in d if t[0] == "update_preimage")
         n_del = sum(1 for t in d if t[0] == "delete")
+        pairs_ok = n_post == n_pre  # every pre-image has a post-image
         out = spark.createDataFrame(
-            [(n_ins if agree else -1, n_del if agree else -1, agree)],
-            "n_inserts long, n_deletes long, engines_agree boolean",
+            [
+                (
+                    n_post if agree and pairs_ok else -1,
+                    n_del if agree else -1,
+                    agree and pairs_ok,
+                )
+            ],
+            "n_update_pairs long, n_deletes long, engines_agree boolean",
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -3503,6 +3513,78 @@ def rollback_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "n_after_rollback long, n_after_rollforward long, "
             "formats_agree boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_optimize_where",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_scoped,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+         AS n_unscoped,
+       TRUE AS unscoped_files_untouched,
+       TRUE AS scoped_files_compacted
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def delta_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE ... WHERE`` (partition-scoped compaction),
+    driver-attested: three small appends per priority partition, then
+    compaction scoped to ``1-URGENT`` only. The out-of-scope
+    partition's live file set must be BYTE-IDENTICAL before and after
+    (no read, no rewrite, no tombstone) while the scoped partition
+    compacts to fewer files with content intact — the table-service
+    pattern at 100 TB (compact the partition a microbatch just
+    fragmented, never the table)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+
+    root = tempfile.mkdtemp(prefix="deg04_optwhere_")
+    dpath = _os.path.join(root, "delta")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        both = orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        for k in range(3):  # fragment both partitions
+            dl.write_delta_commit(
+                both.filter(F.col("o_orderkey") % 3 == k),
+                dpath,
+                partition_by=["o_orderpriority"],
+            )
+        before, _m = dl._replay(dpath, dl._latest_version(dpath))
+        high_before = {p for p in before if "2-HIGH" in p}
+        urgent_before = {p for p in before if "1-URGENT" in p}
+        v = dl.optimize_delta(
+            spark, dpath, partition_filter={"o_orderpriority": "1-URGENT"}
+        )
+        after, _m2 = dl._replay(dpath, v)
+        high_after = {p for p in after if "2-HIGH" in p}
+        urgent_after = {p for p in after if "1-URGENT" in p}
+        got = dl.read_delta_log(spark, dpath)
+        n_scoped = got.filter(F.col("o_orderpriority") == "1-URGENT").count()
+        n_unscoped = got.filter(F.col("o_orderpriority") == "2-HIGH").count()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(n_scoped),
+                    int(n_unscoped),
+                    high_after == high_before,
+                    len(urgent_after) < len(urgent_before),
+                )
+            ],
+            "n_scoped long, n_unscoped long, "
+            "unscoped_files_untouched boolean, scoped_files_compacted boolean",
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "iceberg_wap_publish",
     "iceberg_cherry_pick_recovery",
     "rollback_lockstep",
+    "delta_optimize_where",
     "quality_gopher_rules",
     "dedup_exact_substring",
 ]

@@ -2427,6 +2427,7 @@ def optimize_delta(
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     commit_timestamp: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> int:
     """OPTIMIZE (small-file compaction) as a Delta commit: rewrite the
     current snapshot into ⌈bytes/target⌉ files and commit removes + adds
@@ -2447,18 +2448,47 @@ def optimize_delta(
     (same role as ``writers.compact_table``), but snapshot-isolated:
     concurrent readers of older versions keep their file lists, and time
     travel across the OPTIMIZE boundary still works because the old
-    files stay on disk until VACUUM."""
+    files stay on disk until VACUUM.
+
+    ``partition_filter`` ({col: value}) is ``OPTIMIZE ... WHERE``:
+    compaction scoped to the matching partitions only — files of other
+    partitions are neither read, rewritten, nor tombstoned, and the
+    conflict read-set shrinks to the scoped files (a concurrent writer
+    touching OTHER partitions commutes). At 100 TB this is how table
+    services actually run: compact yesterday's partition, never the
+    whole table."""
     import math
 
     version = _latest_version(table)
     live, meta = _replay(table, version)
     if meta is None:
         raise ValueError(f"no metaData action in log for {table}")
+    if partition_filter:
+        part_set = set(meta.get("partitionColumns") or [])
+        unknown = set(partition_filter) - part_set
+        if unknown:
+            raise ValueError(
+                f"partition_filter on non-partition columns "
+                f"{sorted(unknown)}; table is partitioned by "
+                f"{sorted(part_set)}"
+            )
+        live = {
+            p: a
+            for p, a in live.items()
+            if all(
+                _partition_values(a).get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        }
+        if not live:
+            return version  # nothing in scope: no commit
     size = sum(a.get("size", 0) for a in live.values())
     n_files = max(1, math.ceil(size / target_file_bytes))
     if cluster_by and zorder_by:
         raise ValueError("pass either cluster_by or zorder_by, not both")
-    snapshot = read_delta_log(spark, table)
+    snapshot = read_delta_log(
+        spark, table, partition_filter=partition_filter
+    )
     if cluster_by:
         from pyspark.sql import functions as F
 
@@ -2506,7 +2536,14 @@ def optimize_delta(
         {
             "commitInfo": {
                 "operation": "OPTIMIZE",
-                "operationParameters": {"targetSize": target_file_bytes},
+                "operationParameters": {
+                    "targetSize": target_file_bytes,
+                    **(
+                        {"predicate": json.dumps(partition_filter)}
+                        if partition_filter
+                        else {}
+                    ),
+                },
             }
         }
     )
@@ -2743,8 +2780,9 @@ def read_delta_changes(
     """Change data feed (delta-spark's ``table_changes``) reconstructed
     from the log: every row inserted or deleted by the commits in
     ``(from_version, to_version]``, tagged with ``_change_type``
-    ('insert' | 'delete' — an update is its delete+insert pair, as in
-    Delta CDF without the pre/post-image flavor) and ``_commit_version``.
+    ('insert' | 'delete' | 'update_preimage' | 'update_postimage' —
+    delta-spark's CDF flavor: an UPDATE commit's diff rows are its pre/
+    post images) and ``_commit_version``.
 
     Per commit: a pure-append (`add` only, dataChange=true) feeds its new
     files directly — no diffing; a rewriting commit (overwrite/merge)
@@ -2789,14 +2827,25 @@ def read_delta_changes(
                     scan = _to_logical(scan, mapping)
                 delta = scan.withColumn("_change_type", F.lit("insert"))
         else:
+            op = None
+            for a in actions:
+                if "commitInfo" in a:
+                    op = a["commitInfo"].get("operation")
+            # delta-spark's CDF flavor: an UPDATE's diff rows are its
+            # pre/post images, not anonymous delete/insert pairs
+            ins_tag, del_tag = (
+                ("update_postimage", "update_preimage")
+                if op == "UPDATE"
+                else ("insert", "delete")
+            )
             prev = read_delta_log(spark, table, v - 1)
             cur = read_delta_log(spark, table, v)
             cols = cur.columns
             ins = cur.exceptAll(prev.select(*cols)).withColumn(
-                "_change_type", F.lit("insert")
+                "_change_type", F.lit(ins_tag)
             )
             dels = prev.select(*cols).exceptAll(cur).withColumn(
-                "_change_type", F.lit("delete")
+                "_change_type", F.lit(del_tag)
             )
             delta = ins.unionByName(dels)
         if delta is None:

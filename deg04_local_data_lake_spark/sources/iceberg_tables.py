@@ -2035,8 +2035,10 @@ def read_iceberg_changes(
     """Changelog scan (Iceberg's ``create_changelog_view``)
     reconstructed from snapshots: every row inserted or deleted by the
     snapshots in ``(from, to]``, tagged ``_change_type``
-    ('insert' | 'delete' — an UPDATE is its delete+insert pair) and
-    ``_commit_snapshot_id``. Twin of ``delta_log.read_delta_changes``.
+    ('insert' | 'delete' | 'update_preimage' | 'update_postimage' — a
+    row-delta UPDATE snapshot's diff rows are its pre/post images,
+    detected from its added manifests: one delete + one data manifest)
+    and ``_commit_snapshot_id``. Twin of ``delta_log.read_delta_changes``.
 
     Per snapshot: an ``append`` feeds ONLY its added data files (the
     manifests it added — no diffing, the fast path); ``overwrite`` /
@@ -2083,6 +2085,20 @@ def read_iceberg_changes(
                 .withColumn("_change_type", F.lit("insert"))
             )
         else:
+            # UPDATE shape: the snapshot added BOTH a delete manifest
+            # and a data manifest (one row-delta commit) — its diff
+            # rows are pre/post images (Iceberg's changelog flavor);
+            # delete-only and full-overwrite snapshots keep the plain
+            # insert/delete tags
+            _sch2, s_manifests = read_container(s["manifest-list"])
+            added_contents = {
+                m.get("content", 0)
+                for m in s_manifests
+                if m.get("added_snapshot_id") == sid
+            }
+            is_update = {0, 1} <= added_contents
+            ins_tag = "update_postimage" if is_update else "insert"
+            del_tag = "update_preimage" if is_update else "delete"
             prev_sid = snaps[pos - 1]["snapshot-id"]
             parent = s.get("parent-snapshot-id")
             if parent is not None and parent != prev_sid:
@@ -2099,10 +2115,10 @@ def read_iceberg_changes(
             prev = read_iceberg(spark, table, prev_sid)
             cols = cur.columns
             ins = cur.exceptAll(prev.select(*cols)).withColumn(
-                "_change_type", F.lit("insert")
+                "_change_type", F.lit(ins_tag)
             )
             dels = prev.select(*cols).exceptAll(cur).withColumn(
-                "_change_type", F.lit("delete")
+                "_change_type", F.lit(del_tag)
             )
             delta = ins.unionByName(dels)
         delta = delta.withColumn(

@@ -1713,3 +1713,58 @@ def test_dv_commit_preserves_declared_protocol_features(spark, table):
     got = read_delta_log(spark, table)
     assert got.columns == ["id", "val"]
     assert got.count() == 7
+
+
+def test_optimize_where_partition_scoped(spark, table):
+    """OPTIMIZE ... WHERE: only the scoped partition's files are
+    rewritten/tombstoned; the other partition's live set is untouched."""
+    from deg04_local_data_lake_spark.sources.delta_log import _replay
+
+    def pdf(lo, hi, p):
+        return spark.range(lo, hi).selectExpr("id", f"'{p}' AS part")
+
+    for i in range(3):  # 3 small appends per partition
+        write_delta_commit(pdf(i * 10, i * 10 + 10, "a"), table,
+                           partition_by=["part"])
+        write_delta_commit(pdf(i * 10, i * 10 + 10, "b"), table,
+                           partition_by=["part"])
+    live_before, _ = _replay(table, 5)
+    b_files_before = {
+        p for p in live_before if "part=b" in p
+    }
+    v = optimize_delta(spark, table, partition_filter={"part": "a"})
+    live_after, _ = _replay(table, v)
+    b_files_after = {p for p in live_after if "part=b" in p}
+    a_files_after = {p for p in live_after if "part=a" in p}
+    assert b_files_after == b_files_before  # untouched out of scope
+    assert len(a_files_after) < len(
+        {p for p in live_before if "part=a" in p}
+    )
+    got = read_delta_log(spark, table)
+    assert got.count() == 60
+    assert got.filter("part = 'a'").count() == 30
+    # filter on a non-partition column fails loudly
+    with pytest.raises(ValueError, match="non-partition"):
+        optimize_delta(spark, table, partition_filter={"id": "1"})
+    # empty scope: no new commit
+    assert optimize_delta(
+        spark, table, partition_filter={"part": "zzz"}
+    ) == v
+
+
+def test_change_feed_update_pre_post_images(spark, table):
+    """An UPDATE commit's CDF rows carry delta-spark's pre/post-image
+    flavor, not anonymous delete/insert pairs."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        read_delta_changes,
+        update_delta,
+    )
+
+    write_delta_commit(_df(spark, 0, 10), table)
+    update_delta(spark, table, "id < 3", {"v": "v + 100.0"})
+    ch = read_delta_changes(spark, table, 0, 1)
+    got = {(r.id, r.v, r._change_type) for r in ch.collect()}
+    expect = {(i, i * 2.0, "update_preimage") for i in range(3)} | {
+        (i, i * 2.0 + 100.0, "update_postimage") for i in range(3)
+    }
+    assert got == expect

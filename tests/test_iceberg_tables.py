@@ -1297,7 +1297,10 @@ def test_read_iceberg_changes_paths(spark, table):
     expect = {(i, i * 3.0, "insert", 2) for i in range(10, 15)}
     # id 0 has v=0.0: doubling is a no-op, and a value-level changelog
     # correctly reports NOTHING for a row the update didn't change
-    expect |= {(1, 6.0, "insert", 3), (1, 3.0, "delete", 3)}
+    expect |= {
+        (1, 6.0, "update_postimage", 3),
+        (1, 3.0, "update_preimage", 3),
+    }
     assert got == expect
     with pytest.raises(ValueError, match="unknown snapshot"):
         ice.read_iceberg_changes(spark, table, 1, 99)
