@@ -944,3 +944,108 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------- PII scrubbing
+
+#: Redaction regexes kept to syntax with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  -- the synthetic corpus carries no PII, so the query INJECTS a
+  -- deterministic instance per doc (email / phone / IPv4 by doc_id
+  -- mod 3) and must then find and redact exactly what it planted
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+           WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                       3, '0') || '-0199 today'
+           ELSE ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 host'
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT)
+         AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM seeded
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the compliance gate every training
+    corpus passes before release: count and replace emails, phone
+    numbers, and IPv4 addresses per document. The corpus is synthetic
+    word soup with no real PII, so the query PLANTS one deterministic
+    instance per document (keyed by doc_id) and both engines must find
+    and redact exactly the planted set — the md5 of the redacted text
+    attests the replacement byte-for-byte, not just the counts.
+
+    Scale: one projection — regexp_count + three chained regexp_replace
+    per row, zero shuffles, codegen'd JVM regex (never a Python UDF).
+    Patterns avoid backreferences/lookaround so Java regex and RE2
+    agree symbol-for-symbol."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199 today"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 host"),
+            )
+        ),
+    )
+    seeded = docs.select("doc_id", seeded_text.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

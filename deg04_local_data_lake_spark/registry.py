@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "delta_optimize_where",
     "quality_gopher_rules",
     "dedup_exact_substring",
+    "text_pii_scrub",
 ]
 
 
