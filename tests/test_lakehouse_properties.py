@@ -124,3 +124,77 @@ def test_iceberg_matches_model_under_random_ops(spark, tmp_path_factory, ops):
             r.id: r.v for r in ice.read_iceberg(spark, table, sid).collect()
         }
         assert got == state, f"snapshot {sid} diverged"
+
+
+# ------------------------------------------ timestamp monotonization
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # each commit either supplies a timestamp GAP (>=1, added to the
+    # running supplied clock — keeps caller timestamps strictly
+    # increasing, the commit-time contract) or supplies none (None)
+    gaps=st.lists(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=6,
+    ),
+    probes=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=4
+    ),
+)
+def test_timestamp_as_of_matches_monotonized_model(
+    spark, tmp_path_factory, gaps, probes
+):
+    """TIMESTAMP AS OF under arbitrary mixes of timestamped and
+    untimestamped commits must match the pure monotonization model:
+    effective[i] = supplied if supplied > effective[i-1] else
+    effective[i-1] + 1 (untimestamped = carry-forward + 1), resolution =
+    newest version with effective <= probe, ValueError when none. Both
+    table formats must agree with the model at every probe instant."""
+    droot = str(tmp_path_factory.mktemp("tsprop")) + "/d"
+    iroot = str(tmp_path_factory.mktemp("tsprop")) + "/i"
+    # generate supplied timestamps strictly after the running EFFECTIVE
+    # head (the commit-time contract rejects anything else — that guard
+    # has its own unit test), interleaved with untimestamped commits
+    # whose effective instant the model carries forward + 1
+    supplied: list[int | None] = []
+    eff: list[int] = []
+    for g in gaps:
+        if g is None:
+            supplied.append(None)
+            eff.append(eff[-1] + 1 if eff else 0)
+        else:
+            t = (eff[-1] if eff else 100) + g
+            supplied.append(t)
+            eff.append(t)
+    for i, t in enumerate(supplied):
+        df = spark.range(i * 5, i * 5 + 5).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        )
+        dl.write_delta_commit(df, droot, commit_timestamp=t)
+        ice.write_iceberg_commit(df, iroot, timestamp_ms=t)
+    for probe in probes:
+        want = None
+        for i, e in enumerate(eff):
+            if e <= probe:
+                want = i
+        if want is None:
+            with pytest.raises(ValueError):
+                dl.read_delta_log(spark, droot, timestamp_as_of=probe)
+            with pytest.raises(ValueError):
+                ice.read_iceberg(spark, iroot, as_of_timestamp_ms=probe)
+        else:
+            n = (want + 1) * 5  # appends of 5 rows each
+            got_d = dl.read_delta_log(
+                spark, droot, timestamp_as_of=probe
+            ).count()
+            got_i = ice.read_iceberg(
+                spark, iroot, as_of_timestamp_ms=probe
+            ).count()
+            assert got_d == n, (probe, supplied, eff, got_d, n)
+            assert got_i == n, (probe, supplied, eff, got_i, n)
