@@ -784,3 +784,59 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+# --------------------------------------------- training shard assignment
+
+N_TRAIN_SHARDS = 16
+SHARD_EPOCH_SALT = "epoch0"
+
+
+@register(
+    "training_shard_assignment",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {{md5}} AS h
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, h,
+         CAST(h % {N_TRAIN_SHARDS} AS BIGINT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM assigned
+""".format(md5="('0x' || substr(md5('" + SHARD_EPOCH_SALT + ":' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"),
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE for training-data export: every
+    document gets a (shard, position) from an epoch-salted portable
+    hash — the standard way a 100 TB corpus becomes N reproducible,
+    statistically-interchangeable training shards with a different
+    document order per epoch (change the salt, get an independent
+    permutation; no RNG state, any worker can recompute any
+    assignment).
+
+    Scale: one hash projection, one shuffle keyed by shard (the window
+    partition), row_number within shard — no global sort, no driver
+    state; shard sizes concentrate tightly around corpus/N by the
+    hash's uniformity. The 60-bit md5-prefix hash keeps Spark and
+    DuckDB bit-identical."""
+    from deg04_local_data_lake_spark.functions.portable import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"), salt=SHARD_EPOCH_SALT)
+    assigned = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.pmod(h, F.lit(N_TRAIN_SHARDS)).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return assigned.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "quality_gopher_rules",
     "dedup_exact_substring",
     "text_pii_scrub",
+    "training_shard_assignment",
 ]
 
 
