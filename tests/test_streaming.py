@@ -4,6 +4,8 @@ correctness-checking streams in batch mode)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from deg04_local_data_lake_spark.sources.readers import load_table
@@ -375,4 +377,36 @@ def test_stream_hll_registers_equal_batch(spark, smoke_dir, tmp_path):
     regs = _hll_registers(stream, "event_type", "user_id")
     _run_stream_to_memory(regs, "hll_regs")
     got = {tuple(r) for r in spark.table("hll_regs").collect()}
+    assert got == want
+
+
+def test_transform_with_state_first_touch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas operator (typed ValueState):
+    per-user first touch across a multi-microbatch drain must equal the
+    batch window-rank answer. Skips where google.protobuf is broken
+    (the API's state-server protocol needs it; this container's copy
+    has no compiled descriptors) — the same semantics are attested
+    dependency-free by stream_running_user_stats."""
+    from deg04_local_data_lake_spark.streaming.ingest import (
+        stream_first_touch,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unusable: transformWithState gated")
+    got = {
+        (r.user_id, r.first_ts, r.first_event_id, r.first_value)
+        for r in stream_first_touch(spark, sf_dir).collect()
+    }
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.ts, r.event_id, r.value)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    }
     assert got == want
