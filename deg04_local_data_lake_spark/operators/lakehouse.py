@@ -3589,3 +3589,145 @@ def delta_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "vacuum_lockstep",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+         AS n_rows_after,
+       TRUE AS both_reclaimed,
+       TRUE AS reads_intact
+FROM orders
+""",
+)
+def vacuum_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File reclamation in lockstep through both layers, driver-attested:
+    an overwrite strands the first append's data files; after log
+    truncation (Delta: checkpoint + ``cleanup_delta_log`` so the old
+    version leaves retention; Iceberg: ``expire_snapshots``), VACUUM /
+    ``remove_orphan_files`` must physically delete at least one stranded
+    file on EACH side while the current snapshot keeps reading exactly
+    its rows — reclamation never touches a referenced file. The 100 TB
+    maintenance pair: retention first, then the sweep."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_vacuum_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        dl.write_delta_commit(pri("1-URGENT"), dpath)
+        dl.write_delta_commit(pri("2-HIGH"), dpath, mode="overwrite")
+        # truncate the log below the overwrite so v0 leaves retention —
+        # files only become unreferenced once no replayable version
+        # lists them (vacuum honors time travel otherwise)
+        dl.write_delta_checkpoint(dpath)
+        dl.cleanup_delta_log(dpath)
+        d_reclaimed = dl.vacuum_delta(dpath)
+
+        s1 = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        ice.write_iceberg_commit(pri("2-HIGH"), ipath, mode="overwrite")
+        ice.expire_iceberg_snapshots(ipath, keep_last=1)
+        i_reclaimed = ice.remove_orphan_iceberg_files(ipath)
+        del s1
+
+        d_n = dl.read_delta_log(spark, dpath).count()
+        i_n = ice.read_iceberg(spark, ipath).count()
+        out = spark.createDataFrame(
+            [
+                (
+                    d_n if d_n == i_n else -1,
+                    len(d_reclaimed) > 0 and len(i_reclaimed) > 0,
+                    d_n == i_n,
+                )
+            ],
+            "n_rows_after long, both_reclaimed boolean, reads_intact boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "iceberg_type_promotion",
+    oracle="""
+WITH narrow AS (
+  SELECT CAST(o_orderkey AS INTEGER) AS k, o_orderpriority AS pri
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+wide AS (
+  SELECT CAST(o_orderkey AS BIGINT) + 10000000000 AS k,
+         o_orderpriority AS pri
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+unioned AS (
+  SELECT CAST(k AS BIGINT) AS k, pri FROM narrow
+  UNION ALL SELECT k, pri FROM wide
+)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       TRUE AS narrow_history_pinned
+FROM unioned GROUP BY pri
+""",
+)
+def iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type promotion end-to-end, driver-attested: a table written with
+    an INT key is promoted to LONG (metadata-only, same field id), then
+    an append lands keys past 2^31 — values the original type could not
+    hold — and the full scan reads BOTH generations under the widened
+    schema (old parquet int32 upcast on scan, no rewrite). Time travel
+    to the pre-promotion snapshot still serves the pinned INT schema
+    (asserted as ``narrow_history_pinned``)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_promo_")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        narrow = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        s1 = ice.write_iceberg_commit(narrow, ipath)
+        ice.promote_iceberg_column_type(ipath, "k", "long")
+        wide = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+            (F.col("o_orderkey") + F.lit(10_000_000_000)).alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        ice.write_iceberg_commit(wide, ipath)
+        pinned = (
+            dict(ice.read_iceberg(spark, ipath, snapshot_id=s1).dtypes)["k"]
+            == "int"
+        )
+        return (
+            ice.read_iceberg(spark, ipath)
+            .groupBy("pri")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").cast("bigint").alias("sum_k"),
+            )
+            .select(
+                "pri", "n", "sum_k", F.lit(bool(pinned)).alias(
+                    "narrow_history_pinned"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -123,6 +123,8 @@ PRIORITY: list[str] = [
     "dedup_exact_substring",
     "text_pii_scrub",
     "training_shard_assignment",
+    "vacuum_lockstep",
+    "iceberg_type_promotion",
 ]
 
 

@@ -1208,6 +1208,50 @@ def add_iceberg_columns(table: str, columns: dict[str, str]) -> int:
     return new_schema["schema-id"]
 
 
+#: The spec's legal primitive-type promotions (§Schema Evolution):
+#: widenings an engine can serve over EXISTING data files without
+#: rewriting them (parquet int32 reads as long, float as double).
+_ICE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def promote_iceberg_column_type(table: str, column: str, new_type: str) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` — the spec's type
+    promotion: a metadata-only commit replacing the column's type with a
+    legal widening (int→long, float→double; same field id, so every
+    written file stays valid and readers upcast the narrow physical
+    values on scan). Time travel still serves each old snapshot under
+    its pinned (narrow) schema. Illegal promotions — anything lossy or
+    reinterpreting — are rejected, the spec's rule. Returns the new
+    schema-id."""
+    meta = _load_metadata(table)
+    cur = _schema_by_id(meta, meta.get("current-schema-id", 0))
+    field = next((f for f in cur["fields"] if f["name"] == column), None)
+    if field is None:
+        raise ValueError(f"no such column {column!r}")
+    old_type = field["type"]
+    if old_type == new_type:
+        return cur["schema-id"]
+    if (old_type, new_type) not in _ICE_PROMOTIONS:
+        raise ValueError(
+            f"illegal type promotion {old_type} -> {new_type} for "
+            f"{column!r}; the spec allows {sorted(_ICE_PROMOTIONS)}"
+        )
+    new_fields = [
+        {**f, "type": new_type} if f["name"] == column else dict(f)
+        for f in cur["fields"]
+    ]
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+        "fields": new_fields,
+    }
+    new_meta = dict(meta)
+    new_meta["schemas"] = meta["schemas"] + [new_schema]
+    new_meta["current-schema-id"] = new_schema["schema-id"]
+    _publish_metadata(table, new_meta)
+    return new_schema["schema-id"]
+
+
 def drop_iceberg_columns(table: str, columns: list[str]) -> int:
     """``ALTER TABLE ... DROP COLUMN`` (updateSchema delete): a
     metadata-only commit publishing a new current schema without the

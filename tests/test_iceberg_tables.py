@@ -1569,3 +1569,39 @@ def test_rollback_iceberg_metadata_only(spark, table):
     assert read_iceberg(spark, table, snapshot_id=s2).count() == 20
     with pytest.raises(FileNotFoundError, match="not in table"):
         rollback_iceberg(table, 99999)  # unknown target fails loudly
+
+
+def test_type_promotion_reads_old_files_widened(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        promote_iceberg_column_type,
+        read_iceberg,
+    )
+
+    df = spark.range(0, 10).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+    )
+    s1 = write_iceberg_commit(df, table)
+    promote_iceberg_column_type(table, "a", "long")
+    promote_iceberg_column_type(table, "b", "double")
+    cur = read_iceberg(spark, table)
+    assert dict(cur.dtypes) == {"a": "bigint", "b": "double"}
+    assert sorted(r.a for r in cur.collect()) == list(range(10))
+    # appends now bind the WIDE schema; the narrow shape is rejected
+    wide = spark.range(10, 15).selectExpr(
+        "CAST(id AS LONG) AS a", "CAST(id AS DOUBLE) AS b"
+    )
+    write_iceberg_commit(wide, table)
+    assert read_iceberg(spark, table).count() == 15
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg_commit(
+            spark.range(0, 1).selectExpr(
+                "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+            ),
+            table,
+        )
+    # time travel serves the pinned narrow schema
+    old = read_iceberg(spark, table, snapshot_id=s1)
+    assert dict(old.dtypes) == {"a": "int", "b": "float"}
+    # lossy promotions rejected
+    with pytest.raises(ValueError, match="illegal type promotion"):
+        promote_iceberg_column_type(table, "a", "int")
