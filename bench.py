@@ -59,13 +59,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        # two warm-ups (JIT + parquet footer cache; the first run of a
+        # query also pays codegen compilation the steady state doesn't),
+        # then median of 5 — single-run totals measured ±1 s (~14%)
+        # run-to-run at this granularity (SCALE.md "Round 7 notes"), and
+        # a wider median tightens the recorded estimate without changing
+        # what it estimates (warm steady-state wall-clock)
+        for _ in range(2):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)  # median of 3
+        timings[name] = round(sorted(runs)[2], 3)  # median of 5
         release_caches()  # tracked persists must not leak into other queries
 
     out = {
