@@ -2511,9 +2511,24 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:
     kept_ids.add(meta["current-snapshot-id"])
     # refs PROTECT their snapshots (the spec's retention contract): a
     # tagged training-data snapshot outlives any keep_last window until
-    # the tag itself is dropped
+    # the tag itself is dropped. A BRANCH additionally protects its
+    # ANCESTRY back to an already-retained snapshot (Iceberg's expire
+    # rule) — dropping an intermediate branch commit would break the
+    # parent-snapshot-id walk fast-forward's ancestry check relies on.
+    by_id = {s["snapshot-id"]: s for s in snaps}
     for r in meta.get("refs", {}).values():
-        kept_ids.add(r["snapshot-id"])
+        cur_id = r["snapshot-id"]
+        if r.get("type") == "tag":
+            kept_ids.add(cur_id)  # a tag pins exactly its snapshot
+            continue
+        # branch: protect the chain from the head back until it meets
+        # an already-retained snapshot (or the history's root)
+        while cur_id is not None:
+            kept_ids.add(cur_id)
+            parent = (by_id.get(cur_id) or {}).get("parent-snapshot-id")
+            if parent is None or parent in kept_ids:
+                break
+            cur_id = parent
     expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return []

@@ -1605,3 +1605,44 @@ def test_type_promotion_reads_old_files_widened(spark, table):
     # lossy promotions rejected
     with pytest.raises(ValueError, match="illegal type promotion"):
         promote_iceberg_column_type(table, "a", "int")
+
+
+def test_expire_protects_branch_ancestry(spark, table):
+    """expire_snapshots keeps a BRANCH's parent chain (Iceberg's rule):
+    dropping an intermediate branch commit would break fast-forward's
+    ancestry walk even though the branch is a true descendant of main."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        expire_iceberg_snapshots,
+        fast_forward_iceberg,
+        read_iceberg,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)            # main head
+    write_iceberg_commit(_df(spark, 10, 20), table, branch="audit")
+    write_iceberg_commit(_df(spark, 20, 25), table, branch="audit")
+    # keep_last=1 retains only the newest snapshot by position, but the
+    # branch head's ancestry (intermediate branch commit + main head it
+    # forked from) must survive
+    expired = expire_iceberg_snapshots(table, keep_last=1)
+    assert expired == []  # everything is ancestry of the audit head
+    assert read_iceberg(spark, table, ref="audit").count() == 25
+    fast_forward_iceberg(table, "audit")  # ancestry walk intact
+    assert read_iceberg(spark, table).count() == 25
+
+
+def test_expire_tag_pins_exactly_its_snapshot(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        create_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    s2 = write_iceberg_commit(_df(spark, 10, 20), table)
+    s3 = write_iceberg_commit(_df(spark, 20, 25), table)
+    create_iceberg_ref(table, "pin2", snapshot_id=s2, kind="tag")
+    expired = expire_iceberg_snapshots(table, keep_last=1)
+    # tag protects s2 only; s1 goes (s3 is current)
+    assert expired == [s1]
+    assert read_iceberg(spark, table, ref="pin2").count() == 20
+    assert read_iceberg(spark, table, snapshot_id=s3).count() == 25
