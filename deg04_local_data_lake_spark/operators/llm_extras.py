@@ -820,12 +820,16 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation; no RNG state, any worker can recompute any
     assignment).
 
-    Scale: one hash projection, one shuffle keyed by shard (the window
-    partition), row_number within shard — no global sort, no driver
-    state; shard sizes concentrate tightly around corpus/N by the
-    hash's uniformity. The 60-bit md5-prefix hash keeps Spark and
-    DuckDB bit-identical."""
+    Scale: one hash projection, then the BUCKETED distributed rank
+    (``rankdist.with_global_ranks(group_by=["shard"])``) for the
+    within-shard position — a plain ``Window.partitionBy(shard)`` would
+    concentrate corpus/N rows into one task per shard (N is small by
+    design), exactly the low-cardinality skew the rank machinery
+    exists for. No global sort, no driver state; shard sizes
+    concentrate tightly around corpus/N by the hash's uniformity. The
+    60-bit md5-prefix hash keeps Spark and DuckDB bit-identical."""
     from deg04_local_data_lake_spark.functions.portable import md5_long
+    from deg04_local_data_lake_spark.operators import rankdist
 
     docs = load_table(spark, sf_dir, "documents")
     h = md5_long(F.col("doc_id").cast("string"), salt=SHARD_EPOCH_SALT)
@@ -834,9 +838,11 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h"),
         F.pmod(h, F.lit(N_TRAIN_SHARDS)).cast("bigint").alias("shard"),
     )
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    return assigned.select(
+    ranked = rankdist.with_global_ranks(
+        assigned, ["h", "doc_id"], group_by=["shard"]
+    )
+    return ranked.select(
         "doc_id",
         "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
+        F.col("_rsel_rank").cast("bigint").alias("pos"),
     )

@@ -1873,6 +1873,9 @@ def _publish_rmw_commit(
                             f"{op} on {table}: concurrent remove at "
                             f"version {v} could change its result"
                         )
+        # commuting winner: re-assert the timestamp still lands after
+        # the (possibly advanced) effective timeline before rebasing
+        _reject_nonmonotone_timestamp(table, commit_timestamp)
         version = head + 1
 
 
@@ -2205,6 +2208,10 @@ def write_delta_commit(
                         f"was computed from a stale snapshot — a "
                         f"concurrent data commit landed at version {v}"
                     )
+        # the winner may have advanced the effective timeline past this
+        # commit's instant: re-assert monotonicity before rebasing (two
+        # racers can't both record the same caller-supplied instant)
+        _reject_nonmonotone_timestamp(table, commit_timestamp)
         version = new_head + 1
 
 
