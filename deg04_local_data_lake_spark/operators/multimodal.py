@@ -3,12 +3,13 @@
 
 Treats media as opaque ``binary`` columns plus a typed metadata struct, with
 decode / feature-extraction / frame-sampling as Arrow-batched
-``mapInPandas`` stages. The real codecs (PIL/torchaudio/ffmpeg) are NOT in
-this container, so ``decode_image``/``decode_audio`` are clearly-marked
-stubs raising ``NotImplementedError`` — everything Spark-side (schema,
-batch shape, UDF signature, partition behavior) is real and oracle-checked:
-the synthetic payloads are deterministic (md5-derived), so the pandas
-feature extraction has an exact SQL twin.
+``mapInPandas`` stages. ``decode_audio``/``decode_image`` are REAL
+stdlib codecs (RIFF/WAVE PCM via ``wave``, uncompressed 24-bit BMP via
+``struct``) — no PIL/torchaudio/ffmpeg in this container, so compressed
+formats (JPEG/MP3/...) raise ``ValueError`` at the format sniff, but the
+container formats round-trip bit-exactly and are oracle-checked end to
+end (``mm_decode_wav`` / ``mm_decode_bmp`` plant deterministic
+md5-derived payloads, so the decoded values have exact SQL twins).
 
 Scale notes: ``mapInPandas`` streams Arrow record batches — memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, not partition
@@ -80,19 +81,114 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zpath)
 
 
-def decode_image(data: bytes) -> object:
-    """STUB — image codecs are not available in this environment.
+def decode_image(data: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP to top-down RGB pixels — a real
+    stdlib (``struct``/numpy) codec, no PIL needed. Returns
+    ``{"width", "height", "pixels"}`` with ``pixels`` an (H, W, 3) uint8
+    ndarray in RGB order (BMP stores BGR, usually bottom-up). Compressed
+    or paletted BMPs (and non-BMP bytes — this container has no JPEG/PNG
+    codec) raise ``ValueError`` at the header sniff, so a bad row fails
+    loudly instead of producing garbage features."""
+    import struct
 
-    The production implementation decodes ``data`` (JPEG/PNG bytes) to an
-    ndarray inside the same mapInPandas batch loop used by
-    ``image_features_batches`` below; only this function changes.
-    """
-    raise NotImplementedError("image codec not available in this container")
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (no 'BM' magic)")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    need = offset + row_stride * height
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} bytes, need {need}")
+    px = np.frombuffer(
+        data, dtype=np.uint8, count=row_stride * height, offset=offset
+    ).reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return {"width": width, "height": height, "pixels": px[..., ::-1].copy()}
 
 
-def decode_audio(data: bytes) -> object:
-    """STUB — audio codecs are not available in this environment."""
-    raise NotImplementedError("audio codec not available in this container")
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB ndarray (top-down) as an
+    uncompressed 24-bit bottom-up BMP — the inverse of
+    :func:`decode_image`, used to plant REAL container bytes for the
+    oracle-checked decode queries."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_stride), dtype=np.uint8)
+    body[:, : w * 3] = np.asarray(pixels, dtype=np.uint8)[::-1, :, ::-1].reshape(
+        h, w * 3
+    )
+    raw = body.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(raw), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0
+    )
+    return header + info + raw
+
+
+def decode_audio(data: bytes) -> dict:
+    """Decode a RIFF/WAVE PCM payload via the stdlib ``wave`` module —
+    a real codec, no torchaudio/ffmpeg needed. Returns
+    ``{"sample_rate", "n_channels", "n_frames", "samples"}`` with
+    ``samples`` an int16 ndarray (interleaved when multi-channel).
+    Non-WAV bytes and non-16-bit encodings raise ``ValueError``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM supported (width={w.getsampwidth()})"
+                )
+            n = w.getnframes()
+            samples = np.frombuffer(w.readframes(n), dtype="<i2")
+            return {
+                "sample_rate": w.getframerate(),
+                "n_channels": w.getnchannels(),
+                "n_frames": n,
+                "samples": samples,
+            }
+    except wave.Error as exc:
+        raise ValueError(f"not a WAV payload: {exc}") from None
+
+
+def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Encode int16 samples as RIFF/WAVE PCM bytes (stdlib ``wave``) —
+    the inverse of :func:`decode_audio`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 def with_media_columns(docs: DataFrame) -> DataFrame:
@@ -313,4 +409,132 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_window_batches,
         schema="doc_id long, window_idx int, peak_abs long, sum_abs long, "
         "mean_abs double",
+    )
+
+
+def wav_roundtrip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: plant the 64-byte payload as 32 big-endian
+    int16 samples, encode them into a REAL RIFF/WAVE container
+    (:func:`encode_wav`), then decode with :func:`decode_audio` and emit
+    features FROM THE DECODED values only — the oracle checks the full
+    encode→container→decode loop, not the planted array."""
+    import numpy as np
+
+    for pdf in it:
+        rows = {
+            "doc_id": [], "sample_rate": [], "n_channels": [],
+            "n_frames": [], "sum_abs": [], "peak_abs": [],
+        }
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            rate = 8000 + (int(doc_id) % 5) * 2000
+            planted = np.frombuffer(data, dtype=">i2")
+            dec = decode_audio(encode_wav(planted, rate))
+            a = np.abs(dec["samples"].astype(np.int64))
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(dec["sample_rate"])
+            rows["n_channels"].append(dec["n_channels"])
+            rows["n_frames"].append(dec["n_frames"])
+            rows["sum_abs"].append(int(a.sum()))
+            rows["peak_abs"].append(int(a.max()))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm_decode_wav",
+    oracle="""
+WITH payload AS (SELECT doc_id, repeat(md5(text), 4) AS m FROM documents),
+u AS (
+  SELECT doc_id, ('0x' || substr(m, 4 * s.i + 1, 4))::BIGINT AS raw
+  FROM payload, LATERAL (SELECT unnest(generate_series(0, 31)) AS i) s
+),
+pcm AS (
+  SELECT doc_id,
+         abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS a
+  FROM u
+)
+SELECT doc_id,
+       CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       32::BIGINT AS n_frames,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(MAX(a) AS BIGINT) AS peak_abs
+FROM pcm GROUP BY doc_id
+""",
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode: payload → PCM → RIFF/WAVE bytes → stdlib
+    ``wave`` decode → amplitude features, all inside one Arrow
+    mapInPandas stage. The WAV container bytes are real (44-byte RIFF
+    header + LE frames); the oracle recomputes the features from the
+    planted samples, so any header/endianness/framing bug in either
+    codec direction breaks the hash match."""
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "data")
+    return media.mapInPandas(
+        wav_roundtrip_batches,
+        schema="doc_id long, sample_rate int, n_channels int, "
+        "n_frames long, sum_abs long, peak_abs long",
+    )
+
+
+def bmp_roundtrip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: plant the first 48 payload bytes as a 4x4
+    24-bit pixel grid (stored order: bottom-up BGR, i.e. the raw BMP
+    body), encode a REAL BMP (:func:`encode_bmp`), decode it back
+    (:func:`decode_image`) and emit features from the DECODED pixels."""
+    import numpy as np
+
+    for pdf in it:
+        rows = {
+            "doc_id": [], "width": [], "height": [],
+            "pixel_sum": [], "topleft_rgb_hex": [],
+        }
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            stored = np.frombuffer(data[:48], dtype=np.uint8).reshape(4, 4, 3)
+            rgb_topdown = stored[::-1, :, ::-1]  # body order → image order
+            dec = decode_image(encode_bmp(rgb_topdown))
+            px = dec["pixels"]
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(dec["width"])
+            rows["height"].append(dec["height"])
+            rows["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            rows["topleft_rgb_hex"].append(bytes(px[0, 0]).hex())
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm_decode_bmp",
+    oracle="""
+WITH payload AS (SELECT doc_id, md5(text) AS m FROM documents),
+b AS (
+  SELECT doc_id, m,
+         list_sum(list_transform(generate_series(1, 16),
+             i -> ('0x' || substr(m, 2 * i - 1, 2))::BIGINT)) AS digest_sum
+  FROM payload
+)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(3 * digest_sum AS BIGINT) AS pixel_sum,
+       substr(m, 13, 2) || substr(m, 11, 2) || substr(m, 9, 2)
+           AS topleft_rgb_hex
+FROM b
+""",
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode: payload → 4x4 pixel grid → uncompressed 24-bit
+    BMP bytes (54-byte header, bottom-up BGR rows) → stdlib ``struct``
+    decode → features, one Arrow mapInPandas stage. ``topleft_rgb_hex``
+    pins BOTH the row flip (top-left = last stored row) and the BGR→RGB
+    channel swap: payload byte 36..38 is the stored (B,G,R) of the
+    top-left pixel, so its RGB hex is digest bytes 6,5,4 — any
+    orientation or channel-order bug flips the value."""
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "data")
+    return media.mapInPandas(
+        bmp_roundtrip_batches,
+        schema="doc_id long, width int, height int, pixel_sum long, "
+        "topleft_rgb_hex string",
     )

@@ -1104,6 +1104,11 @@ def write_iceberg_commit(
         )
         last_part_id = prev.get("last-partition-id", last_part_id)
         parent_id = _parent_id(prev)
+        # re-assert against the RACER's head too (the Delta rebase path
+        # does the same): a winner that committed a later timestamp
+        # must fail this commit's stale timestamp_ms loudly, not let it
+        # land and be silently monotonized forward on read
+        _reject_nonmonotone_timestamp_ms(prev, timestamp_ms)
         version = _current_version(table) + 1
         seq = prev["last-sequence-number"] + 1
         snapshot_id = seq
@@ -2098,12 +2103,65 @@ def read_iceberg_changes(
     missing = [x for x in (from_snapshot_id, to_snapshot_id) if x not in ids]
     if missing:
         raise ValueError(f"unknown snapshot ids {missing} (have {ids})")
-    i0, i1 = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
-    if i0 >= i1:
+    if from_snapshot_id == to_snapshot_id:
         raise ValueError("from_snapshot_id must precede to_snapshot_id")
+    # Walk the lineage back from ``to`` over ``parent-snapshot-id`` (the
+    # same walk fast_forward_iceberg uses) instead of positional
+    # adjacency over the snapshots list: branch commits are APPENDED to
+    # that list, so positionally-adjacent snapshots need not be
+    # parent/child. The walk keeps unpublished branch appends out of
+    # the main changelog (and keeps cherry-picked rows from being
+    # double-counted), and a retained snapshot positionally next to a
+    # branch snapshot no longer falsely trips the expired-parent check.
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    # reversed endpoints fail fast with the clearer message (main
+    # history order per the snapshot-log when both ids appear there)
+    log_ids: list[int] = []
+    for e in meta.get("snapshot-log", []):
+        if e["snapshot-id"] not in log_ids:
+            log_ids.append(e["snapshot-id"])
+    if (
+        from_snapshot_id in log_ids
+        and to_snapshot_id in log_ids
+        and log_ids.index(from_snapshot_id) >= log_ids.index(to_snapshot_id)
+    ):
+        raise ValueError("from_snapshot_id must precede to_snapshot_id")
+    chain: list[dict] | None = []
+    walk: int | None = to_snapshot_id
+    while walk is not None and walk != from_snapshot_id:
+        snap = by_id.get(walk)
+        if snap is None:
+            # an EXPIRED ancestor: the parent chain has a hole. Fall
+            # back to snapshot-log (main-history) order below — append
+            # snapshots list their own files and still reconstruct;
+            # diff snapshots re-check their parent individually.
+            chain = None
+            break
+        chain.append(snap)
+        walk = snap.get("parent-snapshot-id")
+    if chain is not None and walk != from_snapshot_id:
+        raise ValueError(
+            f"{from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id}; the changelog covers the "
+            "parent-snapshot-id lineage between its endpoints only"
+        )
+    if chain is not None:
+        chain.reverse()
+    else:
+        if from_snapshot_id not in log_ids or to_snapshot_id not in log_ids:
+            raise ValueError(
+                f"lineage of {to_snapshot_id} crosses an expired "
+                f"snapshot and {from_snapshot_id} or {to_snapshot_id} "
+                "is not on the retained main history (snapshot-log); "
+                "changelog cannot order the endpoints"
+            )
+        i0 = log_ids.index(from_snapshot_id)
+        i1 = log_ids.index(to_snapshot_id)
+        chain = [
+            by_id[i] for i in log_ids[i0 + 1 : i1 + 1] if i in by_id
+        ]
     out: DataFrame | None = None
-    for pos in range(i0 + 1, i1 + 1):
-        s = snaps[pos]
+    for s in chain:
         sid = s["snapshot-id"]
         op = (s.get("summary") or {}).get("operation", "append")
         if op == "append":
@@ -2143,15 +2201,15 @@ def read_iceberg_changes(
             is_update = {0, 1} <= added_contents
             ins_tag = "update_postimage" if is_update else "insert"
             del_tag = "update_preimage" if is_update else "delete"
-            prev_sid = snaps[pos - 1]["snapshot-id"]
-            parent = s.get("parent-snapshot-id")
-            if parent is not None and parent != prev_sid:
-                # the true parent was EXPIRED: diffing against the
-                # nearest retained snapshot would merge several
-                # commits under this snapshot id — refuse loudly, the
-                # contract Iceberg's changelog procedure keeps
+            prev_sid = s.get("parent-snapshot-id")
+            if prev_sid not in by_id:
+                # the diff path NEEDS the true parent: diffing against
+                # anything else would merge several commits under this
+                # snapshot id — refuse loudly, the contract Iceberg's
+                # changelog procedure keeps (appends are immune: they
+                # list their own added files above)
                 raise ValueError(
-                    f"snapshot {sid} has expired parent {parent}; "
+                    f"snapshot {sid} has expired parent {prev_sid}; "
                     "changelog cannot reconstruct changes across an "
                     "expired snapshot boundary"
                 )
@@ -2468,10 +2526,26 @@ def cherry_pick_iceberg(table: str, snapshot_id: int) -> int:
     mlist_path = os.path.join(
         meta_dir, f"snap-{new_id}-1-{uuid.uuid4().hex}.avro"
     )
-    # the picked manifests keep their ORIGINAL sequence numbers — the
-    # data files' rows were written then, and the equality-delete
-    # applicability rule depends on it (spec: sequence inheritance)
-    write_container(mlist_path, _MANIFEST_FILE, main_manifests + added)
+    # Publish-time sequence reassignment (the spec's sequence-number
+    # inheritance exists precisely for WAP/cherry-pick): the picked
+    # rows logically enter the table AT the pick, so the manifest-list
+    # entries are rewritten with the NEW snapshot's sequence number —
+    # an equality delete committed on main between staging and the
+    # pick must NOT retroactively delete them (row_seq < delete_seq
+    # rule). The data-file entries inside the manifests carry
+    # sequence_number=None and inherit the rewritten value; tagging
+    # added_snapshot_id=new_id makes the changelog attribute the rows
+    # to the pick, not the staged branch snapshot.
+    picked = [
+        {
+            **m,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": new_id,
+        }
+        for m in added
+    ]
+    write_container(mlist_path, _MANIFEST_FILE, main_manifests + picked)
     snapshot = {
         "snapshot-id": new_id,
         "parent-snapshot-id": main_id,

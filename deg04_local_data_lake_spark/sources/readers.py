@@ -74,6 +74,24 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def _timestamp_as_of_string(timestamp_ms: int) -> str:
+    """Render an epoch-millis instant for delta-spark's ``timestampAsOf``
+    option (a timestamp STRING, unlike Iceberg's epoch-millis
+    ``as-of-timestamp``). The offset is EXPLICIT (``+00:00``): delta-spark
+    parses a zone-less string in ``spark.sql.session.timeZone``, so on a
+    non-UTC session (not built by this repo's factory, which sets UTC) a
+    bare wall-clock string would read a shifted instant versus the
+    jar-less epoch-ms path."""
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromtimestamp(
+            timestamp_ms / 1000.0, tz=timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+        + "+00:00"
+    )
+
+
 def read_lake_table(
     spark: SparkSession,
     path_or_name: str,
@@ -107,15 +125,9 @@ def read_lake_table(
         try:
             reader = spark.read.format("delta")
             if timestamp_as_of is not None:
-                # delta-spark parses timestampAsOf as a timestamp STRING
-                # (Iceberg's as-of-timestamp takes epoch millis); convert
-                # so jarful and jar-less paths read the same instant.
-                from datetime import datetime, timezone
-
-                iso = datetime.fromtimestamp(
-                    timestamp_as_of / 1000.0, tz=timezone.utc
-                ).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
-                reader = reader.option("timestampAsOf", iso)
+                reader = reader.option(
+                    "timestampAsOf", _timestamp_as_of_string(timestamp_as_of)
+                )
             return reader.load(path_or_name)
         except Exception as exc:
             if not _is_missing_datasource(exc, "delta"):

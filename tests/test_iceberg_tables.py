@@ -1646,3 +1646,238 @@ def test_expire_tag_pins_exactly_its_snapshot(spark, table):
     assert expired == [s1]
     assert read_iceberg(spark, table, ref="pin2").count() == 20
     assert read_iceberg(spark, table, snapshot_id=s3).count() == 25
+
+
+def test_changelog_walks_main_lineage_not_list_positions(spark, table):
+    """Round-8 ADVICE fix: the changelog walks parent-snapshot-id
+    lineage. Branch commits are APPENDED to meta['snapshots'], so with
+    an interleaved unpublished branch append the positional walk (a)
+    leaked the branch rows into the MAIN changelog and (b) falsely
+    raised 'expired parent' for a main overwrite whose positional
+    predecessor is the branch snapshot."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg_changes,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    s2 = write_iceberg_commit(_df(spark, 10, 20), table)
+    # unpublished branch append lands between s2 and s3 in the list
+    write_iceberg_commit(_df(spark, 100, 110), table, branch="audit")
+    s3 = write_iceberg_commit(_df(spark, 0, 5), table, mode="overwrite")
+    ch = read_iceberg_changes(spark, table, s1, s3).collect()
+    ids = sorted(r["id"] for r in ch)
+    # branch rows (100..110) are absent; s2's inserts and s3's diff only
+    assert all(i < 100 for i in ids)
+    by_snap = {}
+    for r in ch:
+        by_snap.setdefault(r["_commit_snapshot_id"], []).append(r)
+    assert set(by_snap) == {s2, s3}
+    # endpoints not on one lineage refuse loudly
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        resolve_iceberg_ref,
+    )
+
+    b1 = resolve_iceberg_ref(_load_metadata(table), "audit")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_changes(spark, table, b1, s3)
+
+
+def test_changelog_counts_cherry_pick_once(spark, table):
+    """After a cherry-pick the picked rows appear in the main changelog
+    exactly once, attributed to the PICK snapshot (the staged branch
+    snapshot is not on the main lineage)."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        cherry_pick_iceberg,
+        read_iceberg_changes,
+        resolve_iceberg_ref,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    write_iceberg_commit(_df(spark, 10, 20), table, branch="audit")
+    write_iceberg_commit(_df(spark, 20, 30), table)  # main diverges
+    staged = resolve_iceberg_ref(_load_metadata(table), "audit")
+    pick = cherry_pick_iceberg(table, staged)
+    ch = read_iceberg_changes(spark, table, s1, pick).collect()
+    picked_rows = [r for r in ch if 10 <= r["id"] < 20]
+    assert len(picked_rows) == 10  # once, not twice
+    assert {r["_commit_snapshot_id"] for r in picked_rows} == {pick}
+    assert {r["_change_type"] for r in picked_rows} == {"insert"}
+
+
+def test_cherry_pick_reassigns_sequence_past_interleaved_delete(
+    spark, table
+):
+    """Round-8 ADVICE fix: publish-time sequence reassignment. An
+    equality delete committed on main BETWEEN staging and the pick must
+    not retroactively delete the picked rows — they logically enter the
+    table at the pick, so their manifests get the pick's sequence
+    number (row_seq > delete_seq ⇒ survive)."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        cherry_pick_iceberg,
+        delete_iceberg_equality,
+        read_iceberg,
+        resolve_iceberg_ref,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    write_iceberg_commit(_df(spark, 10, 20), table, branch="audit")
+    write_iceberg_commit(_df(spark, 20, 30), table)  # main diverges
+    # equality delete of ids 12..18 lands on main AFTER staging: the
+    # keys aren't on main yet, so it deletes nothing today — and must
+    # not reach forward into the pick
+    delete_iceberg_equality(
+        spark, table, spark.range(12, 18).selectExpr("id"), ["id"]
+    )
+    staged = resolve_iceberg_ref(_load_metadata(table), "audit")
+    cherry_pick_iceberg(table, staged)
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(30))  # 12..18 survived the earlier delete
+
+
+def test_append_retry_reasserts_timestamp_monotonicity(spark, table):
+    """Round-8 ADVICE fix: after a lost CAS the append retry revalidates
+    schema/spec AND the timestamp guard against the racer's head — a
+    racer that committed a later timestamp must fail this commit's
+    stale timestamp_ms loudly (the Delta rebase path's rule)."""
+    from deg04_local_data_lake_spark.sources import iceberg_tables as ice
+
+    write_iceberg_commit(_df(spark, 0, 5), table, timestamp_ms=1000)
+    real = ice._try_publish_metadata_version
+    state = {"raced": False}
+
+    def lose_once_to_late_racer(tbl, version, meta):
+        if not state["raced"]:
+            state["raced"] = True
+            # racer lands a LATER timestamp first, then we lose the CAS
+            ice._try_publish_metadata_version = real
+            try:
+                write_iceberg_commit(
+                    _df(spark, 100, 105), tbl, timestamp_ms=9000
+                )
+            finally:
+                ice._try_publish_metadata_version = lose_once_to_late_racer
+            return False
+        return real(tbl, version, meta)
+
+    ice._try_publish_metadata_version = lose_once_to_late_racer
+    try:
+        with pytest.raises(ValueError, match="strictly increasing"):
+            write_iceberg_commit(
+                _df(spark, 5, 10), table, timestamp_ms=5000
+            )
+    finally:
+        ice._try_publish_metadata_version = real
+    # and a retry with a FRESH later timestamp still lands
+    write_iceberg_commit(_df(spark, 5, 10), table, timestamp_ms=9500)
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg,
+    )
+
+    assert read_iceberg(spark, table).count() == 15
+
+
+def test_wap_publish_race_exactly_one_winner(spark, table):
+    """Round-8 live race over the WAP surface (VERDICT r7 #5): concurrent
+    branch appends + main appends + a fast-forward publish, all fighting
+    over the same put-if-absent metadata version. Invariants: every
+    APPEND lands exactly once (appends rebase internally), the
+    fast-forward either lands atomically or refuses ('not an ancestor' /
+    lost CAS) — never a torn state — and no snapshot is lost: metadata
+    versions are contiguous and every recorded snapshot stays readable."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        CommitFailedError,
+        _current_version,
+        _load_metadata,
+        fast_forward_iceberg,
+        read_iceberg,
+        resolve_iceberg_ref,
+    )
+
+    write_iceberg_commit(_df(spark, 0, 10), table)
+    branch_batches = [(100, 110), (110, 120), (120, 130)]
+    main_batches = [(200, 210), (210, 220)]
+    frames = {
+        (lo, hi): _df(spark, lo, hi).localCheckpoint(eager=True)
+        for lo, hi in branch_batches + main_batches
+    }
+
+    ff_result: dict = {}
+
+    def do_branch(b):
+        return ("branch", write_iceberg_commit(frames[b], table, branch="audit"))
+
+    def do_main(b):
+        return ("main", write_iceberg_commit(frames[b], table))
+
+    def do_ff():
+        # retry lost-CAS (a racer moved metadata under us) but accept a
+        # terminal divergence refusal — both are exactly-once outcomes
+        for _ in range(20):
+            try:
+                ff_result["sid"] = fast_forward_iceberg(table, "audit")
+                return ("ff", ff_result["sid"])
+            except CommitFailedError:
+                time.sleep(0.01)
+            except ValueError as exc:
+                assert "not an ancestor" in str(exc) or "no such branch" in str(exc)
+                ff_result["refused"] = str(exc)
+                return ("ff-refused", None)
+        return ("ff-gaveup", None)
+
+    jobs = (
+        [lambda b=b: do_branch(b) for b in branch_batches]
+        + [lambda b=b: do_main(b) for b in main_batches]
+        + [do_ff]
+    )
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = [f.result() for f in [ex.submit(j) for j in jobs]]
+
+    meta = _load_metadata(table)
+    # 1) no lost snapshots: ids unique, every one readable, versions
+    #    contiguous (one file per successful publish, put-if-absent)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert len(sids) == len(set(sids))
+    n_commits = 1 + len(branch_batches) + len(main_batches) + (
+        1 if "sid" in ff_result else 0
+    )
+    assert _current_version(table) == n_commits
+    for sid in sids:
+        read_iceberg(spark, table, sid).count()  # must not raise
+    # 2) every branch append landed exactly once on the audit lineage
+    #    (main rows MAY appear there too: the fork point is whatever
+    #    main head the first branch append observed — legitimate)
+    audit = sorted(
+        r.id
+        for r in read_iceberg(spark, table, ref="audit").collect()
+    )
+    branch_rows = [i for lo, hi in branch_batches for i in range(lo, hi)]
+    assert [i for i in audit if 100 <= i < 200] == branch_rows
+    # 3) every main append landed exactly once on main
+    main_ids = sorted(r.id for r in read_iceberg(spark, table).collect())
+    main_rows = [i for lo, hi in main_batches for i in range(lo, hi)]
+    assert [i for i in main_ids if 200 <= i < 300] == main_rows
+    assert [i for i in main_ids if i < 100] == list(range(10))
+    # 4) fast-forward atomicity: if it landed, main contains EVERY
+    #    branch row that was on the audit head it published (the head is
+    #    an ancestor of audit's final head, so its rows are a prefix of
+    #    the branch batches in id order); if refused, main has no branch
+    #    rows unless a later test-external publish happened (it didn't)
+    picked = [i for i in main_ids if 100 <= i < 200]
+    if "sid" in ff_result:
+        head_rows = sorted(
+            r.id
+            for r in read_iceberg(
+                spark, table, snapshot_id=ff_result["sid"]
+            ).collect()
+        )
+        assert picked == [i for i in head_rows if i >= 100]
+    else:
+        assert picked == []
+    # the outcome set is race-dependent but every job must have resolved
+    assert all(tag != "ff-gaveup" for tag, _ in results)

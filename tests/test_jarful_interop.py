@@ -134,3 +134,19 @@ def test_stock_iceberg_reader_reads_our_v2_table():
     if not _iceberg_runtime_on_classpath():
         pytest.skip("iceberg-spark-runtime jar not on the classpath")
     _run_child(_ICEBERG_CHILD, "ICEBERG-INTEROP-OK")
+
+
+def test_timestamp_as_of_string_is_zone_explicit():
+    """Round-8 ADVICE fix: the jarful timestampAsOf string carries an
+    explicit +00:00 offset — delta-spark parses a zone-LESS string in
+    spark.sql.session.timeZone, so on a non-UTC session a bare
+    wall-clock string reads a shifted instant vs the epoch-ms path."""
+    from deg04_local_data_lake_spark.sources.readers import (
+        _timestamp_as_of_string,
+    )
+
+    assert _timestamp_as_of_string(0) == "1970-01-01 00:00:00.000+00:00"
+    assert (
+        _timestamp_as_of_string(1_700_000_000_123)
+        == "2023-11-14 22:13:20.123+00:00"
+    )

@@ -1,0 +1,93 @@
+"""Round-8: real stdlib media codecs (operators/multimodal.py) — the
+former environment stubs. WAV via ``wave``, uncompressed 24-bit BMP via
+``struct``; encode→decode round-trips must be bit-exact and malformed
+payloads must fail loudly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deg04_local_data_lake_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip_bit_exact():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=441, dtype=np.int16)
+    wav = encode_wav(samples, 44100)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    dec = decode_audio(wav)
+    assert dec["sample_rate"] == 44100
+    assert dec["n_channels"] == 1
+    assert dec["n_frames"] == 441
+    assert np.array_equal(dec["samples"], samples)
+
+
+def test_wav_stereo_interleaved():
+    samples = np.arange(-6, 6, dtype=np.int16)  # 6 stereo frames
+    dec = decode_audio(encode_wav(samples, 8000, n_channels=2))
+    assert dec["n_channels"] == 2
+    assert dec["n_frames"] == 6
+    assert np.array_equal(dec["samples"], samples)
+
+
+def test_wav_extremes_survive():
+    samples = np.array([-32768, 32767, 0, -1], dtype=np.int16)
+    dec = decode_audio(encode_wav(samples, 16000))
+    assert np.array_equal(dec["samples"], samples)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_audio(b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_audio(b"RIFF....WAVEjunk")
+
+
+def test_bmp_roundtrip_bit_exact():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # stride pad
+    bmp = encode_bmp(px)
+    assert bmp[:2] == b"BM"
+    dec = decode_image(bmp)
+    assert (dec["width"], dec["height"]) == (7, 5)
+    assert np.array_equal(dec["pixels"], px)
+
+
+def test_bmp_orientation_and_channel_order():
+    """Top-left red pixel must come back at [0, 0] as (255, 0, 0) — pins
+    the bottom-up row flip AND the BGR→RGB swap."""
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0)
+    bmp = encode_bmp(px)
+    # in file order the red pixel sits in the LAST stored row, as BGR
+    body = bmp[54:]
+    assert body[8:11] == b"\x00\x00\xff"  # stored row 1 (top), BGR
+    dec = decode_image(bmp)
+    assert tuple(dec["pixels"][0, 0]) == (255, 0, 0)
+    assert tuple(dec["pixels"][1, 1]) == (0, 0, 0)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError, match="no 'BM' magic"):
+        decode_image(b"PNG" + b"\x00" * 60)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    bmp = bytearray(encode_bmp(px))
+    bmp[28:30] = (8).to_bytes(2, "little")  # claim 8bpp
+    with pytest.raises(ValueError, match="only uncompressed 24-bit"):
+        decode_image(bytes(bmp))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(bytes(encode_bmp(px)[:-4]))
+
+
+def test_decode_queries_match_oracle(spark, sf_dir):
+    from deg04_local_data_lake_spark import oracle
+
+    for name in ("mm_decode_wav", "mm_decode_bmp"):
+        ok, msg = oracle.check_query(spark, sf_dir, name)
+        assert ok, f"{name}: {msg}"
