@@ -1169,12 +1169,33 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_drop_counts(
     emb: DataFrame, *, cluster_cap: int = SEM_CLUSTER_CAP
 ) -> DataFrame:
-    """SemDeDup core over ``(vec_id, label, embedding)`` →
-    ``(label, n_items, n_dropped, n_kept)`` with the mega-cluster salt
-    cap (see :data:`SEM_CLUSTER_CAP`): clusters above ``cluster_cap``
-    split into deterministic sub-groups and the quadratic pair join is
-    keyed on ``(label, salt)`` — bounded work per cluster whatever the
-    corpus does, the exact trade MinHash's band buckets make."""
+    """SemDeDup per-cluster counts over ``(vec_id, label, embedding)`` →
+    ``(label, n_items, n_dropped, n_kept)`` — the registered-query shape
+    over :func:`semdedup_dropped`'s drop set."""
+    dropped = semdedup_dropped(emb, cluster_cap=cluster_cap)
+    per = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_items"))
+    d = dropped.groupBy("label").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return per.join(d, "label", "left").select(
+        "label",
+        "n_items",
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+        (F.col("n_items") - F.coalesce("n_dropped", F.lit(0).cast("bigint"))).alias(
+            "n_kept"
+        ),
+    )
+
+
+def semdedup_dropped(
+    emb: DataFrame, *, cluster_cap: int = SEM_CLUSTER_CAP
+) -> DataFrame:
+    """SemDeDup core: the ``(label, vec_id)`` DROP set over an arbitrary
+    ``(vec_id, label, embedding)`` frame, with the mega-cluster salt cap
+    (see :data:`SEM_CLUSTER_CAP`): clusters above ``cluster_cap`` split
+    into deterministic sub-groups and the quadratic pair join is keyed
+    on ``(label, salt)`` — bounded work per cluster whatever the corpus
+    does, the exact trade MinHash's band buckets make. Centroids (and
+    so the drop set) depend on exactly the rows passed in, which is what
+    lets the curation pipeline run this gate over upstream survivors."""
     from deg04_local_data_lake_spark.operators.similarity import int_dot, quantized
 
     q = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("qe"))
@@ -1229,23 +1250,13 @@ def semdedup_drop_counts(
         & (F.col("a.salt") == F.col("b.salt"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).filter(pair_cos >= SEM_TAU)
-    dropped = pairs.select(
+    return pairs.select(
         F.col("a.label").alias("label"),
         F.when(F.col("a.csim") < F.col("b.csim"), F.col("b.vec_id"))
         .when(F.col("b.csim") < F.col("a.csim"), F.col("a.vec_id"))
         .otherwise(F.col("b.vec_id"))
         .alias("vec_id"),
     ).distinct()
-    per = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_items"))
-    d = dropped.groupBy("label").agg(F.count(F.lit(1)).alias("n_dropped"))
-    return per.join(d, "label", "left").select(
-        "label",
-        "n_items",
-        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
-        (F.col("n_items") - F.coalesce("n_dropped", F.lit(0).cast("bigint"))).alias(
-            "n_kept"
-        ),
-    )
 
 
 # ------------------------------------- exact-substring (window) dedup
@@ -1315,7 +1326,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are exact BIGINTs; the fraction is one IEEE
     division — bitwise identical in DuckDB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def exact_substring_metrics(docs: DataFrame) -> DataFrame:
+    """ExactSubstr window-duplication metrics + keep verdict for an
+    arbitrary ``(doc_id, text)`` frame — window frequencies are counted
+    over EXACTLY the docs passed in (corpus-dependent, unlike per-doc
+    gates), which is what lets the curation pipeline run this gate over
+    upstream survivors only."""
     win = shingle_rows(docs, k=SUBSTR_W).select(
         "doc_id", F.md5("s").alias("h")
     )

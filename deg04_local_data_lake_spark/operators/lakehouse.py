@@ -3731,3 +3731,63 @@ def iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_checkpoint_config_survival",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_neg_bal,
+       TRUE AS mapped_ok
+FROM customer
+WHERE c_custkey % 2 = 1 OR c_custkey % 7 <> 0
+""",
+)
+def delta_checkpoint_config_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-8 regression, driver-attested: metaData read back from a
+    parquet CHECKPOINT must keep its ``configuration`` as a dict —
+    pyarrow round-trips map<string,string> as a list of (k, v) pairs,
+    and before the fix the first post-checkpoint read/write on a
+    column-mapped table crashed in ``_column_mapping``. The query
+    checkpoints a column-mapped + DV'd table, then appends and reads
+    THROUGH the checkpoint replay: row counts and the logical
+    (post-rename) column names must survive."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+
+    root = tempfile.mkdtemp(prefix="deg04_cp_cfg_")
+    dpath = _os.path.join(root, "delta")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        half = cust.filter(F.col("c_custkey") % 2 == 0)
+        rest = cust.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+            "c_acctbal", "bal"
+        )
+        dl.write_delta_commit(half, dpath)
+        dl.rename_delta_column(spark, dpath, {"c_acctbal": "bal"})
+        dl.delete_delta(spark, dpath, "c_custkey % 7 = 0")
+        dl.write_delta_checkpoint(dpath)
+        # both of these replay metaData FROM THE CHECKPOINT
+        dl.write_delta_commit(rest, dpath)
+        got = dl.read_delta_log(spark, dpath)
+        mapped_ok = got.columns == ["c_custkey", "bal"]
+        out = spark.createDataFrame(
+            [
+                (
+                    int(got.count()),
+                    int(got.filter(F.col("bal") < 0).count()),
+                    bool(mapped_ok),
+                )
+            ],
+            "n_rows long, n_neg_bal long, mapped_ok boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

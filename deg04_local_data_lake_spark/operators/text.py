@@ -886,9 +886,15 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every ratio is one IEEE division of exact BIGINTs —
     bitwise identical in DuckDB.
     """
+    return gopher_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher rule metrics + keep verdict for an arbitrary ``(doc_id,
+    text)`` frame — the composable core ``quality_gopher_rules`` and the
+    end-to-end curation pipeline share."""
     from deg04_local_data_lake_spark.operators.dedup import shingle_rows
 
-    docs = load_table(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     base = docs.select(
@@ -1000,6 +1006,27 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns avoid backreferences/lookaround so Java regex and RE2
     agree symbol-for-symbol."""
     docs = load_table(spark, sf_dir, "documents")
+    seeded = pii_seeded(docs)
+    scrubbed = pii_scrub_column(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def pii_seeded(docs: DataFrame) -> DataFrame:
+    """Plant one deterministic PII instance per document (email / phone /
+    IPv4 keyed by ``doc_id % 3``) — the shared fixture both
+    ``text_pii_scrub`` and the curation pipeline scrub back out."""
     seeded_text = F.concat(
         F.col("text"),
         F.when(
@@ -1026,26 +1053,18 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    seeded = docs.select("doc_id", seeded_text.alias("text"))
-    scrubbed = F.regexp_replace(
+    return docs.select("doc_id", seeded_text.alias("text"))
+
+
+def pii_scrub_column(text):
+    """Chained redaction expression (email → phone → IPv4), all
+    codegen'd JVM regex."""
+    return F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
             PII_PHONE_RE,
             "<PHONE>",
         ),
         PII_IPV4_RE,
         "<IP>",
-    )
-    return seeded.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE))
-        .cast("bigint")
-        .alias("n_phones"),
-        F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE))
-        .cast("bigint")
-        .alias("n_ips"),
-        F.md5(scrubbed).alias("scrubbed_md5"),
     )

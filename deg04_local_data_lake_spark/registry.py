@@ -84,47 +84,69 @@ def load_all() -> None:
 
 #: Queries pushed to the FRONT of ``queries()`` iteration order regardless
 #: of module import order.  The driver samples the first 50 registered
-#: queries each round.  Round 7 window = (a) the 19 queries never
-#: driver-sampled across rounds 1-6 (diff of CORRECTNESS_r0*.json keys vs
-#: the registry — the round-6 verdict's task #2, verbatim); (b) everything
-#: NEW this round.  A full-window round leaves every registered query
-#: driver-attested at least once (272 pre-round-7 queries, 253 attested).
+#: queries each round.  After round 7 every registered query has at least
+#: one green driver row, so the window now RE-ATTESTS the stalest rows
+#: (VERDICT r7 task #6): round 8 = (a) everything NEW this round, (b) all
+#: 12 queries last driver-attested in round 1, (c) 34 of the 46 round-2
+#: rows, preferring the dedup / CDC / corpus-curation families whose
+#: underlying modules (dedup.py, text.py, llm_extras.py) were refactored
+#: in rounds 7-8.  Left for the round-9 window: the 12 round-2 TPC-H
+#: q-series rows (their plans are untouched since round 2 and the local
+#: all-query parity re-checks them every pytest run).
 PRIORITY: list[str] = [
-    # --- never driver-sampled through round 6 (VERDICT r6 "missing" #3) ---
-    "dedup_semdedup",
-    "sample_dsir_weights",
-    "delta_log_concurrent_writers",
-    "iceberg_concurrent_writers",
-    "iceberg_sort_order_skipping",
-    "iceberg_update",
-    "iceberg_change_feed",
-    "delta_log_column_defaults",
-    "time_travel_timestamp_lockstep",
-    "alter_add_column_lockstep",
-    "alter_drop_column_lockstep",
-    "stream_iceberg_sink_exactly_once",
-    "xml_scan_roundtrip",
-    "ewma_daily_revenue",
-    "max_drawdown",
-    "price_momentum",
-    "revenue_autocorr_lag1",
-    "rolling_trend_daily_revenue",
-    "weekday_seasonality",
-    # --- new in round 7 (each attests a round-6 ADVICE/VERDICT fix) ---
-    "time_travel_monotonized_mutations",
-    "stream_epoch_survives_expiry",
-    "delta_protocol_feature_preservation",
-    "changelog_lockstep_delete_update",
-    "iceberg_wap_publish",
-    "iceberg_cherry_pick_recovery",
-    "rollback_lockstep",
-    "delta_optimize_where",
-    "quality_gopher_rules",
-    "dedup_exact_substring",
-    "text_pii_scrub",
-    "training_shard_assignment",
-    "vacuum_lockstep",
-    "iceberg_type_promotion",
+    # --- new in round 8 (codecs, checkpoint-config fix, composed stack) ---
+    "mm_decode_wav",
+    "mm_decode_bmp",
+    "delta_checkpoint_config_survival",
+    "corpus_curation_full",
+    # --- last driver-attested in round 1 ---
+    "anomalous_daily_revenue",
+    "distinct_users_daily",
+    "except_modest_customers",
+    "fk_integrity_audit",
+    "intersect_buyer_sellers_nations",
+    "median_order_by_segment",
+    "order_price_deciles",
+    "pivot_daily_event_matrix",
+    "profile_orders",
+    "sample_domain_mixture",
+    "sample_train_split",
+    "try_cast_props",
+    # --- last driver-attested in round 2; refactored-module consumers ---
+    "asof_purchase_click",
+    "basket_affinity_lift",
+    "cdc_changed_records",
+    "cdc_new_records",
+    "cdc_upsert_customer",
+    "cdc_upsert_employees_reference",
+    "cohort_retention",
+    "corpus_curation",
+    "dedup_canonical_corpus",
+    "dedup_clusters",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "dedup_lsh_recall",
+    "dedup_minhash_estimate",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "minhash_s_curve",
+    "events_value_histogram",
+    "frequent_itemset_pairs",
+    "funnel_stages",
+    "fuzzy_match_names",
+    "graph_degree_histogram",
+    "incremental_agg_merge",
+    "ngram_topk_global",
+    "orders_above_customer_avg",
+    "pagerank_step",
+    "pareto_revenue_share",
+    "range_join_error_burst",
+    "rollup_revenue",
+    "supplier_hhi_by_nation",
+    "triangle_count",
 ]
 
 

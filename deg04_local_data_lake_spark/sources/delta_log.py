@@ -102,6 +102,25 @@ def _read_commit(table: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _meta_from_checkpoint(meta: dict) -> dict:
+    """Normalize a metaData action read back from a parquet checkpoint:
+    pyarrow returns map<string,string> columns as LISTS of (k, v) pairs,
+    but every consumer of ``configuration`` / ``format.options``
+    (column mapping, constraints, CDF flag, defaults) expects the JSON
+    commits' dict shape. Without this, any configuration-gated feature
+    silently (or loudly) broke on the first read AFTER a checkpoint."""
+    m = dict(meta)
+    cfg = m.get("configuration")
+    if isinstance(cfg, list):
+        m["configuration"] = dict(cfg)
+    fmt = m.get("format")
+    if isinstance(fmt, dict) and isinstance(fmt.get("options"), list):
+        fmt = dict(fmt)
+        fmt["options"] = dict(fmt["options"])
+        m["format"] = fmt
+    return m
+
+
 def _replay(
     table: str, version: int
 ) -> tuple[dict[str, dict], dict | None]:
@@ -118,7 +137,7 @@ def _replay(
         tbl = pq.read_table(_checkpoint_file(table, cp)).to_pylist()
         for row in tbl:
             if row.get("metaData") and row["metaData"].get("schemaString"):
-                meta = row["metaData"]
+                meta = _meta_from_checkpoint(row["metaData"])
             if row.get("add") and row["add"].get("path"):
                 live[row["add"]["path"]] = row["add"]
         start = cp + 1

@@ -1768,3 +1768,38 @@ def test_change_feed_update_pre_post_images(spark, table):
         (i, i * 2.0 + 100.0, "update_postimage") for i in range(3)
     }
     assert got == expect
+
+
+def test_checkpoint_preserves_metadata_configuration(spark, table):
+    """Round-8 fix: pyarrow returns the checkpoint's map<string,string>
+    columns as LISTS of (k, v) pairs — metaData.configuration must be
+    normalized back to a dict or every configuration-gated feature
+    (column mapping, constraints, CDF) breaks on the first
+    post-checkpoint read/write."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _latest_version,
+        _replay,
+        delete_delta,
+        read_delta_log,
+        rename_delta_column,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    write_delta_commit(_df(spark, 0, 100), table)
+    rename_delta_column(spark, table, {"v": "val"})  # columnMapping on
+    delete_delta(spark, table, "id % 7 = 0")  # DVs
+    write_delta_checkpoint(table)
+    _live, meta = _replay(table, _latest_version(table))
+    assert isinstance(meta["configuration"], dict)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    # post-checkpoint write + read both go through the replayed meta
+    write_delta_commit(
+        spark.range(100, 110).selectExpr(
+            "id", "CAST(id * 3 AS DOUBLE) AS val"
+        ),
+        table,
+    )
+    got = read_delta_log(spark, table)
+    assert got.columns == ["id", "val"]
+    assert got.count() == 100 - 15 + 10
