@@ -3791,3 +3791,130 @@ def delta_checkpoint_config_survival(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "iceberg_changelog_branch_isolation",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+         AS n_changes,
+       CAST(0 AS BIGINT) AS n_branch_leaked,
+       TRUE AS nonancestor_rejected
+FROM orders
+""",
+)
+def iceberg_changelog_branch_isolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-8 ADVICE fix, driver-attested: the changelog walks the
+    parent-snapshot-id lineage, so an UNPUBLISHED branch append whose
+    snapshot interleaves between two main commits in ``meta['snapshots']``
+    must contribute NOTHING to the main change feed (positional
+    adjacency leaked it as 'insert' rows), and endpoints that are not
+    ancestor-related refuse loudly."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_chlog_br_")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        s1 = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        # branch snapshot lands BETWEEN the two main commits in the list
+        ice.write_iceberg_commit(pri("3-MEDIUM"), ipath, branch="audit")
+        s3 = ice.write_iceberg_commit(pri("2-HIGH"), ipath)
+        ch = ice.read_iceberg_changes(spark, ipath, s1, s3)
+        n_changes = ch.count()
+        n_leaked = ch.join(
+            pri("3-MEDIUM").select("o_orderkey"), "o_orderkey", "left_semi"
+        ).count()
+        meta = ice._load_metadata(ipath)
+        staged = ice.resolve_iceberg_ref(meta, "audit")
+        rejected = False
+        try:
+            ice.read_iceberg_changes(spark, ipath, staged, s3)
+        except ValueError as exc:
+            rejected = "not an ancestor" in str(exc)
+        out = spark.createDataFrame(
+            [(int(n_changes), int(n_leaked), bool(rejected))],
+            "n_changes long, n_branch_leaked long, "
+            "nonancestor_rejected boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "iceberg_cherry_pick_seq_isolation",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+         ('1-URGENT', '2-HIGH', '5-LOW')) AS BIGINT) AS n_after_pick,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+         AS n_picked_survivors,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+         AS n_picked_in_changelog
+FROM orders
+""",
+)
+def iceberg_cherry_pick_seq_isolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-8 ADVICE fix, driver-attested: cherry-pick REASSIGNS the
+    picked manifests' sequence numbers at publish time (the spec's
+    sequence-number inheritance), so an equality delete committed on
+    main BETWEEN staging and the pick — targeting keys that only exist
+    on the staged branch — must not retroactively delete the picked
+    rows (row_seq > delete_seq). The changelog must attribute the
+    picked rows to the PICK snapshot, exactly once."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_pick_seq_")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        s1 = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        ice.write_iceberg_commit(pri("2-HIGH"), ipath, branch="audit")
+        ice.write_iceberg_commit(pri("5-LOW"), ipath)  # main diverges
+        # equality delete of the STAGED keys lands on main pre-pick:
+        # deletes nothing today, must not reach forward into the pick
+        ice.delete_iceberg_equality(
+            spark, ipath, pri("2-HIGH").select("o_orderkey"), ["o_orderkey"]
+        )
+        staged = ice.resolve_iceberg_ref(ice._load_metadata(ipath), "audit")
+        pick = ice.cherry_pick_iceberg(ipath, staged)
+        cur = ice.read_iceberg(spark, ipath)
+        n_after = cur.count()
+        survivors = cur.join(
+            pri("2-HIGH").select("o_orderkey"), "o_orderkey", "left_semi"
+        ).count()
+        ch = ice.read_iceberg_changes(spark, ipath, s1, pick)
+        in_changelog = ch.filter(
+            (F.col("_commit_snapshot_id") == pick)
+            & (F.col("_change_type") == "insert")
+        ).count()
+        out = spark.createDataFrame(
+            [(int(n_after), int(survivors), int(in_changelog))],
+            "n_after_pick long, n_picked_survivors long, "
+            "n_picked_in_changelog long",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -91,14 +91,18 @@ def load_all() -> None:
 #: rows, preferring the dedup / CDC / corpus-curation families whose
 #: underlying modules (dedup.py, text.py, llm_extras.py) were refactored
 #: in rounds 7-8.  Left for the round-9 window: the 12 round-2 TPC-H
-#: q-series rows (their plans are untouched since round 2 and the local
-#: all-query parity re-checks them every pytest run).
+#: q-series rows plus supplier_hhi_by_nation / triangle_count (plans
+#: untouched since round 2; the local all-query parity re-checks them
+#: every pytest run).
 PRIORITY: list[str] = [
-    # --- new in round 8 (codecs, checkpoint-config fix, composed stack) ---
+    # --- new in round 8 (codecs, checkpoint-config fix, composed stack,
+    #     changelog-lineage + cherry-pick-sequencing ADVICE fixes) ---
     "mm_decode_wav",
     "mm_decode_bmp",
     "delta_checkpoint_config_survival",
     "corpus_curation_full",
+    "iceberg_changelog_branch_isolation",
+    "iceberg_cherry_pick_seq_isolation",
     # --- last driver-attested in round 1 ---
     "anomalous_daily_revenue",
     "distinct_users_daily",
@@ -145,8 +149,6 @@ PRIORITY: list[str] = [
     "pareto_revenue_share",
     "range_join_error_burst",
     "rollup_revenue",
-    "supplier_hhi_by_nation",
-    "triangle_count",
 ]
 
 
