@@ -19,11 +19,17 @@ from deg04_local_data_lake_spark.sources.readers import TESTDATA_TABLES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written tables are DIRECTORIES of part files — DuckDB
+            # needs the glob form (lets the scale-up study's derived
+            # datasets run the same oracle comparison as the driver's)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

@@ -198,3 +198,125 @@ def test_timestamp_as_of_matches_monotonized_model(
             ).count()
             assert got_d == n, (probe, supplied, eff, got_d, n)
             assert got_i == n, (probe, supplied, eff, got_i, n)
+
+
+# ------------------------------------------ changelog lineage (round 8)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_changelog_matches_model_under_branched_ops(
+    spark, tmp_path_factory, data
+):
+    """The round-8 lineage walk, model-checked: random interleavings of
+    main appends, main overwrites, unpublished branch appends, and
+    fast-forward publishes; then for EVERY ancestor pair on the main
+    lineage the changelog must emit exactly the model's per-snapshot
+    diff (branch rows only after their publish, attributed to their own
+    snapshot ids), and a branch endpoint must refuse."""
+    table = str(tmp_path_factory.mktemp("chlog") / "tbl")
+    next_lo = [10]
+
+    def fresh_batch(n: int) -> dict[int, float]:
+        lo = next_lo[0]
+        next_lo[0] += n
+        return {lo + i: float(lo + i) * 2 for i in range(n)}
+
+    sid0 = ice.write_iceberg_commit(_to_df(spark, {0: 0.0}), table)
+    # model: per snapshot its parent-ordered main position, kind, and diff
+    state = {0: 0.0}
+    snaps = {sid0: {"ins": {0}, "dels": set(), "kind": "append"}}
+    main_lineage = [sid0]
+    branch_chain: list[int] = []  # unpublished "audit" commits, in order
+    branch_state: dict[int, float] | None = None
+
+    n_ops = data.draw(st.integers(min_value=2, max_value=6), label="n_ops")
+    for _ in range(n_ops):
+        op = data.draw(
+            st.sampled_from(["append", "overwrite", "branch", "publish"]),
+            label="op",
+        )
+        if op == "append":
+            batch = fresh_batch(data.draw(st.integers(1, 3)))
+            sid = ice.write_iceberg_commit(_to_df(spark, batch), table)
+            snaps[sid] = {"ins": set(batch), "dels": set(), "kind": "append"}
+            state = {**state, **batch}
+            main_lineage.append(sid)
+        elif op == "overwrite":
+            batch = fresh_batch(data.draw(st.integers(1, 3)))
+            sid = ice.write_iceberg_commit(
+                _to_df(spark, batch), table, mode="overwrite"
+            )
+            snaps[sid] = {
+                "ins": set(batch),
+                "dels": set(state),
+                "kind": "overwrite",
+            }
+            state = dict(batch)
+            main_lineage.append(sid)
+            # an overwrite orphans the unpublished branch's fork point
+            # relevance for this model: keep the branch as-is (it still
+            # reads from its own lineage)
+        elif op == "branch":
+            batch = fresh_batch(data.draw(st.integers(1, 2)))
+            base = branch_state if branch_state is not None else None
+            sid = ice.write_iceberg_commit(
+                _to_df(spark, batch), table, branch="audit"
+            )
+            if base is None:
+                branch_state = {**state, **batch}
+            else:
+                branch_state = {**base, **batch}
+            snaps[sid] = {"ins": set(batch), "dels": set(), "kind": "append"}
+            branch_chain.append(sid)
+        else:  # publish
+            if not branch_chain:
+                continue
+            try:
+                ice.fast_forward_iceberg(table, "audit")
+            except ValueError:
+                # main diverged since the fork — the documented refusal
+                continue
+            main_lineage.extend(branch_chain)
+            state = dict(branch_state)  # type: ignore[arg-type]
+            branch_chain = []
+
+    # every ancestor pair on the main lineage must match the model diff
+    for i in range(len(main_lineage)):
+        for j in range(i + 1, len(main_lineage)):
+            lo_id, hi_id = main_lineage[i], main_lineage[j]
+            ch = ice.read_iceberg_changes(spark, table, lo_id, hi_id)
+            got = {}
+            for r in ch.collect():
+                got.setdefault(r["_commit_snapshot_id"], {"i": set(), "d": set()})
+                key = "i" if r["_change_type"] in ("insert", "update_postimage") else "d"
+                got[r["_commit_snapshot_id"]][key].add(r.id)
+            expect = {}
+            for sid in main_lineage[i + 1 : j + 1]:
+                s = snaps[sid]
+                if s["ins"] or s["dels"]:
+                    expect[sid] = {"i": set(s["ins"]), "d": set(s["dels"])}
+            # overwrite diffs are vs the PREVIOUS state, which for the
+            # model is ins=batch, dels=old keys — but exceptAll cancels
+            # keys present on both sides with equal values
+            for sid, e in expect.items():
+                both = e["i"] & e["d"]
+                e["i"] -= both
+                e["d"] -= both
+            expect = {
+                sid: e for sid, e in expect.items() if e["i"] or e["d"]
+            }
+            assert got == expect, (
+                f"changelog ({lo_id},{hi_id}] diverged: {got} != {expect}"
+            )
+
+    # a still-unpublished branch endpoint refuses
+    if branch_chain:
+        with pytest.raises(ValueError, match="not an ancestor|not on the"):
+            ice.read_iceberg_changes(
+                spark, table, branch_chain[-1], main_lineage[-1]
+            )

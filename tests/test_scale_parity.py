@@ -1,0 +1,55 @@
+"""Correctness at scale (round 8): the driver's oracle comparison,
+re-run against the scale-up study's derived sf1 dataset (10× sf0.1,
+join-consistent key offsets — see scripts/scaleup.py). Skips unless the
+derived dataset exists: `python scripts/scaleup.py derive` builds it.
+
+This is the value-hash gate at 10× the size the driver checks — it
+catches scale-dependent wrong answers (overflow, skew-cap divergence,
+partition-order sensitivity) that sf0.01 cannot."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from deg04_local_data_lake_spark import oracle
+
+SF1_DIR = "/tmp/scaleup/sf1"
+
+# one representative per family; excludes queries whose oracle
+# intentionally diverges above the skew caps (SemDeDup at mega-cluster
+# scale — the documented trade)
+NAMES = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "silver_asset_performance",
+    "gold_monthly_summary",
+    "window_topk_orders",
+    "events_sessionize",
+    "rollup_revenue",
+    "cdc_upsert_customer",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_exact_substring",
+    "quality_gopher_rules",
+    "text_pii_scrub",
+    "training_shard_assignment",
+    "similarity_topk",
+    "text_token_stats",
+    "corpus_curation",
+    "asof_purchase_click",
+    "range_join_error_burst",
+    "mm_decode_wav",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR),
+    reason="derived sf1 dataset absent; run scripts/scaleup.py derive",
+)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_at_10x(spark, name):
+    ok, msg = oracle.check_query(spark, SF1_DIR, name)
+    assert ok, f"{name} at 10x: {msg}"
