@@ -3918,3 +3918,58 @@ def iceberg_cherry_pick_seq_isolation(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "iceberg_branch_audit_diff",
+    oracle="""
+SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+         ('2-HIGH', '3-MEDIUM')) AS BIGINT) AS n_staged_rows,
+       CAST(2 AS BIGINT) AS n_staged_snapshots,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+         ('2-HIGH', '3-MEDIUM')) AS BIGINT) AS n_published_rows
+FROM orders
+""",
+)
+def iceberg_branch_audit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT half of write-audit-publish as a changelog question:
+    "what exactly will publishing this branch add to main?" —
+    ``read_iceberg_changes(fork_point, branch_head)`` walks the branch's
+    parent-snapshot-id lineage (the round-8 walk supports branch
+    endpoints natively), listing every staged row attributed to its
+    staging snapshot, BEFORE anything is published. After fast-forward
+    the same range is main history and the answer is unchanged — the
+    audit you ran is exactly what landed."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_wap_audit_")
+    ipath = _os.path.join(root, "ice")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        pri = lambda p: orders.filter(  # noqa: E731
+            F.col("o_orderpriority") == p
+        )
+        fork = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
+        ice.write_iceberg_commit(pri("2-HIGH"), ipath, branch="audit")
+        ice.write_iceberg_commit(pri("3-MEDIUM"), ipath, branch="audit")
+        head = ice.resolve_iceberg_ref(ice._load_metadata(ipath), "audit")
+        staged = ice.read_iceberg_changes(spark, ipath, fork, head)
+        n_rows = staged.filter(F.col("_change_type") == "insert").count()
+        n_snaps = staged.select("_commit_snapshot_id").distinct().count()
+        ice.fast_forward_iceberg(ipath, "audit")
+        published = ice.read_iceberg_changes(spark, ipath, fork, head)
+        n_pub = published.filter(F.col("_change_type") == "insert").count()
+        out = spark.createDataFrame(
+            [(int(n_rows), int(n_snaps), int(n_pub))],
+            "n_staged_rows long, n_staged_snapshots long, "
+            "n_published_rows long",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

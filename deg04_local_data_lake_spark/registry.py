@@ -91,7 +91,8 @@ def load_all() -> None:
 #: rows, preferring the dedup / CDC / corpus-curation families whose
 #: underlying modules (dedup.py, text.py, llm_extras.py) were refactored
 #: in rounds 7-8.  Left for the round-9 window: the 12 round-2 TPC-H
-#: q-series rows plus supplier_hhi_by_nation / triangle_count (plans
+#: q-series rows plus supplier_hhi_by_nation / triangle_count /
+#: rollup_revenue (plans
 #: untouched since round 2; the local all-query parity re-checks them
 #: every pytest run).
 PRIORITY: list[str] = [
@@ -103,6 +104,7 @@ PRIORITY: list[str] = [
     "corpus_curation_full",
     "iceberg_changelog_branch_isolation",
     "iceberg_cherry_pick_seq_isolation",
+    "iceberg_branch_audit_diff",
     # --- last driver-attested in round 1 ---
     "anomalous_daily_revenue",
     "distinct_users_daily",
@@ -148,7 +150,6 @@ PRIORITY: list[str] = [
     "pagerank_step",
     "pareto_revenue_share",
     "range_join_error_burst",
-    "rollup_revenue",
 ]
 
 
