@@ -43,6 +43,26 @@ NAMES = [
     "mm_decode_wav",
 ]
 
+SF10_DIR = "/tmp/scaleup/sf10"
+
+# the 100x tier trims to the queries whose DuckDB side stays fast at
+# 60M-row lineitem / 10M events / 500k docs (the n-gram-explode oracles
+# take minutes there; parity is attested at 10x above)
+NAMES_100X = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "gold_monthly_summary",
+    "window_topk_orders",
+    "events_sessionize",
+    "rollup_revenue",
+    "cdc_upsert_customer",
+    "training_shard_assignment",
+    "text_pii_scrub",
+    "text_token_stats",
+    "mm_decode_wav",
+    "dedup_minhash_signatures",
+]
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF1_DIR),
     reason="derived sf1 dataset absent; run scripts/scaleup.py derive",
@@ -53,3 +73,14 @@ pytestmark = pytest.mark.skipif(
 def test_oracle_parity_at_10x(spark, name):
     ok, msg = oracle.check_query(spark, SF1_DIR, name)
     assert ok, f"{name} at 10x: {msg}"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF10_DIR),
+    reason="derived sf10 dataset absent; "
+    "run scripts/scaleup.py derive --factor 100 --out /tmp/scaleup/sf10",
+)
+@pytest.mark.parametrize("name", NAMES_100X)
+def test_oracle_parity_at_100x(spark, name):
+    ok, msg = oracle.check_query(spark, SF10_DIR, name)
+    assert ok, f"{name} at 100x: {msg}"
