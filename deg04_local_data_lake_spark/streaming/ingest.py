@@ -1358,3 +1358,107 @@ def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.first_value").alias("first_value"),
         )
     )
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+_DOCS_SRC_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _docs_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Rewrite the single-file documents table into a cached multi-file
+    directory (the file stream source requires a directory, and ≥4
+    microbatches at maxFilesPerTrigger=4 keeps the drain genuinely
+    incremental) — same publish-by-rename pattern as the events stream
+    source: concurrent sessions race to one deterministic path, exactly
+    one rename wins, nobody overwrites a directory in use."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _DOCS_SRC_CACHE.get(key)
+    if src is None:
+        table = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(table)
+        tag = hashlib.sha256(
+            f"{table}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        src = os.path.join(tempfile.gettempdir(), f"deg04_docs_src_{tag}")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            stage = tempfile.mkdtemp(
+                prefix=f"deg04_docs_stage_{tag}_", dir=tempfile.gettempdir()
+            )
+            stage_out = os.path.join(stage, "out")
+            load_table(spark, sf_dir, "documents").repartition(
+                16
+            ).write.mode("overwrite").parquet(stage_out)
+            try:
+                os.rename(stage_out, src)
+            except OSError:
+                if not os.path.exists(os.path.join(src, "_SUCCESS")):
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
+            shutil.rmtree(stage, ignore_errors=True)
+        _DOCS_SRC_CACHE[key] = src
+    return src
+
+
+@register("stream_pii_scrub")  # oracle assigned below: the batch twin's
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII curation gate as a STREAMING stage (round 8): the same
+    seed→detect→redact projections as the batch ``text_pii_scrub``, run
+    through ``readStream`` over the documents table and drained
+    append-mode — stateless per-row curation gates lift to Structured
+    Streaming unchanged (zero state stores, one emitted row per doc),
+    which is how a continuously-arriving corpus runs compliance scrubs
+    at ingest instead of in a nightly batch. The oracle is the BATCH
+    twin's SQL: stream and batch must agree row-for-row, md5-for-md5."""
+    from deg04_local_data_lake_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scrub_column,
+        pii_seeded,
+    )
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .format("parquet")
+        .load(_docs_stream_source(spark, sf_dir))
+    )
+    seeded = pii_seeded(docs)
+    out = seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(pii_scrub_column(F.col("text"))).alias("scrubbed_md5"),
+    )
+    return _drain_to_memory(out, "pii_scrub", mode="append")
+
+
+# share the batch twin's oracle verbatim: stream == batch == DuckDB.
+# Import the text module explicitly — a direct `import streaming.ingest`
+# (tests) must not depend on registry.load_all's import order.
+import deg04_local_data_lake_spark.operators.text  # noqa: E402,F401
+from deg04_local_data_lake_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["stream_pii_scrub"] = _registry.ORACLES["text_pii_scrub"]
