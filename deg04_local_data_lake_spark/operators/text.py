@@ -81,7 +81,14 @@ FROM m
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length saturation, lexical diversity,
     stopword density — the standard pre-training filter trio."""
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def quality_metrics(docs: DataFrame) -> DataFrame:
+    """Quality-score projections for an arbitrary ``(doc_id, lang,
+    text)`` frame — stateless per-row expressions, so the same core
+    serves the batch query and the streaming ingest gate
+    (``stream_text_quality``)."""
     w = words_col(F.col("text"))
     m = docs.select(
         "doc_id",

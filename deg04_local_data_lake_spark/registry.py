@@ -92,7 +92,7 @@ def load_all() -> None:
 #: underlying modules (dedup.py, text.py, llm_extras.py) were refactored
 #: in rounds 7-8.  Left for the round-9 window: the 12 round-2 TPC-H
 #: q-series rows plus supplier_hhi_by_nation / triangle_count /
-#: rollup_revenue / range_join_error_burst (plans
+#: rollup_revenue / range_join_error_burst / pareto_revenue_share (plans
 #: untouched since round 2; the local all-query parity re-checks them
 #: every pytest run).
 PRIORITY: list[str] = [
@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "iceberg_cherry_pick_seq_isolation",
     "iceberg_branch_audit_diff",
     "stream_pii_scrub",
+    "stream_text_quality",
     # --- last driver-attested in round 1 ---
     "anomalous_daily_revenue",
     "distinct_users_daily",
@@ -149,7 +150,6 @@ PRIORITY: list[str] = [
     "ngram_topk_global",
     "orders_above_customer_avg",
     "pagerank_step",
-    "pareto_revenue_share",
 ]
 
 

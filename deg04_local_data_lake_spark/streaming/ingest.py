@@ -1462,3 +1462,27 @@ import deg04_local_data_lake_spark.operators.text  # noqa: E402,F401
 from deg04_local_data_lake_spark import registry as _registry  # noqa: E402
 
 _registry.ORACLES["stream_pii_scrub"] = _registry.ORACLES["text_pii_scrub"]
+
+
+@register("stream_text_quality")  # oracle assigned below: the batch twin's
+def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-score gate as a STREAMING stage: the batch
+    ``text_quality`` projections (length saturation, lexical diversity,
+    stopword density, composite score) over ``readStream`` of the
+    documents table, drained append-mode — with ``stream_pii_scrub``
+    this completes the stateless half of the curation stack at ingest
+    (the corpus-dependent gates — window frequencies, LSH, SemDeDup —
+    stay batch by nature: they need the whole corpus). The oracle is
+    the batch twin's SQL: stream == batch == DuckDB, score-for-score."""
+    from deg04_local_data_lake_spark.operators.text import quality_metrics
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .format("parquet")
+        .load(_docs_stream_source(spark, sf_dir))
+    )
+    return _drain_to_memory(quality_metrics(docs), "text_quality", mode="append")
+
+
+_registry.ORACLES["stream_text_quality"] = _registry.ORACLES["text_quality"]
