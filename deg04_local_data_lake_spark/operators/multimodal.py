@@ -82,19 +82,24 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 
 
 def decode_image(data: bytes) -> dict:
-    """Decode an uncompressed 24-bit BMP to top-down RGB pixels — a real
-    stdlib (``struct``/numpy) codec, no PIL needed. Returns
+    """Decode an uncompressed 24-bit BMP or an 8-bit PNG (dispatched on
+    the magic bytes) to top-down RGB pixels — real stdlib
+    (``struct``/``zlib``/numpy) codecs, no PIL needed. Returns
     ``{"width", "height", "pixels"}`` with ``pixels`` an (H, W, 3) uint8
-    ndarray in RGB order (BMP stores BGR, usually bottom-up). Compressed
-    or paletted BMPs (and non-BMP bytes — this container has no JPEG/PNG
-    codec) raise ``ValueError`` at the header sniff, so a bad row fails
-    loudly instead of producing garbage features."""
+    ndarray in RGB order (BMP stores BGR, usually bottom-up; PNG rows are
+    inflate + per-row filter reconstruction — see :func:`decode_png`).
+    Compressed or paletted BMPs, exotic PNGs, and other formats (JPEG
+    needs a DCT codec this container doesn't have) raise ``ValueError``
+    at the header sniff, so a bad row fails loudly instead of producing
+    garbage features."""
     import struct
 
     import numpy as np
 
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
     if len(data) < 54 or data[:2] != b"BM":
-        raise ValueError("not a BMP payload (no 'BM' magic)")
+        raise ValueError("not a BMP or PNG payload (no 'BM'/PNG magic)")
     offset = struct.unpack_from("<I", data, 10)[0]
     hdr_size = struct.unpack_from("<I", data, 14)[0]
     if hdr_size < 40:
@@ -143,6 +148,172 @@ def encode_bmp(pixels) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0
     )
     return header + info + raw
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """PNG Paeth predictor (spec §"Filter type 4: Paeth"), vectorized
+    over uint8-as-int arrays: pick whichever of left/up/up-left is
+    closest to a + b - c, ties broken left, up, up-left."""
+    import numpy as np
+
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode an 8-bit truecolor (or grayscale) non-interlaced PNG with
+    stdlib ``zlib`` only: chunk walk with CRC verification, IDAT
+    concatenation + inflate, then per-row reconstruction of all five
+    scanline filters (None/Sub/Up/Average/Paeth). Returns
+    ``{"width", "height", "pixels"}``, pixels (H, W, 3) uint8 RGB
+    top-down (grayscale is broadcast to 3 channels; an alpha channel is
+    decoded then dropped). Palette, 16-bit, and interlaced PNGs raise
+    ``ValueError`` — loud rejection beats silent garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={color}, "
+                    f"interlace={interlace}); only 8-bit gray/RGB/RGBA, "
+                    "non-interlaced"
+                )
+            nch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG scanline payload {len(raw)} != {(stride + 1) * height}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype, line = rows[y, 0], rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: + left (per channel)
+            for x in range(stride):
+                left = int(line[x - nch]) if x >= nch else 0
+                line[x] = (int(line[x]) + left) & 0xFF
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - nch]) if x >= nch else 0
+                line[x] = (line[x] + (left + int(prev[x])) // 2) & 0xFF
+            out[y] = line
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - nch] if x >= nch else np.uint8(0)
+                ul = prev[x - nch] if x >= nch else np.uint8(0)
+                pred = _paeth(
+                    np.asarray(left), np.asarray(prev[x]), np.asarray(ul)
+                )
+                line[x] = (int(line[x]) + int(pred)) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"PNG filter type {ftype} out of range")
+    px = out.reshape(height, width, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[..., :3]
+    return {"width": int(width), "height": int(height), "pixels": px.copy()}
+
+
+def encode_png(pixels, row_filters=None) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB ndarray as a truecolor 8-bit PNG
+    (stdlib ``zlib``) — the inverse of :func:`decode_png`. By default
+    every scanline uses filter 0 (None); ``row_filters`` forces a filter
+    type per row (cycled), which the decode queries use to exercise all
+    five reconstruction paths, not just the trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, nch = px.shape
+    if nch != 3:
+        raise ValueError(f"encode_png wants (H, W, 3) RGB, got {px.shape}")
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    lines = bytearray()
+    for y in range(h):
+        f = int(row_filters[y % len(row_filters)]) if row_filters else 0
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * 3, dtype=np.int32)
+        left = np.zeros(w * 3, dtype=np.int32)
+        left[3:] = cur[:-3]
+        ul = np.zeros(w * 3, dtype=np.int32)
+        ul[3:] = prev[:-3]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        elif f == 4:
+            enc = cur - _paeth(
+                left.astype(np.uint8), prev.astype(np.uint8), ul.astype(np.uint8)
+            )
+        else:
+            raise ValueError(f"PNG filter type {f} out of range")
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_audio(data: bytes) -> dict:
@@ -538,3 +709,74 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, pixel_sum long, "
         "topleft_rgb_hex string",
     )
+
+
+def png_roundtrip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: plant the first 48 payload bytes as a 4x4
+    top-down RGB grid, encode a REAL PNG with one of each non-trivial
+    scanline filter (rows 0..3 use Sub/Up/Average/Paeth), decode it back
+    (:func:`decode_png` — inflate + filter reconstruction + CRC checks)
+    and emit features from the DECODED pixels only, so a bug in any of
+    the four filter paths or in chunk framing breaks the oracle hash."""
+    import numpy as np
+
+    for pdf in it:
+        rows = {
+            "doc_id": [], "width": [], "height": [],
+            "pixel_sum": [], "topleft_rgb_hex": [], "png_bytes": [],
+        }
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            planted = np.frombuffer(data[:48], dtype=np.uint8).reshape(4, 4, 3)
+            blob = encode_png(planted, row_filters=[1, 2, 3, 4])
+            dec = decode_image(blob)  # dispatches on the PNG signature
+            px = dec["pixels"]
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(dec["width"])
+            rows["height"].append(dec["height"])
+            rows["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            rows["topleft_rgb_hex"].append(bytes(px[0, 0]).hex())
+            rows["png_bytes"].append(len(blob))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm_decode_png",
+    oracle="""
+WITH payload AS (SELECT doc_id, md5(text) AS m FROM documents),
+b AS (
+  SELECT doc_id, m,
+         list_sum(list_transform(generate_series(1, 16),
+             i -> ('0x' || substr(m, 2 * i - 1, 2))::BIGINT)) AS digest_sum
+  FROM payload
+)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(3 * digest_sum AS BIGINT) AS pixel_sum,
+       substr(m, 1, 6) AS topleft_rgb_hex
+FROM b
+""",
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image decode: payload → 4x4 RGB grid → PNG bytes
+    (zlib-deflated IDAT, per-row filters Sub/Up/Average/Paeth, CRC'd
+    chunks) → stdlib ``zlib`` decode → features, one Arrow mapInPandas
+    stage. Unlike BMP/WAV this exercises a genuinely COMPRESSED
+    container: the decoder must inflate and then undo a different
+    predictor on every row to recover the planted pixels. The payload is
+    4x md5(text), so bytes 0..47 are the digest repeated 3x: pixel_sum =
+    3x digest byte sum, and the top-left pixel is digest bytes 0..2 in
+    RGB order (no flip/swap — PNG rows are already top-down RGB), both
+    recomputed independently by the DuckDB oracle. ``png_bytes`` is
+    intentionally NOT selected into the result (deflate output length is
+    zlib-version-dependent); the column exists so pytest can assert the
+    container really compresses."""
+    ensure_workers_can_import(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "data")
+    decoded = media.mapInPandas(
+        png_roundtrip_batches,
+        schema="doc_id long, width int, height int, pixel_sum long, "
+        "topleft_rgb_hex string, png_bytes int",
+    )
+    return decoded.drop("png_bytes")

@@ -74,8 +74,8 @@ def test_bmp_orientation_and_channel_order():
 
 
 def test_bmp_rejects_unsupported():
-    with pytest.raises(ValueError, match="no 'BM' magic"):
-        decode_image(b"PNG" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="no 'BM'/PNG magic"):
+        decode_image(b"PNG" + b"\x00" * 60)  # not the real PNG signature
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     bmp = bytearray(encode_bmp(px))
     bmp[28:30] = (8).to_bytes(2, "little")  # claim 8bpp
@@ -88,6 +88,109 @@ def test_bmp_rejects_unsupported():
 def test_decode_queries_match_oracle(spark, sf_dir):
     from deg04_local_data_lake_spark import oracle
 
-    for name in ("mm_decode_wav", "mm_decode_bmp"):
+    for name in ("mm_decode_wav", "mm_decode_bmp", "mm_decode_png"):
         ok, msg = oracle.check_query(spark, sf_dir, name)
         assert ok, f"{name}: {msg}"
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_png_roundtrip_every_filter():
+    """Bit-exact round-trip for each scanline filter type alone and the
+    mixed cycle the mm_decode_png query uses — every reconstruction path
+    (None/Sub/Up/Average/Paeth) is pinned independently."""
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    for filters in (None, [0], [1], [2], [3], [4], [1, 2, 3, 4]):
+        blob = encode_png(px, row_filters=filters)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        dec = decode_png(blob)
+        assert (dec["width"], dec["height"]) == (5, 9)
+        assert np.array_equal(dec["pixels"], px), f"filters={filters}"
+
+
+def test_png_actually_compresses():
+    """A constant image must deflate far below raw size — proves the
+    container is genuinely compressed, not raw-bytes-in-chunks."""
+    from deg04_local_data_lake_spark.operators.multimodal import encode_png
+
+    px = np.full((64, 64, 3), 200, dtype=np.uint8)
+    blob = encode_png(px, row_filters=[2])  # Up filter: all-zero residuals
+    assert len(blob) < 64 * 64 * 3 / 10
+
+
+def test_png_dispatch_via_decode_image():
+    from deg04_local_data_lake_spark.operators.multimodal import encode_png
+
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, 0] = (9, 8, 7)
+    dec = decode_image(encode_png(px))
+    assert tuple(dec["pixels"][0, 0]) == (9, 8, 7)
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"BM" + b"\x00" * 60)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_png(px))
+    # corrupt one IDAT byte → CRC must catch it
+    blob[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(blob))
+    # 16-bit depth header → loud rejection at the sniff
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_png_grayscale_and_alpha_decode():
+    """Gray broadcasts to 3 channels; RGBA drops alpha — both via the
+    stdlib zlib path (hand-built containers, filter 0)."""
+    import struct
+    import zlib
+
+    from deg04_local_data_lake_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x2 grayscale: values 10,20 / 30,40
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00" + bytes([10, 20]) + b"\x00" + bytes([30, 40])
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    dec = decode_png(blob)
+    assert tuple(dec["pixels"][0, 0]) == (10, 10, 10)
+    assert tuple(dec["pixels"][1, 1]) == (40, 40, 40)
+    # 1x1 RGBA: (1,2,3,alpha=9) → (1,2,3)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    raw = b"\x00" + bytes([1, 2, 3, 9])
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    dec = decode_png(blob)
+    assert dec["pixels"].shape == (1, 1, 3)
+    assert tuple(dec["pixels"][0, 0]) == (1, 2, 3)
