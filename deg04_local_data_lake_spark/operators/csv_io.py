@@ -209,6 +209,46 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_scan_roundtrip",
+    oracle="""
+SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+       CAST(max(s_suppkey) AS BIGINT) AS max_suppkey
+FROM supplier GROUP BY 1
+""",
+)
+def avro_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro front door WITHOUT the spark-avro jar: supplier → Avro object
+    container files (from-scratch codec, ``sources/avro_io.py``) → read →
+    per-nation rollup. The same binary codec that decodes Iceberg
+    manifests here carries row data both directions: the writer fans out
+    one container file per partition on executors, the reader plans one
+    partition per file — so the round-trip exercises zigzag varints,
+    ``["null", T]`` unions, and the block/sync framing end-to-end against
+    the parquet-sourced oracle. Avro is the interchange/row format beside
+    the CSV/JSON/XML doors; the scan path for analytics stays columnar."""
+    from deg04_local_data_lake_spark.sources.avro_io import (
+        read_avro_dataset,
+        write_avro_dataset,
+    )
+
+    path = _csv_path(sf_dir, "supplier_avro")
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    write_avro_dataset(src, path)
+    df = read_avro_dataset(spark, path)
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_balance"),
+        F.max("s_suppkey").cast("bigint").alias("max_suppkey"),
+    )
+
+
+@register(
     "xml_scan_roundtrip",
     oracle="""
 SELECT c_mktsegment,

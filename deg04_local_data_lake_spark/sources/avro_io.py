@@ -17,9 +17,15 @@ so this module implements the subset Iceberg metadata needs:
   (count, byte-length, payload, sync) with the ``null`` codec, and
   ``deflate`` on read.
 
-Scale posture: Avro here carries TABLE METADATA (kilobytes per commit),
-never data — data stays parquet and is scanned distributed. Encoding and
-decoding happen driver-side exactly as in the Iceberg library itself.
+Scale posture: Avro's primary role here is TABLE METADATA (kilobytes per
+commit), encoded/decoded driver-side exactly as in the Iceberg library
+itself. The module ALSO provides a jar-less DATA front door
+(:func:`write_avro_dataset` / :func:`read_avro_dataset`, round 9): Avro
+is a row-oriented interchange format, so the front door exists for
+ingest/egress parity with CSV/JSON/XML — each executor encodes or
+decodes whole container files in parallel (one file per partition on
+write, one partition per file on read); the analytical data plane stays
+columnar parquet/ORC.
 
 Encoding rules implemented (spec §"Binary encoding"):
 - int/long: zigzag then base-128 varint, little-endian groups;
@@ -283,3 +289,240 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
         if r.read(16) != sync:
             raise ValueError("avro block sync marker mismatch")
     return schema, records
+
+
+def read_container_schema(path: str) -> dict:
+    """Read ONLY the writer schema from a container file's metadata map —
+    the driver-side planning step of :func:`read_avro_dataset` (no data
+    blocks are decoded)."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # metadata map lives at the front
+    if head[:4] != _MAGIC:
+        raise ValueError(f"not an avro container file: {path}")
+    r = _Reader(head)
+    r.pos = 4
+    meta = _decode(r, {"type": "map", "values": "bytes"})
+    return json.loads(meta["avro.schema"].decode("utf-8"))
+
+
+# ------------------------------------------------- dataset front door
+#
+# DataFrame <-> a directory of container files, no spark-avro jar. The
+# writer fans out one file per Spark partition (mapInPandas side-effect
+# stage, same shape as any file-committing sink); the reader plans one
+# Spark partition per file. Both ends stay Arrow-batched; the per-record
+# binary encode/decode is the Python cost a row format carries through a
+# Python codec, which is why this is an INTERCHANGE door, not the scan
+# path — see the module docstring.
+
+#: Spark simpleString -> Avro schema for the supported interchange types.
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def spark_to_avro_schema(schema, name: str = "row") -> dict:
+    """Spark StructType -> Avro record schema. Nullable fields become
+    ``["null", T]`` unions (Avro's only null encoding). Types outside the
+    interchange set raise — a front door that silently stringified
+    decimals or nested structs would corrupt round-trips."""
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _SPARK_TO_AVRO:
+            raise ValueError(
+                f"avro front door does not carry {t!r} (field {f.name!r}); "
+                f"supported: {sorted(_SPARK_TO_AVRO)}"
+            )
+        avro_t = _SPARK_TO_AVRO[t]
+        fields.append(
+            {"name": f.name, "type": ["null", avro_t] if f.nullable else avro_t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_to_spark_schema(avro_schema: dict):
+    """Avro record schema -> Spark StructType (inverse of
+    :func:`spark_to_avro_schema`, same supported set)."""
+    from pyspark.sql import types as T
+
+    back = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+    }
+    fields = []
+    for f in avro_schema["fields"]:
+        ft, nullable = f["type"], False
+        if isinstance(ft, list):  # ["null", T]
+            nullable = True
+            ft = next(b for b in ft if b != "null")
+        if isinstance(ft, dict):
+            lt = ft.get("logicalType")
+            if lt == "date":
+                st = T.DateType()
+            elif lt in ("timestamp-micros", "timestamp-millis"):
+                st = T.TimestampNTZType()
+            else:
+                st = back[ft["type"]]
+        else:
+            st = back[ft]
+        fields.append(T.StructField(f["name"], st, nullable))
+    return T.StructType(fields)
+
+
+def _avro_cell(value, field_type):
+    """pandas cell -> Avro-encodable Python value for one field."""
+    import datetime
+
+    import pandas as pd
+
+    if value is None or (value != value if isinstance(value, float) else False):
+        return None
+    if pd.isna(value):
+        return None
+    t = field_type
+    if isinstance(t, list):
+        t = next(b for b in t if b != "null")
+    lt = t.get("logicalType") if isinstance(t, dict) else None
+    if lt == "date":
+        d = value.date() if hasattr(value, "date") else value
+        return (d - datetime.date(1970, 1, 1)).days
+    if lt == "timestamp-micros":
+        ts = pd.Timestamp(value)
+        return ts.value // 1000
+    base = t["type"] if isinstance(t, dict) else t
+    if base in ("int", "long"):
+        return int(value)
+    if base in ("float", "double"):
+        return float(value)
+    if base == "boolean":
+        return bool(value)
+    if base == "bytes":
+        return bytes(value)
+    return str(value)
+
+
+def write_avro_dataset(df, path: str) -> int:
+    """Write a DataFrame as a directory of Avro object container files,
+    one per partition — the jar-less twin of ``df.write.format("avro")``.
+    Overwrite semantics (the directory is cleared first, like every other
+    front-door writer here). Runs as a mapInPandas side-effect stage so N
+    partitions encode N files concurrently on executors; the driver only
+    collects the per-file (name, count) manifest. Returns the total row
+    count written."""
+    import os
+    import shutil
+    import uuid
+
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(df.sparkSession)
+    avro_schema = spark_to_avro_schema(df.schema)
+    field_types = {f["name"]: f["type"] for f in avro_schema["fields"]}
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    def _write_partition(batches):
+        import pandas as pd
+
+        records = []
+        for pdf in batches:
+            cols = list(pdf.columns)
+            for row in pdf.itertuples(index=False):
+                records.append(
+                    {c: _avro_cell(v, field_types[c]) for c, v in zip(cols, row)}
+                )
+        if records:
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            write_container(fname, avro_schema, records)
+        yield pd.DataFrame({"n": [len(records)]})
+
+    counts = df.mapInPandas(_write_partition, schema="n long").collect()
+    return sum(r["n"] for r in counts)
+
+
+def read_avro_dataset(spark, path: str):
+    """Read a directory of Avro object container files into a DataFrame —
+    the jar-less twin of ``spark.read.format("avro")``. Driver-side
+    planning touches only one file's metadata header for the schema; the
+    file list is then parallelized one-file-per-partition and each
+    executor decodes its files inside an Arrow mapInPandas stage. At
+    cluster scale that is the standard many-small-files ingest shape
+    (file-granular parallelism, no shuffle)."""
+    import glob
+    import os
+
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(spark)
+    files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no .avro container files under {path}")
+    avro_schema = read_container_schema(files[0])
+    spark_schema = avro_to_spark_schema(avro_schema)
+    date_cols = []
+    ts_cols = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            t = next(b for b in t if b != "null")
+        if isinstance(t, dict):
+            if t.get("logicalType") == "date":
+                date_cols.append(f["name"])
+            elif t.get("logicalType") in ("timestamp-micros", "timestamp-millis"):
+                ts_cols.append(f["name"])
+    names = [f["name"] for f in avro_schema["fields"]]
+
+    def _read_files(batches):
+        import datetime
+
+        import pandas as pd
+
+        for pdf in batches:
+            for fname in pdf["path"]:
+                schema, records = read_container(fname)
+                if json.dumps(schema, sort_keys=True) != json.dumps(
+                    avro_schema, sort_keys=True
+                ):
+                    raise ValueError(
+                        f"avro schema drift inside dataset: {fname}"
+                    )
+                data = {n: [rec.get(n) for rec in records] for n in names}
+                for c in date_cols:
+                    data[c] = [
+                        None
+                        if v is None
+                        else datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                        for v in data[c]
+                    ]
+                for c in ts_cols:
+                    data[c] = pd.to_datetime(
+                        pd.Series(data[c], dtype="float64"), unit="us"
+                    )
+                yield pd.DataFrame(data, columns=names)
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files), "path")
+    return paths_df.mapInPandas(_read_files, schema=spark_schema)

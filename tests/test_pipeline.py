@@ -135,17 +135,61 @@ def test_text_roundtrip(spark, smoke_dir, tmp_path):
     )
 
 
-def test_avro_format_gated(spark, tmp_path):
-    """Avro requires the external spark-avro package; write must work when
-    present, and the absence path is the documented format-flag fallback."""
-    df = spark.range(3).withColumn("s", F.lit("x"))
-    try:
-        writers.write_lake_table(df, str(tmp_path / "a"), fmt="avro")
-    except Exception as e:  # package absent in this container
-        assert "avro" in str(e).lower() or "FAILED_TO_LOAD" in str(e)
-        pytest.skip("spark-avro not on the classpath")
-    back = spark.read.format("avro").load(str(tmp_path / "a"))
-    assert back.count() == 3
+def test_avro_roundtrip_jarless(spark, smoke_dir, tmp_path):
+    """Avro no longer needs the spark-avro package: the from-scratch codec
+    (sources/avro_io.py) writes/reads object container files as a dataset
+    front door — one file per partition out, one partition per file back.
+    Nulls, dates, and the full column set must survive bit-exact."""
+    from deg04_local_data_lake_spark.sources.avro_io import (
+        read_avro_dataset,
+        write_avro_dataset,
+    )
+
+    src = readers.load_table(spark, smoke_dir, "orders")
+    p = str(tmp_path / "orders_avro")
+    n = write_avro_dataset(src.repartition(3), p)
+    assert n == src.count()
+    import glob
+
+    assert len(glob.glob(p + "/*.avro")) == 3  # one container per partition
+    back = read_avro_dataset(spark, p)
+    assert set(back.columns) == set(src.columns)
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_avro_front_door_rejects_uncarriable_types(spark):
+    """Decimal/struct columns must fail loudly at write planning, not
+    get silently stringified."""
+    from deg04_local_data_lake_spark.sources.avro_io import spark_to_avro_schema
+
+    df = spark.range(1).selectExpr("CAST(id AS DECIMAL(10,2)) AS money")
+    with pytest.raises(ValueError, match="does not carry"):
+        spark_to_avro_schema(df.schema)
+
+
+def test_avro_dataset_schema_drift_detected(spark, tmp_path):
+    """A dataset directory mixing two writer schemas must refuse to read —
+    schema-on-read unioning across drifted files silently corrupts."""
+    from deg04_local_data_lake_spark.sources.avro_io import (
+        read_avro_dataset,
+        write_avro_dataset,
+    )
+
+    p = str(tmp_path / "drift")
+    write_avro_dataset(spark.range(2).selectExpr("id AS a"), p)
+    # plant a second file with a different schema beside the first
+    from deg04_local_data_lake_spark.sources import avro_io
+
+    avro_io.write_container(
+        p + "/part-drifted.avro",
+        {"type": "record", "name": "row",
+         "fields": [{"name": "b", "type": "long"}]},
+        [{"b": 9}],
+    )
+    with pytest.raises(Exception, match="drift"):
+        read_avro_dataset(spark, p).collect()
 
 
 def test_compact_table(spark, smoke_dir, tmp_path):
