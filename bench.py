@@ -4,7 +4,8 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "spread": {name: [min, max], ...},
+   "sf": <sf>}
 
 Each query is executed twice: a warm-up collect (JIT + parquet footer
 cache) is NOT counted; the timed run is the steady-state number. Total
@@ -57,6 +58,7 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
         fn = qs[name]
         # two warm-ups (JIT + parquet footer cache; the first run of a
@@ -73,6 +75,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[2], 3)  # median of 5
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         release_caches()  # tracked persists must not leak into other queries
 
     out = {
@@ -80,6 +83,12 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # [min, max] of the 5 timed runs per query. Decision rule: a
+        # round-over-round median that lands INSIDE the prior round's
+        # spread is noise; only a median beyond the prior max (or below
+        # the prior min) warrants a plan investigation. Recording the
+        # envelope makes that call mechanical instead of a hand audit.
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # FROZEN estimator id (round 8). "w2-med5-v2" = 2 uncounted
         # warm-ups then median of 5 timed runs per query, session-tier

@@ -84,72 +84,78 @@ def load_all() -> None:
 
 #: Queries pushed to the FRONT of ``queries()`` iteration order regardless
 #: of module import order.  The driver samples the first 50 registered
-#: queries each round.  After round 7 every registered query has at least
-#: one green driver row, so the window now RE-ATTESTS the stalest rows
-#: (VERDICT r7 task #6): round 8 = (a) everything NEW this round, (b) all
-#: 12 queries last driver-attested in round 1, (c) 34 of the 46 round-2
-#: rows, preferring the dedup / CDC / corpus-curation families whose
-#: underlying modules (dedup.py, text.py, llm_extras.py) were refactored
-#: in rounds 7-8.  Left for the round-9 window: the 12 round-2 TPC-H
-#: q-series rows plus supplier_hhi_by_nation / triangle_count /
-#: rollup_revenue / range_join_error_burst / pareto_revenue_share (plans
-#: untouched since round 2; the local all-query parity re-checks them
-#: every pytest run).
+#: queries each round; since round 7 every registered query has at least
+#: one green driver row, so the window RE-ATTESTS the stalest rows.
+#: Round 9 = (a) everything NEW this round, (b) all 17 remaining round-2
+#: rows (the TPC-H q-series + pareto/range-join/rollup/HHI/triangle
+#: stragglers named by VERDICT r8 task #1), (c) 31 of the 47 round-3
+#: rows, preferring streaming, similarity/embedding, sketch, and
+#: multimodal families (the deepest custom-operator stacks).  Left for
+#: the round-10 window: the 16 remaining round-3 rows (relational/IO
+#: paths: catalog_external_table_scan, cdc_snapshot_diff,
+#: csv_scan_explicit, csv_scan_inferred, directory_ingest_manifest,
+#: event_transitions, events_session_agg, json_scan_lines,
+#: latest_event_per_user, orc_scan_roundtrip, rfm_segments,
+#: scd2_user_state, text_pii_redact, text_rare_token_score,
+#: time_travel_diff, xml_scan_roundtrip-era peers) plus the oldest r4
+#: rows; the local all-query parity re-checks every row each pytest run.
 PRIORITY: list[str] = [
-    # --- new in round 8 (codecs, checkpoint-config fix, composed stack,
-    #     changelog-lineage + cherry-pick-sequencing ADVICE fixes) ---
-    "mm_decode_wav",
-    "mm_decode_bmp",
-    "delta_checkpoint_config_survival",
-    "corpus_curation_full",
-    "iceberg_changelog_branch_isolation",
-    "iceberg_cherry_pick_seq_isolation",
-    "iceberg_branch_audit_diff",
-    "stream_pii_scrub",
-    "stream_text_quality",
-    # --- last driver-attested in round 1 ---
-    "anomalous_daily_revenue",
-    "distinct_users_daily",
-    "except_modest_customers",
-    "fk_integrity_audit",
-    "intersect_buyer_sellers_nations",
-    "median_order_by_segment",
-    "order_price_deciles",
-    "pivot_daily_event_matrix",
-    "profile_orders",
-    "sample_domain_mixture",
-    "sample_train_split",
-    "try_cast_props",
-    # --- last driver-attested in round 2; refactored-module consumers ---
-    "asof_purchase_click",
-    "basket_affinity_lift",
-    "cdc_changed_records",
-    "cdc_new_records",
-    "cdc_upsert_customer",
-    "cdc_upsert_employees_reference",
-    "cohort_retention",
-    "corpus_curation",
-    "dedup_canonical_corpus",
-    "dedup_clusters",
-    "dedup_embedding_pairs",
-    "dedup_exact",
-    "dedup_lsh_recall",
-    "dedup_minhash_estimate",
-    "dedup_minhash_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "minhash_s_curve",
-    "events_value_histogram",
-    "frequent_itemset_pairs",
-    "funnel_stages",
-    "fuzzy_match_names",
-    "graph_degree_histogram",
-    "incremental_agg_merge",
-    "ngram_topk_global",
-    "orders_above_customer_avg",
-    "pagerank_step",
+    # --- new in round 9 (stdlib PNG codec, jar-less Avro data door) ---
+    "mm_decode_png",
+    "avro_scan_roundtrip",
+    # --- last driver-attested in round 2: TPC-H q-series + stragglers ---
+    "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_banded_discounts",
+    "q22_idle_balances",
+    "pareto_revenue_share",
+    "range_join_error_burst",
+    "rollup_revenue",
+    "supplier_hhi_by_nation",
+    "triangle_count",
+    # --- last driver-attested in round 3: streaming family ---
+    "stream_cdc_apply",
+    "stream_dedup_union",
+    "stream_enrich_segment",
+    "stream_hopping_counts",
+    "stream_hourly_counts",
+    "stream_purchase_click_join",
+    "stream_running_user_stats",
+    "stream_session_agg",
+    # --- round 3: similarity / embedding math ---
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "similarity_pq_recall",
+    "embedding_int8_quantization",
+    "embedding_jl_projection",
+    "embedding_kmeans_step",
+    "embedding_pca_power_iter",
+    "embedding_pq_assign",
+    "dedup_lsh_cosine",
+    # --- round 3: sketches / decontamination ---
+    "bitmap_distinct_users",
+    "bloom_decontamination_audit",
+    "cm_sketch_user_counts",
+    "contamination_ngram_overlap",
+    "heavy_hitters_tokens",
+    "hll_daily_rollup",
+    "hll_portable_distinct",
+    "hll_portable_merge",
+    "hll_user_overlap",
+    "passage_dedup",
+    # --- round 3: multimodal plumbing ---
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "mm_image_features",
+    "mm_resize",
 ]
 
 
