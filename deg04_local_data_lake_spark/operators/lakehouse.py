@@ -2157,7 +2157,10 @@ def iceberg_refs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delete_iceberg(spark, path, "event_type = 'click'")
         expired = expire_iceberg_snapshots(path, keep_last=1)
-        remove_orphan_iceberg_files(path)
+        # grace_ms=0 is safe here and only here: the fixture is
+        # single-writer and quiesced (see ORPHAN_GRACE_MS for why the
+        # default refuses to delete young files)
+        remove_orphan_iceberg_files(path, grace_ms=0)
         survived = s1 not in expired
         tagged = read_iceberg(spark, path, ref="curated_v1")
         main = read_iceberg(spark, path, ref="main")
@@ -3639,7 +3642,9 @@ def vacuum_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1 = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
         ice.write_iceberg_commit(pri("2-HIGH"), ipath, mode="overwrite")
         ice.expire_iceberg_snapshots(ipath, keep_last=1)
-        i_reclaimed = ice.remove_orphan_iceberg_files(ipath)
+        # single-writer quiesced fixture: grace 0 so the reclamation
+        # the oracle asserts on actually happens in-test
+        i_reclaimed = ice.remove_orphan_iceberg_files(ipath, grace_ms=0)
         del s1
 
         d_n = dl.read_delta_log(spark, dpath).count()

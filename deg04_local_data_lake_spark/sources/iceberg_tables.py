@@ -2164,65 +2164,23 @@ def read_iceberg_changes(
     for s in chain:
         sid = s["snapshot-id"]
         op = (s.get("summary") or {}).get("operation", "append")
-        if op == "append":
-            _sch, manifests = read_container(s["manifest-list"])
-            files: list[str] = []
-            for m in manifests:
-                if m.get("added_snapshot_id") != sid or m.get("content", 0) != 0:
-                    continue
-                _es, entries = read_container(m["manifest_path"])
-                files += [
-                    e["data_file"]["file_path"]
-                    for e in entries
-                    if e.get("status") == 1
-                    and e["data_file"].get("content", 0) == 0
-                ]
-            if not files:
-                continue
-            schema = _spark_schema(_schema_by_id(meta, s.get("schema-id", 0)))
-            delta = (
-                spark.read.schema(schema)
-                .option("basePath", os.path.join(table, "data"))
-                .parquet(*files)
-                .withColumn("_change_type", F.lit("insert"))
-            )
-        else:
-            # UPDATE shape: the snapshot added BOTH a delete manifest
-            # and a data manifest (one row-delta commit) — its diff
-            # rows are pre/post images (Iceberg's changelog flavor);
-            # delete-only and full-overwrite snapshots keep the plain
-            # insert/delete tags
-            _sch2, s_manifests = read_container(s["manifest-list"])
-            added_contents = {
-                m.get("content", 0)
-                for m in s_manifests
-                if m.get("added_snapshot_id") == sid
-            }
-            is_update = {0, 1} <= added_contents
-            ins_tag = "update_postimage" if is_update else "insert"
-            del_tag = "update_preimage" if is_update else "delete"
-            prev_sid = s.get("parent-snapshot-id")
-            if prev_sid not in by_id:
-                # the diff path NEEDS the true parent: diffing against
-                # anything else would merge several commits under this
-                # snapshot id — refuse loudly, the contract Iceberg's
-                # changelog procedure keeps (appends are immune: they
-                # list their own added files above)
-                raise ValueError(
-                    f"snapshot {sid} has expired parent {prev_sid}; "
-                    "changelog cannot reconstruct changes across an "
-                    "expired snapshot boundary"
-                )
-            cur = read_iceberg(spark, table, sid)
-            prev = read_iceberg(spark, table, prev_sid)
-            cols = cur.columns
-            ins = cur.exceptAll(prev.select(*cols)).withColumn(
-                "_change_type", F.lit(ins_tag)
-            )
-            dels = prev.select(*cols).exceptAll(cur).withColumn(
-                "_change_type", F.lit(del_tag)
-            )
-            delta = ins.unionByName(dels)
+        try:
+            delta = _changelog_snapshot_delta(spark, table, meta, by_id, s, op)
+        except FileNotFoundError as exc:
+            # a concurrent expire_snapshots + remove_orphan_files beat
+            # this reader to a snapshot its (now stale) metadata still
+            # listed: the manifest avro is gone. Surface the EXPIRY
+            # contract, not a filesystem internal — the caller's remedy
+            # is to reload current metadata and retry, same as any
+            # other expired-lineage refusal (found by the round-9
+            # expiry-vs-reader race test).
+            raise ValueError(
+                f"snapshot {sid} was expired concurrently (metadata "
+                f"file gone: {exc}); reload current table metadata "
+                "and retry the changelog from retained snapshots"
+            ) from None
+        if delta is None:
+            continue
         delta = delta.withColumn(
             "_commit_snapshot_id", F.lit(sid).cast("long")
         )
@@ -2233,6 +2191,76 @@ def read_iceberg_changes(
             f"{to_snapshot_id}] for {table}"
         )
     return out
+
+
+def _changelog_snapshot_delta(
+    spark: SparkSession, table: str, meta: dict, by_id: dict, s: dict, op: str
+) -> DataFrame | None:
+    """One snapshot's changelog contribution (rows + _change_type), or
+    None for a no-file append. Raises FileNotFoundError when a
+    concurrent expiry removed the snapshot's metadata files — the
+    caller translates that into the expired-lineage refusal."""
+    from pyspark.sql import functions as F
+
+    sid = s["snapshot-id"]
+    if op == "append":
+        _sch, manifests = read_container(s["manifest-list"])
+        files: list[str] = []
+        for m in manifests:
+            if m.get("added_snapshot_id") != sid or m.get("content", 0) != 0:
+                continue
+            _es, entries = read_container(m["manifest_path"])
+            files += [
+                e["data_file"]["file_path"]
+                for e in entries
+                if e.get("status") == 1
+                and e["data_file"].get("content", 0) == 0
+            ]
+        if not files:
+            return None
+        schema = _spark_schema(_schema_by_id(meta, s.get("schema-id", 0)))
+        return (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(table, "data"))
+            .parquet(*files)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    # UPDATE shape: the snapshot added BOTH a delete manifest
+    # and a data manifest (one row-delta commit) — its diff
+    # rows are pre/post images (Iceberg's changelog flavor);
+    # delete-only and full-overwrite snapshots keep the plain
+    # insert/delete tags
+    _sch2, s_manifests = read_container(s["manifest-list"])
+    added_contents = {
+        m.get("content", 0)
+        for m in s_manifests
+        if m.get("added_snapshot_id") == sid
+    }
+    is_update = {0, 1} <= added_contents
+    ins_tag = "update_postimage" if is_update else "insert"
+    del_tag = "update_preimage" if is_update else "delete"
+    prev_sid = s.get("parent-snapshot-id")
+    if prev_sid not in by_id:
+        # the diff path NEEDS the true parent: diffing against
+        # anything else would merge several commits under this
+        # snapshot id — refuse loudly, the contract Iceberg's
+        # changelog procedure keeps (appends are immune: they
+        # list their own added files above)
+        raise ValueError(
+            f"snapshot {sid} has expired parent {prev_sid}; "
+            "changelog cannot reconstruct changes across an "
+            "expired snapshot boundary"
+        )
+    cur = read_iceberg(spark, table, sid)
+    prev = read_iceberg(spark, table, prev_sid)
+    cols = cur.columns
+    ins = cur.exceptAll(prev.select(*cols)).withColumn(
+        "_change_type", F.lit(ins_tag)
+    )
+    dels = prev.select(*cols).exceptAll(cur).withColumn(
+        "_change_type", F.lit(del_tag)
+    )
+    return ins.unionByName(dels)
 
 
 def upsert_iceberg(
@@ -2619,24 +2647,56 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[int]:
     return expired
 
 
-def remove_orphan_iceberg_files(table: str) -> list[str]:
+#: Default orphan grace window: 3 days, mirroring Iceberg's
+#: ``remove_orphan_files(older_than => ...)`` default. See
+#: :func:`remove_orphan_iceberg_files` for why it exists.
+ORPHAN_GRACE_MS = 3 * 24 * 3600 * 1000
+
+
+def remove_orphan_iceberg_files(
+    table: str, grace_ms: int = ORPHAN_GRACE_MS
+) -> list[str]:
     """``remove_orphan_files``: delete data files and Avro metadata
     files referenced by NO remaining snapshot (any mention in any kept
     manifest — added, existing, or deleted status — counts as
     referenced, the conservative direction). Run after
     :func:`expire_iceberg_snapshots`; returns the deleted paths. The
     walk is filesystem-metadata only — no file is opened, so cost
-    scales with file count, not data volume."""
-    meta = _load_metadata(table)
-    referenced: set[str] = set()
-    for s in meta["snapshots"]:
-        referenced.add(s["manifest-list"])
-        _s, manifests = read_container(s["manifest-list"])
-        for m in manifests:
-            referenced.add(m["manifest_path"])
-            _es, entries = read_container(m["manifest_path"])
-            for e in entries:
-                referenced.add(e["data_file"]["file_path"])
+    scales with file count, not data volume.
+
+    ``grace_ms``: files younger than this are NEVER deleted, whatever
+    the referenced-set says — Iceberg's ``older_than`` contract. This
+    is a correctness window, not housekeeping politeness: an in-flight
+    commit writes its manifests and data files BEFORE publishing its
+    metadata version, so a scan that loaded metadata a moment earlier
+    sees those files as unreferenced; deleting them corrupts the commit
+    the instant it publishes. The round-9 expiry-vs-reader race test
+    reproduced exactly that with ``grace_ms=0`` plus a live writer.
+    Only set 0 when no writer can be in flight (tests, decommission).
+
+    The referenced-set walk itself tolerates a CONCURRENT expiry by
+    another maintenance actor: on a missing manifest it reloads current
+    metadata and rewalks (twice) before giving up loudly."""
+    import time as _time
+
+    cutoff = _time.time() - grace_ms / 1000.0
+    for attempt in range(3):
+        meta = _load_metadata(table)
+        referenced: set[str] = set()
+        try:
+            for s in meta["snapshots"]:
+                referenced.add(s["manifest-list"])
+                _s, manifests = read_container(s["manifest-list"])
+                for m in manifests:
+                    referenced.add(m["manifest_path"])
+                    _es, entries = read_container(m["manifest_path"])
+                    for e in entries:
+                        referenced.add(e["data_file"]["file_path"])
+            break
+        except FileNotFoundError:
+            if attempt == 2:
+                raise
+            continue  # a racing expiry moved metadata under us; rewalk
     doomed: list[str] = []
     data_dir = os.path.join(table, "data")
     for root, _dirs, files in os.walk(data_dir):
@@ -2648,9 +2708,18 @@ def remove_orphan_iceberg_files(table: str) -> list[str]:
         p = os.path.join(_meta_dir(table), f)
         if f.endswith(".avro") and p not in referenced:
             doomed.append(p)
+    kept_young: list[str] = []
+    removed: list[str] = []
     for p in doomed:
-        os.remove(p)
-    return sorted(doomed)
+        try:
+            if os.path.getmtime(p) >= cutoff:
+                kept_young.append(p)
+                continue
+            os.remove(p)
+            removed.append(p)
+        except FileNotFoundError:
+            continue  # another actor removed it first: same outcome
+    return sorted(removed)
 
 
 def iceberg_history(table: str) -> list[dict]:

@@ -493,6 +493,15 @@ def make_iceberg_stream_source():
                 str(options.get("skipnonappendsnapshots", "false")).lower()
                 == "true"
             )
+            # an expired snapshot inside an uncommitted offset range is
+            # DATA LOSS for the stream (its added rows would never be
+            # emitted) — loud by default; opt in to the skip only for
+            # catch-up reads that accept a partial history (round-9
+            # expiry-vs-reader race finding)
+            self.allow_expired_gaps = (
+                str(options.get("allowexpiredgaps", "false")).lower()
+                == "true"
+            )
             self._cursor = 0
             self._floor = 0
 
@@ -521,7 +530,15 @@ def make_iceberg_stream_source():
             for seq in range(lo + 1, end["seq"] + 1):
                 s = snaps.get(seq)
                 if s is None:
-                    continue  # expired snapshot: nothing to read
+                    if self.allow_expired_gaps:
+                        continue  # caller accepts a partial history
+                    raise RuntimeError(
+                        f"snapshot seq {seq} of {self.table} expired "
+                        "before this stream read it — its rows would be "
+                        "silently lost; restart the stream from current "
+                        "state or set allowExpiredGaps=true to accept a "
+                        "partial history"
+                    )
                 if s["summary"]["operation"] != "append":
                     if not self.skip_non_append:
                         raise RuntimeError(
@@ -531,13 +548,27 @@ def make_iceberg_stream_source():
                             "past it"
                         )
                     continue  # skipped whole
-                _s, manifests = read_container(s["manifest-list"])
+                try:
+                    _s, manifests = read_container(s["manifest-list"])
+                except FileNotFoundError as exc:
+                    raise RuntimeError(
+                        f"snapshot seq {seq} of {self.table} was expired "
+                        f"concurrently (metadata file gone: {exc}); "
+                        "restart the stream from current table state"
+                    ) from None
                 for m in manifests:
                     if m["added_snapshot_id"] != s["snapshot-id"]:
                         continue  # carried forward from older snapshots
                     if m["content"] != 0:
                         continue  # delete manifest
-                    _es, entries = read_container(m["manifest_path"])
+                    try:
+                        _es, entries = read_container(m["manifest_path"])
+                    except FileNotFoundError as exc:
+                        raise RuntimeError(
+                            f"snapshot seq {seq} of {self.table} was "
+                            f"expired concurrently (manifest gone: {exc});"
+                            " restart the stream from current table state"
+                        ) from None
                     for e in entries:
                         if (
                             e["status"] == 1

@@ -546,8 +546,11 @@ def test_expire_snapshots_and_orphan_removal(spark, table):
     assert read_iceberg(spark, table).count() == 20
     with pytest.raises(FileNotFoundError):
         read_iceberg(spark, table, s1)
-    # the overwritten snapshots' data files are now orphans
-    doomed = remove_orphan_iceberg_files(table)
+    # the default grace window refuses to touch young files — the
+    # in-flight-commit protection (round 9) — even though they are
+    # unreferenced; grace 0 (safe here: no writer) then reclaims them
+    assert remove_orphan_iceberg_files(table) == []
+    doomed = remove_orphan_iceberg_files(table, grace_ms=0)
     assert any(p.endswith(".parquet") for p in doomed)
     assert any(p.endswith(".avro") for p in doomed)
     got = sorted(r.id for r in read_iceberg(spark, table, s3).collect())
@@ -909,7 +912,7 @@ def test_refs_protect_snapshots_from_expiry(spark, table):
     # the tagged snapshot survives a keep_last=1 expiry; the untagged
     # middle snapshot does not
     assert s1 not in expired and len(expired) == 1
-    remove_orphan_iceberg_files(table)
+    remove_orphan_iceberg_files(table, grace_ms=0)
     assert read_iceberg(spark, table, ref="keepme").count() == 25
     assert read_iceberg(spark, table, s3).count() == 5
     # dropping the tag releases it: next expiry removes the snapshot
@@ -1881,3 +1884,200 @@ def test_wap_publish_race_exactly_one_winner(spark, table):
         assert picked == []
     # the outcome set is race-dependent but every job must have resolved
     assert all(tag != "ff-gaveup" for tag, _ in results)
+
+
+def test_expiry_vs_reader_race(spark, table):
+    """Round-9 live race (VERDICT r8 task #7): snapshot expiry and
+    orphan-file removal racing a live writer, a changelog reader, and a
+    streaming drain over one table. Invariant: every reader call either
+    succeeds with EXACTLY the rows its endpoints imply, or refuses
+    loudly with a documented expiry/lineage error — never a silently
+    merged, partial, or torn diff.
+
+    Two real holes this test found (now fixed and covered here):
+    1. remove_orphan with no grace window deleted the manifests of an
+       IN-FLIGHT commit (files land before the metadata publish), which
+       corrupted the table for every later reader -> grace_ms contract
+       (iceberg_tables.ORPHAN_GRACE_MS), mirroring Iceberg's
+       ``older_than``; phase A runs the default grace under a live
+       writer and must delete nothing.
+    2. readers holding pre-expiry metadata leaked raw FileNotFoundError
+       (changelog) or silently SKIPPED expired snapshots (stream
+       source) -> both now refuse with the documented expiry message;
+       phase B races actual deletions (grace 0, writer quiesced — the
+       only safe setting for 0) against both readers.
+    """
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        expire_iceberg_snapshots,
+        read_iceberg_changes,
+        remove_orphan_iceberg_files,
+        write_iceberg_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_iceberg_stream_source,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    frames = {
+        k: _df(spark, 10 * k, 10 * (k + 1)).localCheckpoint(eager=True)
+        for k in range(1, 7)
+    }
+    sid_to_hi: dict[int, int] = {s1: 10}
+    done = threading.Event()
+    REFUSALS = (
+        "expired",
+        "unknown snapshot ids",
+        "not an ancestor",
+        "cannot order",
+        "no data-changing snapshots",
+    )
+
+    def writer():
+        for k in range(1, 7):
+            sid = write_iceberg_commit(frames[k], table)
+            sid_to_hi[sid] = 10 * (k + 1)
+            time.sleep(0.02)
+        done.set()
+        return ("writer", len(sid_to_hi))
+
+    def expirer():
+        n, removed = 0, 0
+        while not done.is_set():
+            n += len(expire_iceberg_snapshots(table, keep_last=2))
+            # default grace under a LIVE writer: must remove NOTHING
+            # (every file is seconds old) — hole #1's regression guard
+            removed += len(remove_orphan_iceberg_files(table))
+            time.sleep(0.01)
+        assert removed == 0, "orphan removal deleted inside the grace window"
+        return ("expired", n)
+
+    def check_changelog_once() -> str:
+        meta = _load_metadata(table)
+        head = meta["current-snapshot-id"]
+        if head == s1:
+            return "skip"
+        try:
+            rows = read_iceberg_changes(spark, table, s1, head).collect()
+        except ValueError as exc:
+            msg = str(exc)
+            assert any(r in msg for r in REFUSALS), f"undocumented: {msg}"
+            return "refused"
+        except Exception as exc:  # Spark-side failure must still be the contract
+            assert "expired" in str(exc), f"leaked internal error: {exc}"
+            return "refused"
+        # success must be EXACT for the head it read: all inserts, ids
+        # (10, hi(head)], nothing merged, nothing missing
+        assert {r["_change_type"] for r in rows} == {"insert"}
+        got = sorted(r["id"] for r in rows)
+        hi = sid_to_hi.get(head)
+        if hi is not None:
+            assert got == list(range(10, hi)), (
+                f"merged/partial diff at head {head}: {len(got)} rows vs 10..{hi}"
+            )
+        return "ok"
+
+    def changelog_reader():
+        ok, refused = 0, 0
+        while not done.is_set() or (ok + refused) == 0:
+            outcome = check_changelog_once()
+            ok += outcome == "ok"
+            refused += outcome == "refused"
+            time.sleep(0.005)
+        return ("changelog", ok, refused)
+
+    def drain_once(name: str) -> str:
+        q = (
+            spark.readStream.format("deg04_iceberg_stream")
+            .option("path", table)
+            .option("maxSnapshotsPerBatch", 1)
+            .option("skipNonAppendSnapshots", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception as exc:
+            # loud refusal is an allowed outcome — but it must be OUR
+            # expiry contract, not a leaked ENOENT/skip
+            assert "expired" in str(exc), f"leaked internal error: {exc}"
+            return "refused"
+        finally:
+            q.stop()
+        got = sorted(r["id"] for r in spark.table(name).collect())
+        # a drain that CLAIMS success must be whole batches from 0:
+        # contiguous ids ending on a batch boundary — a half-applied
+        # snapshot, a merged diff, or a silently-skipped expired
+        # snapshot all break this
+        assert got == list(range(len(got))), "drain skipped/merged rows"
+        assert len(got) % 10 == 0 and len(got) >= 10
+        return "ok"
+
+    def stream_drainer():
+        try:
+            spark.dataSource.register(make_iceberg_stream_source())
+        except Exception:
+            pass
+        ok, refused = 0, 0
+        for attempt in range(3):
+            outcome = drain_once(f"race_drain_a{attempt}")
+            ok += outcome == "ok"
+            refused += outcome == "refused"
+        return ("drain", ok, refused)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(writer),
+            ex.submit(expirer),
+            ex.submit(changelog_reader),
+            ex.submit(stream_drainer),
+        ]
+        results = [f.result(timeout=180) for f in futs]
+
+    by_tag = {r[0]: r for r in results}
+    assert by_tag["expired"][1] > 0, "expirer never expired anything"
+    assert by_tag["changelog"][1] + by_tag["changelog"][2] >= 1
+    assert by_tag["drain"][1] + by_tag["drain"][2] == 3
+
+    # ---- phase B: race readers against ACTUAL file deletion. Writer is
+    # quiesced, so grace 0 is safe (the documented only-safe-0 setting);
+    # expired snapshots' manifests genuinely disappear mid-read.
+    done2 = threading.Event()
+
+    def deleter():
+        removed = 0
+        while not done2.is_set():
+            expire_iceberg_snapshots(table, keep_last=1)
+            removed += len(remove_orphan_iceberg_files(table, grace_ms=0))
+            time.sleep(0.002)
+        return removed
+
+    def racing_readers():
+        outcomes = []
+        for i in range(8):
+            outcomes.append(check_changelog_once())
+            outcomes.append(drain_once(f"race_drain_b{i}"))
+        done2.set()
+        return outcomes
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_del = ex.submit(deleter)
+        fut_read = ex.submit(racing_readers)
+        outcomes = fut_read.result(timeout=180)
+        removed = fut_del.result(timeout=30)
+
+    assert removed > 0, "phase B never deleted a file: the race did not race"
+    # every reader call resolved to a verified outcome (the assertions
+    # inside check_changelog_once/drain_once are the invariant)
+    assert all(o in ("ok", "refused", "skip") for o in outcomes)
+
+    # final state intact: all 70 rows exactly once
+    final = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert final == list(range(70))
