@@ -372,14 +372,28 @@ def minhash_candidate_pairs(sig: DataFrame, *, cap: int = MEGA_BUCKET_CAP) -> Da
     **Mega-bucket cap** (the skew knob): a degenerate corpus — think
     boilerplate-heavy crawl data, exactly the 100 TB use case — can
     produce one giant band bucket whose pair expansion goes quadratic.
-    Buckets larger than ``cap`` are salted into
-    ``nsub = ceil(|bucket| / cap)`` deterministic sub-groups by
-    ``xxhash64(doc_id) mod nsub`` and pairs expand *within* a sub-group
-    only: per-bucket work drops from |bucket|² to ~|bucket|·cap, at the
-    cost of cross-sub-group recall inside that one bucket (near-dups
-    still meet in the other bands, and downstream connected components
+    Buckets larger than ``cap`` split into ``nsub = ceil(|bucket|/cap)``
+    deterministic sub-groups (contiguous ``cap``-sized slices of the
+    sorted id array) and pairs expand *within* a sub-group only:
+    per-bucket OUTPUT drops from |bucket|² to ~|bucket|·cap, at the cost
+    of cross-sub-group recall inside that one bucket (near-dups still
+    meet in the other bands, and downstream connected components
     re-links clusters transitively). Buckets at or below ``cap`` — all
     observed real buckets — expand identically to the uncapped form.
+
+    **Explode-then-redistribute plan** (round-9 skew study): bounding
+    the OUTPUT is not enough — a 30k-doc bucket is ONE collect_list row,
+    so its whole expansion (nsub·|bucket| salt filters + the pair
+    structs) ran in ONE task: the uniform-vs-skew study measured 4.9 s →
+    125 s, a single-straggler stage, precisely what the cap was supposed
+    to prevent. Every bucket now explodes into one row per sub-group
+    (the whole bucket when ≤ cap — identical membership to before) and
+    the sub-group rows REPARTITION before pair expansion, so a
+    mega-bucket's sub-groups spread across the cluster. The added
+    shuffle moves only id arrays (≈ the band-entry volume, strictly
+    smaller than the pairs-distinct shuffle that follows), and sub-group
+    construction is O(|bucket| log |bucket|) sort + O(|bucket|) slicing
+    — not the old nsub·|bucket| per-salt filter scan.
     """
     band_exprs = []
     for b in range(N_HASHES // BAND_SIZE):
@@ -421,16 +435,15 @@ def minhash_candidate_pairs(sig: DataFrame, *, cap: int = MEGA_BUCKET_CAP) -> Da
     nsub = F.greatest(
         F.lit(1), F.ceil(F.size("ids") / F.lit(cap)).cast("int")
     )
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), nsub - 1),
-            lambda g: in_group_pairs(
-                F.filter(F.col("ids"), lambda x: F.pmod(F.xxhash64(x), nsub) == g)
-            ),
-        )
+    sorted_ids = F.array_sort("ids")
+    sub_groups = F.transform(
+        F.sequence(F.lit(0), nsub - 1),
+        lambda g: F.slice(sorted_ids, g * cap + 1, cap),
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode(sub_groups).alias("sub_ids"))
+        .repartition("sub_ids")  # mega-bucket sub-groups fan out
+        .select(F.explode(in_group_pairs(F.col("sub_ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
@@ -1210,8 +1223,15 @@ def semdedup_dropped(
         .agg(F.sum("v").cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # c*c summed over dim must NOT accumulate in long: a mega-cluster's
+    # centroid components reach ~n·10^6·|x| (the skewed-sf1 12.8k-vector
+    # cluster put SUM(c²) at ~1.3e20 > int64 — found by the round-9
+    # adversarial-skew study). decimal(38,0) keeps the sum exact, like
+    # the DuckDB oracle's HUGEINT accumulator; the cast to double of the
+    # same exact integer is bitwise-identical where both paths fit.
+    _c_dec = F.col("c").cast("decimal(38,0)")
     cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
+        F.sqrt(F.sum(_c_dec * _c_dec).cast("double")).alias("c_nrm")
     )
     vdot = (
         ex.join(F.broadcast(cent), ["label", "pos"])

@@ -84,3 +84,34 @@ def test_oracle_parity_at_10x(spark, name):
 def test_oracle_parity_at_100x(spark, name):
     ok, msg = oracle.check_query(spark, SF10_DIR, name)
     assert ok, f"{name} at 100x: {msg}"
+
+
+SF1_SKEW_DIR = "/tmp/scaleup/sf1skew"
+
+# Adversarial-skew twin (round 9): same 10x volume, worst realistic key
+# shapes — 90% one event_type, Zipf(1.2) user_ids, a 60% boilerplate
+# corpus collapsing into one LSH band bucket and one SemDeDup cluster
+# (scripts/scaleup.py derive --skew). Parity here covers the CAP-FREE
+# salted paths; the capped pair-generators (dedup_minhash_pairs,
+# dedup_semdedup) intentionally diverge from their all-pairs oracles
+# once a bucket exceeds its cap — for those the skew study asserts
+# bounded wall-clock and straggler ratio instead (scaleup.py skewbench,
+# recorded in SCALE.md).
+NAMES_SKEW = [
+    "events_value_by_type_salted",
+    "events_tier_salted_join",
+    "training_shard_assignment",
+    "events_sessionize",
+    "latest_event_per_user",
+]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1_SKEW_DIR),
+    reason="skewed sf1 dataset absent; "
+    "run scripts/scaleup.py derive --skew --out /tmp/scaleup/sf1skew",
+)
+@pytest.mark.parametrize("name", NAMES_SKEW)
+def test_oracle_parity_at_10x_skewed(spark, name):
+    ok, msg = oracle.check_query(spark, SF1_SKEW_DIR, name)
+    assert ok, f"{name} at 10x skewed: {msg}"
