@@ -381,19 +381,26 @@ def minhash_candidate_pairs(sig: DataFrame, *, cap: int = MEGA_BUCKET_CAP) -> Da
     re-links clusters transitively). Buckets at or below ``cap`` — all
     observed real buckets — expand identically to the uncapped form.
 
-    **Explode-then-redistribute plan** (round-9 skew study): bounding
-    the OUTPUT is not enough — a 30k-doc bucket is ONE collect_list row,
-    so its whole expansion (nsub·|bucket| salt filters + the pair
-    structs) ran in ONE task: the uniform-vs-skew study measured 4.9 s →
-    125 s, a single-straggler stage, precisely what the cap was supposed
-    to prevent. Every bucket now explodes into one row per sub-group
-    (the whole bucket when ≤ cap — identical membership to before) and
-    the sub-group rows REPARTITION before pair expansion, so a
-    mega-bucket's sub-groups spread across the cluster. The added
-    shuffle moves only id arrays (≈ the band-entry volume, strictly
-    smaller than the pairs-distinct shuffle that follows), and sub-group
-    construction is O(|bucket| log |bucket|) sort + O(|bucket|) slicing
-    — not the old nsub·|bucket| per-salt filter scan.
+    **Row-level salt plan** (round-9 skew study, three iterations): the
+    original formulation collected a bucket into ONE array row and did
+    nsub·|bucket| per-salt filter scans inside it, so a mega-bucket's
+    whole expansion ran in ONE task (4.9 s uniform → 125 s skewed at
+    sf1). A sorted-slice rewrite re-evaluated array_sort per lambda
+    element — Catalyst does not CSE inside higher-order-function
+    lambdas — and hit 374 s on the 300k-doc bucket at sf10. A
+    count-over-WINDOW salt still funneled every mega-bucket row through
+    one window reducer (23 s task). Final shape: the band table is
+    checkpointed once (lazy barrier, same pattern as
+    corpus_curation_full), bucket sizes come from a map-side-combined
+    groupBy count FILTERED to over-cap buckets only (pathological ⇒
+    few ⇒ broadcast), each row gets ``salt = xxhash64(doc_id) mod
+    nsub`` via that broadcast (0 when its bucket is under the cap), and
+    the groupBy key is (band, band_key, salt) — every sub-group is BORN
+    as its own collect_list row on its own reducer. No operator
+    anywhere sees a whole mega-bucket in one task: the count partial-
+    aggregates map-side, the regroup spreads by salt, the expansion is
+    per-sub-row, the distinct is pair-hashed. Buckets ≤ cap get
+    nsub = 1 — the uncapped expansion, bit-identical pair set.
     """
     band_exprs = []
     for b in range(N_HASHES // BAND_SIZE):
@@ -406,11 +413,34 @@ def minhash_candidate_pairs(sig: DataFrame, *, cap: int = MEGA_BUCKET_CAP) -> Da
                 F.lit(b).alias("band"), F.md5(F.concat(*parts[:-1])).alias("band_key")
             )
         )
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.collect_list("doc_id").alias("ids")
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk"))
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        # barrier: the count branch and the main regroup both read this;
+        # without it each reference recomputes the whole signature
+        # pipeline (Catalyst has no cross-reference CSE)
+        .localCheckpoint(eager=False)
+    )
+    over_cap = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+        .filter(F.col("n_in_bucket") > cap)
+    )
+    nsub = F.ceil(F.col("n_in_bucket") / F.lit(cap)).cast("int")
+    salted = bands.join(
+        F.broadcast(over_cap), ["band", "band_key"], "left"
+    ).withColumn(
+        "salt",
+        F.when(F.col("n_in_bucket").isNull(), F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("doc_id"), nsub))
+        .cast("int"),
+    )
+    sub = salted.groupBy("band", "band_key", "salt").agg(
+        F.collect_list("doc_id").alias("sub_ids")
     )
 
     def in_group_pairs(arr):
@@ -432,18 +462,8 @@ def minhash_candidate_pairs(sig: DataFrame, *, cap: int = MEGA_BUCKET_CAP) -> Da
             lambda p: p.getField("doc_a") < p.getField("doc_b"),
         )
 
-    nsub = F.greatest(
-        F.lit(1), F.ceil(F.size("ids") / F.lit(cap)).cast("int")
-    )
-    sorted_ids = F.array_sort("ids")
-    sub_groups = F.transform(
-        F.sequence(F.lit(0), nsub - 1),
-        lambda g: F.slice(sorted_ids, g * cap + 1, cap),
-    )
     return (
-        buckets.select(F.explode(sub_groups).alias("sub_ids"))
-        .repartition("sub_ids")  # mega-bucket sub-groups fan out
-        .select(F.explode(in_group_pairs(F.col("sub_ids"))).alias("p"))
+        sub.select(F.explode(in_group_pairs(F.col("sub_ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
