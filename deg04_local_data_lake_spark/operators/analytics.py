@@ -1421,3 +1421,129 @@ def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("local_cc").desc(), "node")
         .limit(20)
     )
+
+
+def _pagerank_iter_oracle(iters: int) -> str:
+    """Build the chained-CTE DuckDB twin of ``pagerank_iterated``: one CTE
+    per power iteration, each the exact integer-quantized update rule the
+    Spark loop applies (see pagerank_iterated's docstring for why the
+    quantization makes the comparison bitwise instead of float-fuzzy)."""
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT count(*) AS n_nodes FROM outdeg)",
+        """r0 AS (
+  SELECT src AS node, CAST(round(1e12 / n_nodes) AS BIGINT) AS rq
+  FROM outdeg CROSS JOIN n
+)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT e.dst AS node,
+         CAST(round(1.5e11 / n.n_nodes) AS BIGINT)
+           + CAST(round(0.85 * SUM(r.rq // o.outdeg)) AS BIGINT) AS rq
+  FROM edges e
+  JOIN outdeg o ON o.src = e.src
+  JOIN r{k - 1} r ON r.node = e.src
+  CROSS JOIN n
+  GROUP BY e.dst, n.n_nodes
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS partkey, rq AS rank_q,
+       CAST(rq AS DOUBLE) / 1e12 AS pr_rank
+FROM r{iters}
+"""
+    )
+
+
+_PAGERANK_ITERS = 5
+
+
+@register("pagerank_iterated", oracle=_pagerank_iter_oracle(_PAGERANK_ITERS))
+def pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five full PageRank power iterations (d=0.85, uniform init) over the
+    part co-purchase graph — the multi-step companion to ``pagerank_step``,
+    locking that the iterative UPDATE RULE composes, not just one
+    application of it.
+
+    Iteration in a distributed engine is k unrolled plan segments, and the
+    things that matter at 100 TB are all in how each segment is shaped:
+
+    - the edge list (src, dst, outdeg) is built ONCE and persisted; every
+      iteration re-joins the freshly shuffled rank frame against the SAME
+      cached, src-keyed edges — the classic persist-the-graph /
+      re-shuffle-the-ranks split (on a cluster: edges bucketed by src so
+      only ranks move);
+    - each iteration is exactly one shuffle pair (join on src, groupBy
+      dst) with a map-side-combinable BIGINT SUM — no plan blowup, no
+      driver-side state; k iterations = k × O(edges/partition);
+    - ranks stay QUANTIZED (rq = pr·1e12 as BIGINT) through every
+      iteration: the per-edge contribution is ``rq div outdeg`` (exact
+      integer division), the fold is an integer SUM (associative and
+      commutative — bitwise deterministic under any partitioning), and
+      the only float ops are one round() per node per iteration on exact
+      integer inputs, identical in both engines. A double-typed rank
+      would make iteration 5's low bits depend on Spark's partition
+      count; the quantized walk is hash-exact vs DuckDB's chained-CTE
+      twin at every scale.
+
+    The graph is symmetric (co-purchase), so there are no dangling nodes
+    and the node set is stable across iterations — each r_k has exactly
+    |V| rows, which the parity check implicitly attests five times."""
+    from deg04_local_data_lake_spark.caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    # same canonical subtree as pagerank_step/graph_degree_histogram —
+    # Spark's plan-cache serves all three from one persisted copy
+    edges = persist_tracked(edges)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg): the loop-invariant frame. Persisted because all
+    # five iterations join against it; on a cluster this is the frame you
+    # bucket by src.
+    edges_w = persist_tracked(edges.join(outdeg, "src"))
+    n = edges.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        outdeg.select("src")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"),
+            F.round(F.lit(1e12) / F.col("n_nodes")).cast("long").alias("rq"),
+        )
+    )
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            edges_w.join(
+                ranks.select(F.col("node").alias("src"), "rq"), "src"
+            )
+            .select("dst", F.expr("rq div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            (
+                F.round(F.lit(1.5e11) / F.col("n_nodes")).cast("long")
+                + F.round(F.lit(0.85) * F.col("s")).cast("long")
+            ).alias("rq"),
+        )
+    return ranks.select(
+        F.col("node").alias("partkey"),
+        F.col("rq").alias("rank_q"),
+        (F.col("rq").cast("double") / F.lit(1e12)).alias("pr_rank"),
+    )

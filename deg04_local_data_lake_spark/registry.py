@@ -62,6 +62,7 @@ def load_all() -> None:
     import deg04_local_data_lake_spark.operators.relational  # noqa: F401
     import deg04_local_data_lake_spark.operators.sql_modern  # noqa: F401
     import deg04_local_data_lake_spark.operators.table_functions  # noqa: F401
+    import deg04_local_data_lake_spark.operators.indexing  # noqa: F401
     import deg04_local_data_lake_spark.pipelines.medallion  # noqa: F401
     # --- partially sampled (their unsampled queries follow the above) ---
     import deg04_local_data_lake_spark.operators.extras  # noqa: F401
@@ -86,12 +87,15 @@ def load_all() -> None:
 #: of module import order.  The driver samples the first 50 registered
 #: queries each round; since round 7 every registered query has at least
 #: one green driver row, so the window RE-ATTESTS the stalest rows.
-#: Round 9 = (a) everything NEW this round, (b) all 17 remaining round-2
-#: rows (the TPC-H q-series + pareto/range-join/rollup/HHI/triangle
-#: stragglers named by VERDICT r8 task #1), (c) 31 of the 47 round-3
-#: rows, preferring streaming, similarity/embedding, sketch, and
-#: multimodal families (the deepest custom-operator stacks).  Left for
-#: the round-10 window: the 16 remaining round-3 rows (relational/IO
+#: Round 9 = (a) everything NEW this round (5 queries), (b) all 17
+#: remaining round-2 rows (the TPC-H q-series + pareto/range-join/
+#: rollup/HHI/triangle stragglers named by VERDICT r8 task #1), (c) as
+#: many round-3 rows as fit the 50-sample window, preferring streaming,
+#: similarity/embedding, sketch, and multimodal families (the deepest
+#: custom-operator stacks; the list below holds 53 names, so its last 3
+#: spill past the driver's 50-query sample into round 10).  Left for
+#: the round-10 window: those spilled rows plus the 16 remaining
+#: round-3 rows (relational/IO
 #: paths: catalog_external_table_scan, cdc_snapshot_diff,
 #: csv_scan_explicit, csv_scan_inferred, directory_ingest_manifest,
 #: event_transitions, events_session_agg, json_scan_lines,
@@ -100,9 +104,13 @@ def load_all() -> None:
 #: time_travel_diff, xml_scan_roundtrip-era peers) plus the oldest r4
 #: rows; the local all-query parity re-checks every row each pytest run.
 PRIORITY: list[str] = [
-    # --- new in round 9 (stdlib PNG codec, jar-less Avro data door) ---
+    # --- new in round 9 (stdlib PNG codec, jar-less Avro data door,
+    # iterated PageRank, Bloom file index, stream-stream outer join) ---
     "mm_decode_png",
     "avro_scan_roundtrip",
+    "pagerank_iterated",
+    "bloom_index_point_lookup",
+    "stream_left_outer_purchase_click",
     # --- last driver-attested in round 2: TPC-H q-series + stragglers ---
     "q3_shipping_priority",
     "q4_late_shipment_priority",

@@ -131,6 +131,7 @@ def stream_stream_purchase_click(
     events: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each purchase joins the clicks of the same
     user in the preceding ``max_gap``. Both sides carry watermarks and the
@@ -157,7 +158,7 @@ def stream_stream_purchase_click(
         & (clicks.click_ts <= purchases.purchase_ts)
         & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
     )
-    return purchases.join(clicks, cond).select(
+    return purchases.join(clicks, cond, how).select(
         "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
     )
 
@@ -344,7 +345,17 @@ _VERIFY_WATERMARK = "365 days"
 def _bounded_event_stream(
     spark: SparkSession, sf_dir: str, files_per_trigger: int = 8
 ) -> DataFrame:
-    """Open the events table as a file-source stream.
+    """Open the events table as a file-source stream (see
+    ``_bounded_event_src`` for the rewrite contract)."""
+    return read_event_stream(
+        spark,
+        _bounded_event_src(spark, sf_dir),
+        max_files_per_trigger=files_per_trigger,
+    )
+
+
+def _bounded_event_src(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as a streamable file-source directory.
 
     Stream event time must be LTZ (watermarks reject NTZ), while the lake
     reader is NTZ wall time — so rewrite once into a temp dir as LTZ
@@ -410,7 +421,7 @@ def _bounded_event_stream(
                     raise
             shutil.rmtree(stage, ignore_errors=True)
         _STREAM_SRC_CACHE[key] = src
-    return read_event_stream(spark, src, max_files_per_trigger=files_per_trigger)
+    return src
 
 
 def _drain_to_memory(
@@ -1486,3 +1497,126 @@ def stream_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry.ORACLES["stream_text_quality"] = _registry.ORACLES["text_quality"]
+
+
+def _sentinel_event_src(spark: SparkSession, sf_dir: str) -> str:
+    """The bounded event source plus one WATERMARK SENTINEL file,
+    guaranteed by mtime ordering to arrive in its own FINAL microbatch.
+
+    Stream-stream OUTER joins only emit their null-padded rows when the
+    watermark passes a row's join window — under the verification
+    watermark (365 days, chosen so the unordered 32-file replay drops
+    nothing as late) that never happens, so a bounded drain of an outer
+    join would return the inner rows only. Production streams don't have
+    this problem (data keeps arriving; the watermark keeps moving); a
+    BOUNDED replay needs an explicit end-of-stream event. The sentinel
+    file carries one purchase and one click at max(ts) + 366 days with
+    negative user ids: processed last (FileStreamSource selects files
+    oldest-mtime-first, and every data file is stamped older), it pushes
+    the final watermark past every real join window, and the no-data
+    microbatch that follows flushes every held-back unmatched row. The
+    query filters the sentinel's own rows out by user id.
+
+    Data files are COPIED, not hardlinked: the mtime restamp must not
+    touch the shared rewrite other stream queries list concurrently.
+    """
+    import glob
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sentinel")
+    cached = _STREAM_SRC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = _bounded_event_src(spark, sf_dir)
+    import datetime
+    import os
+    import tempfile
+
+    tag = os.path.basename(base).rsplit("_", 1)[-1]
+    dst = os.path.join(tempfile.gettempdir(), f"deg04_stream_sent_{tag}")
+    if not os.path.exists(os.path.join(dst, "_DONE")):
+        stage = tempfile.mkdtemp(prefix=f"deg04_stream_sent_stage_{tag}_")
+        stage_out = os.path.join(stage, "out")
+        os.makedirs(stage_out)
+        t0 = 1_000_000_000  # fixed epoch; only the RELATIVE order matters
+        for f in sorted(glob.glob(os.path.join(base, "*.parquet"))):
+            out = os.path.join(stage_out, os.path.basename(f))
+            shutil.copy2(f, out)
+            os.utime(out, (t0, t0))
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts").alias("m"))
+            .collect()[0]["m"]
+        )
+        sent_ts = max_ts + datetime.timedelta(days=366)
+        sent = spark.createDataFrame(
+            [
+                (-1, sent_ts, -1, "purchase", 0.0, "{}"),
+                (-2, sent_ts, -2, "click", 0.0, "{}"),
+            ],
+            EVENTS_SCHEMA,
+        )
+        sent_tmp = os.path.join(stage, "sent")
+        sent.coalesce(1).write.parquet(sent_tmp)
+        (sent_file,) = glob.glob(os.path.join(sent_tmp, "*.parquet"))
+        sent_out = os.path.join(stage_out, "zzz-sentinel.parquet")
+        shutil.copy2(sent_file, sent_out)
+        os.utime(sent_out, (t0 + 1000, t0 + 1000))
+        with open(os.path.join(stage_out, "_DONE"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(stage_out, dst)
+        except OSError:
+            if not os.path.exists(os.path.join(dst, "_DONE")):
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+        shutil.rmtree(stage, ignore_errors=True)
+    _STREAM_SRC_CACHE[key] = dst
+    return dst
+
+
+@register(
+    "stream_left_outer_purchase_click",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+WHERE p.event_type = 'purchase'
+""",
+)
+def stream_left_outer_purchase_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics Spark's
+    docs flag as the hard case, because the unmatched side is emitted by
+    WATERMARK PROGRESS, not by data arrival: a purchase with no click in
+    its preceding 30 minutes surfaces (null-padded) only once the
+    watermark proves no qualifying click can still arrive.
+
+    The drain is made exact by the end-of-stream sentinel
+    (``_sentinel_event_src``): matched pairs emit as they meet, exactly
+    as in ``stream_purchase_click_join``; unmatched purchases are held in
+    the join state until the sentinel batch pushes the watermark past
+    their windows and the trailing no-data microbatch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, on by default)
+    flushes them. Hash-equality with the batch LEFT JOIN oracle therefore
+    attests all three legs at once: no pair missed, no false unmatched
+    (a row emitted null-padded AND matched would duplicate), and state
+    eviction aligned exactly with the join window."""
+    src = _sentinel_event_src(spark, sf_dir)
+    events = read_event_stream(spark, src, max_files_per_trigger=8)
+    out = _drain_to_memory(
+        stream_stream_purchase_click(
+            events, watermark=_VERIFY_WATERMARK, how="left_outer"
+        ),
+        "stream_ssjoin_outer",
+        mode="append",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "purchase_id", "user_id", _ntz("purchase_ts"), "click_id", _ntz("click_ts")
+    )
