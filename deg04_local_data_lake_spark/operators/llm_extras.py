@@ -1120,3 +1120,145 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rsel_rank").cast("bigint").alias("pos"),
         "scrubbed_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means iterated to three full reassignment rounds
+# ---------------------------------------------------------------------------
+
+_KMEANS_ITERS = 3
+
+
+def _kmeans_iter_oracle(iters: int) -> str:
+    """Chained-CTE DuckDB twin of ``embedding_kmeans_iterated``: a0 is the
+    label column, then (cent → cnorm → dots → a) once per Lloyd round —
+    the same exact-integer update rule the Spark loop applies."""
+    ctes = [
+        f"q AS ({_QUANT_SQL})",
+        """ex AS (SELECT vec_id, i AS pos, qe[i] AS v
+       FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) u)""",
+        "a0 AS (SELECT vec_id, label AS lbl FROM q)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""cent{t} AS (
+  SELECT a.lbl AS c_label, ex.pos, CAST(SUM(ex.v) AS BIGINT) AS c
+  FROM ex JOIN a{t - 1} a USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""cnorm{t} AS (
+  SELECT c_label, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS c_nrm
+  FROM cent{t} GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""dots{t} AS (
+  SELECT ex.vec_id, c.c_label, SUM(ex.v * c.c) AS dot
+  FROM ex JOIN cent{t} c USING (pos) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, c_label AS lbl FROM (
+    SELECT d.vec_id, d.c_label,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY CAST(d.dot AS DOUBLE) / n.c_nrm DESC,
+                                       d.c_label) AS rn
+    FROM dots{t} d JOIN cnorm{t} n USING (c_label)
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q.label AS init_label, a{iters}.lbl AS final_label,
+       COUNT(*) AS n_vecs
+FROM a{iters} JOIN q USING (vec_id)
+GROUP BY 1, 2
+"""
+    )
+
+
+@register(
+    "embedding_kmeans_iterated", oracle=_kmeans_iter_oracle(_KMEANS_ITERS)
+)
+def embedding_kmeans_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd rounds over the embedding table — the clustering
+    counterpart of ``pagerank_iterated``, locking that the k-means UPDATE
+    RULE composes across iterations (``embedding_kmeans_step`` attests a
+    single application).
+
+    The iteration stays EXACT the whole way, which is what makes a
+    distributed k-means hash-comparable at all:
+
+    - cosine assignment is scale-invariant, so the centroid can be the
+      per-cluster component SUM (never divided by the member count) —
+      an exact BIGINT at every round, no float centroid drift;
+    - the only doubles are each round's ranking key dot/‖c‖ — single
+      operations on exact integers, bitwise identical in both engines —
+      with ties broken on the cluster id;
+    - dot products and norms fold through decimal(38,0) (the SemDeDup
+      convention, operators/dedup.py) so member counts in the billions
+      can't overflow the int64 partial sums.
+
+    Plan per round: centroids are k×dim rows (broadcast); the dot
+    aggregate is the round's one real shuffle, keyed (vec_id, cell); the
+    exploded component table is built once, persisted, and re-joined by
+    all three rounds — persist-the-data / re-shuffle-the-assignment,
+    the same split ``pagerank_iterated`` uses for its edge list."""
+    from deg04_local_data_lake_spark.caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+        ).alias("qe"),
+    )
+    ex = (
+        q.select("vec_id", F.posexplode("qe").alias("pos0", "v"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    )
+    # consumed 2x per round (centroid build + dot fanout) x 3 rounds
+    ex = persist_tracked(ex)
+    assign = q.select("vec_id", F.col("label").alias("lbl"))
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    for _ in range(_KMEANS_ITERS):
+        cent = (
+            ex.join(assign, "vec_id")
+            .groupBy(F.col("lbl").alias("c_label"), "pos")
+            .agg(F.sum("v").cast("bigint").alias("c"))
+        )
+        cnorm = cent.groupBy("c_label").agg(
+            F.sqrt(F.sum(dec38("c") * dec38("c")).cast("double")).alias("c_nrm")
+        )
+        dots = (
+            ex.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "c_label")
+            .agg(F.sum(dec38("v") * dec38("c")).alias("dot"))
+        )
+        assign = (
+            dots.join(F.broadcast(cnorm), "c_label")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        (F.col("dot").cast("double") / F.col("c_nrm")).desc(),
+                        F.col("c_label"),
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("c_label").alias("lbl"))
+        )
+    return (
+        assign.join(q.select("vec_id", "label"), "vec_id")
+        .groupBy(
+            F.col("label").alias("init_label"),
+            F.col("lbl").alias("final_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
