@@ -41,6 +41,12 @@ NAMES = [
     "asof_purchase_click",
     "range_join_error_burst",
     "mm_decode_wav",
+    # round 9: the iterative algorithms and the file index — the paths
+    # whose determinism claims (quantized folds, bloom completeness)
+    # most need re-proving as the data grows
+    "pagerank_iterated",
+    "embedding_kmeans_iterated",
+    "bloom_index_point_lookup",
 ]
 
 SF10_DIR = "/tmp/scaleup/sf10"
@@ -61,6 +67,10 @@ NAMES_100X = [
     "text_token_stats",
     "mm_decode_wav",
     "dedup_minhash_signatures",
+    # round 9: bloom lookup stays cheap on both engines at 100x; the
+    # iterated pagerank/k-means oracles are chained-CTE joins DuckDB
+    # re-materializes per round — attested at 10x above instead
+    "bloom_index_point_lookup",
 ]
 
 pytestmark = pytest.mark.skipif(
