@@ -410,3 +410,38 @@ def test_transform_with_state_first_touch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("files_per_trigger", [4, 16])
+def test_outer_join_drain_split_independent(spark, smoke_dir, files_per_trigger):
+    """The LEFT OUTER drain must be exact under ANY microbatch split: the
+    unmatched flush depends only on the sentinel batch being LAST (mtime
+    ordering), not on how many batches precede it. 4 and 16 files per
+    trigger bracket the registered query's 8."""
+    src = ingest._sentinel_event_src(spark, smoke_dir)
+    events = ingest.read_event_stream(
+        spark, src, max_files_per_trigger=files_per_trigger
+    )
+    out = ingest._drain_to_memory(
+        ingest.stream_stream_purchase_click(
+            events, watermark=ingest._VERIFY_WATERMARK, how="left_outer"
+        ),
+        f"ssjoin_outer_split{files_per_trigger}",
+        mode="append",
+    )
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    )
+    batch = load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in ingest.stream_stream_purchase_click(
+            batch, how="left_outer"
+        ).collect()
+    )
+    n_unmatched = sum(1 for _, c in want if c is None)
+    assert n_unmatched > 0  # the flush path must actually be exercised
+    assert got == want
