@@ -3978,3 +3978,145 @@ def iceberg_branch_audit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_log_merge_full_sync",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(c_acctbal + 1000.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+  FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 <> 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (10000001, 'sync-insert-1', 7, CAST(111.5 AS DOUBLE), 'BUILDING'),
+    (10000002, 'sync-insert-2', 9, CAST(222.25 AS DOUBLE), 'BUILDING'))
+    v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+)
+SELECT * FROM src
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_mktsegment <> 'BUILDING'
+""",
+)
+def delta_log_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD merge leg — ``WHEN NOT MATCHED BY SOURCE AND <cond>
+    THEN DELETE`` (delta-spark ≥ 2.3 tri-clause MERGE) — on the jar-less
+    Delta log: the source is the authoritative state of ONE slice of the
+    table (the BUILDING segment, with every 3rd key gone, balances
+    re-stated, and two brand-new keys), and the merge must converge the
+    table to it without touching any other segment.
+
+    The conditional by-source leg is what makes this the full-table-SYNC
+    merge rather than an upsert: matched rows update, unmatched source
+    rows insert, and target rows missing from the source are deleted
+    ONLY where the condition says the source is authoritative
+    (``c_mktsegment = 'BUILDING'``) — every non-BUILDING row must
+    survive byte-identical. The oracle recomputes the converged state
+    relationally, so hash-parity attests all three legs plus the
+    condition boundary at once. Physical shape: two keyed anti-joins, a
+    semi/anti split on the source key set, one union — all shuffles on
+    the merge key, copy-on-write commit (sources/delta_log.py
+    merge_delta)."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        merge_delta,
+        read_delta_log,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_fullsync_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        write_delta_commit(cust, path)
+        updates = cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 3 != 0)
+        ).withColumn("c_acctbal", (F.col("c_acctbal") + F.lit(1000.0)).cast("double"))
+        inserts = spark.createDataFrame(
+            [
+                (10000001, "sync-insert-1", 7, 111.5, "BUILDING"),
+                (10000002, "sync-insert-2", 9, 222.25, "BUILDING"),
+            ],
+            cust.schema,
+        )
+        merge_delta(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            "c_custkey",
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="c_mktsegment = 'BUILDING'",
+        )
+        return read_delta_log(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "iceberg_rewrite_manifests",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+FROM customer
+WHERE (c_custkey % 4 = 3) OR (c_custkey % 5 <> 0)
+""",
+)
+def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_manifests`` (metadata compaction), driver-attested with
+    the nastiest interaction it must survive — an equality delete whose
+    applicability is defined by SEQUENCE NUMBERS that the rewrite must
+    make explicit:
+
+    - three appends land customer quarters (key mod 4 ∈ {0,1,2}) as
+      sequences 1-3, each adding its own manifest;
+    - an equality delete (sequence 4) kills every key ≡ 0 (mod 5) — it
+      applies only to data with a STRICTLY SMALLER sequence;
+    - a fourth append (sequence 5) lands the mod-4=3 quarter AFTER the
+      delete, so its mod-5=0 rows must SURVIVE it;
+    - ``rewrite_iceberg_manifests`` then merges the four data manifests
+      into one. The merged entries carry their original sequence
+      numbers explicitly (an entry that re-inherited the rewrite's
+      sequence 6 would escape the delete and resurrect dead rows); the
+      delete manifest rides along verbatim.
+
+    The oracle is the final state derived relationally: the read after
+    the rewrite only hash-matches if per-entry sequence isolation
+    survived the manifest merge. tests/test_iceberg_tables.py asserts
+    the metadata-side halves on the same flow: manifest count 4 → 1,
+    zero data files moved, time travel to every pre-rewrite snapshot
+    intact, changelog contribution of the replace snapshot empty."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        delete_iceberg_equality,
+        read_iceberg,
+        rewrite_iceberg_manifests,
+        write_iceberg_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_ice_rwm_")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        for q in (0, 1, 2):
+            write_iceberg_commit(
+                cust.filter(F.col("c_custkey") % 4 == q),
+                path,
+                mode="append" if q else "overwrite",
+            )
+        keys = cust.filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
+        delete_iceberg_equality(spark, path, keys, ["c_custkey"])
+        write_iceberg_commit(
+            cust.filter(F.col("c_custkey") % 4 == 3), path, mode="append"
+        )
+        rewrite_iceberg_manifests(path)
+        return read_iceberg(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -2354,6 +2354,8 @@ def merge_delta(
     key: str,
     op_col: str | None = None,
     commit_timestamp: int | None = None,
+    not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int:
     """MERGE INTO on the jar-less Delta table; returns the committed
     version. Without ``op_col``: whole-row upsert by ``key`` (matched →
@@ -2363,6 +2365,18 @@ def merge_delta(
     THEN UPDATE / WHEN NOT MATCHED THEN INSERT``, the MERGE every CDC
     pipeline applies downstream.
 
+    ``not_matched_by_source="delete"`` adds the third MERGE leg
+    (``WHEN NOT MATCHED BY SOURCE [AND <condition>] THEN DELETE``,
+    delta-spark ≥ 2.3 syntax): target rows whose key is absent from the
+    source are deleted — the whole source, not just its upsert rows,
+    counts as "matched", so a CDC 'D' row both deletes its own key AND
+    shields it from the by-source leg, exactly like the reference
+    engines. With a ``condition`` (a SQL expression over target columns)
+    only the not-matched rows satisfying it are deleted; the rest are
+    kept untouched. This is the full-table-sync MERGE: source = desired
+    partition of the world, condition = the slice the source is
+    authoritative for.
+
     Physical strategy is copy-on-write like delta-spark's: the merged
     snapshot is two keyed anti-joins + a union (no row-by-row driver
     work), committed as an overwrite (removes + adds). At 100 TB
@@ -2371,6 +2385,11 @@ def merge_delta(
     not implemented here — documented limit of the offline writer."""
     from pyspark.sql import functions as F
 
+    if not_matched_by_source not in (None, "delete"):
+        raise ValueError(
+            "not_matched_by_source supports only 'delete', got "
+            f"{not_matched_by_source!r}"
+        )
     target = read_delta_log(spark, table)
     if op_col is not None:
         deletes = source.filter(F.col(op_col) == "D").select(key)
@@ -2381,6 +2400,24 @@ def merge_delta(
     kept = target.join(upserts.select(key), on=key, how="left_anti")
     if deletes is not None:
         kept = kept.join(deletes, on=key, how="left_anti")
+    if not_matched_by_source == "delete":
+        # rows not matched by ANY source key (upserts and CDC deletes
+        # alike) fall to the by-source leg; an optional condition keeps
+        # the non-qualifying ones
+        in_source = kept.join(
+            source.select(key).distinct(), on=key, how="left_semi"
+        )
+        survivors = in_source
+        if not_matched_by_source_condition is not None:
+            not_in_source = kept.join(
+                source.select(key).distinct(), on=key, how="left_anti"
+            )
+            survivors = in_source.unionByName(
+                not_in_source.filter(
+                    ~F.expr(not_matched_by_source_condition)
+                )
+            )
+        kept = survivors
     merged = upserts.select(*target.columns).unionByName(kept)
     # Materialize BEFORE the overwrite commit: the merged plan reads the
     # files the commit is about to tombstone.

@@ -2364,6 +2364,133 @@ def rewrite_iceberg_sorted(
     return write_iceberg_commit(clustered, table, mode="overwrite")
 
 
+def rewrite_iceberg_manifests(
+    table: str, timestamp_ms: int | None = None
+) -> int:
+    """``rewrite_manifests``: merge the current snapshot's data manifests
+    into ONE per partition spec — metadata compaction, zero data moved.
+    Returns the new snapshot id (or the current one unchanged when there
+    is nothing to merge).
+
+    Every append adds a manifest, so after K commits a scan opens K
+    manifest files before it can plan; at 100 TB with thousands of
+    commits the MANIFEST count, not the data, becomes the planning
+    bottleneck — this is the maintenance action (Iceberg's
+    ``rewrite_manifests`` procedure) that folds them back to O(specs)
+    files. Mechanics, per the v2 spec:
+
+    - live entries (status ADDED/EXISTING) are carried into the merged
+      manifest as EXISTING (status 0) with their sequence numbers made
+      EXPLICIT — an entry that inherited its manifest's sequence number
+      must not re-inherit the rewrite snapshot's, or every equality
+      delete older than the rewrite would stop applying to it
+      (the same inheritance rule cherry-pick publishing enforces);
+    - the original adding ``snapshot_id`` rides along untouched — the
+      merged manifest changes WHERE an entry is recorded, never its
+      history;
+    - delete manifests (content=1) are carried forward verbatim:
+      merging them with data manifests is illegal (a manifest has one
+      content kind), and their sequence ordering vs the data is what
+      makes merge-on-read correct;
+    - the new snapshot's operation is ``replace`` (content identical);
+      the changelog accordingly contributes ZERO rows for it, and time
+      travel to any older snapshot still resolves that snapshot's own
+      manifest list.
+    """
+    meta = _load_metadata(table)
+    _reject_nonmonotone_timestamp_ms(meta, timestamp_ms)
+    cur = meta.get("current-snapshot-id")
+    if cur is None:
+        raise ValueError(f"{table} has no current snapshot")
+    snap = _snapshot(meta, cur)
+    _s, manifests = read_container(snap["manifest-list"])
+    data_m = [m for m in manifests if m.get("content", 0) == 0]
+    other_m = [m for m in manifests if m.get("content", 0) != 0]
+    if len(data_m) <= 1:
+        return cur  # nothing to merge — Iceberg's no-op contract
+    meta_dir = _meta_dir(table)
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    from collections import defaultdict
+
+    groups: dict[int, list[dict]] = defaultdict(list)
+    for m in data_m:
+        groups[m.get("partition_spec_id", 0)].append(m)
+    new_manifests = []
+    for spec_id in sorted(groups):
+        live: list[dict] = []
+        total_rows = 0
+        min_seq: int | None = None
+        for m in groups[spec_id]:
+            mseq = m.get("sequence_number", 0)
+            _es, entries = read_container(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED: dropped by the rewrite
+                    continue
+                fseq = e.get("sequence_number") or mseq
+                live.append(
+                    {
+                        **e,
+                        "status": 0,  # EXISTING
+                        "sequence_number": fseq,
+                        "file_sequence_number": (
+                            e.get("file_sequence_number") or fseq
+                        ),
+                    }
+                )
+                total_rows += e["data_file"]["record_count"]
+                min_seq = fseq if min_seq is None else min(min_seq, fseq)
+        part_fields = _spec_part_fields(meta, _spec_by_id(meta, spec_id))
+        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        write_container(mpath, _manifest_entry_schema(part_fields), live)
+        new_manifests.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": (
+                    min_seq if min_seq is not None else seq
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(live),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": total_rows,
+                "deleted_rows_count": 0,
+            }
+        )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_container(mlist_path, _MANIFEST_FILE, new_manifests + other_m)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": cur,
+        "sequence-number": seq,
+        "timestamp-ms": int(timestamp_ms or 0),
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(len(data_m)),
+            "manifests-created": str(len(new_manifests)),
+        },
+        "schema-id": meta.get("current-schema-id", snap.get("schema-id", 0)),
+    }
+    new_meta = {
+        **meta,
+        "last-sequence-number": seq,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": meta["snapshots"] + [snapshot],
+        "snapshot-log": meta.get("snapshot-log", [])
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": int(timestamp_ms or 0)}],
+    }
+    _publish_metadata(table, new_meta)
+    return snapshot_id
+
+
 def _publish_metadata(table: str, new_meta: dict) -> int:
     """Publish ``new_meta`` as the next metadata version and flip the
     version hint — the Hadoop-catalog atomic commit tail shared by every

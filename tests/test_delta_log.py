@@ -1803,3 +1803,48 @@ def test_checkpoint_preserves_metadata_configuration(spark, table):
     got = read_delta_log(spark, table)
     assert got.columns == ["id", "val"]
     assert got.count() == 100 - 15 + 10
+
+
+def test_merge_not_matched_by_source_delete(spark, table):
+    """Unconditional WHEN NOT MATCHED BY SOURCE DELETE: the table must
+    converge to exactly the source's key set."""
+    write_delta_commit(_df(spark, 0, 10), table)
+    # source: keep/update ids 2-6, insert 20
+    src = spark.range(2, 7).selectExpr("id", "CAST(99 AS DOUBLE) AS v").union(
+        spark.range(20, 21).selectExpr("id", "CAST(1 AS DOUBLE) AS v")
+    )
+    merge_delta(spark, table, src, "id", not_matched_by_source="delete")
+    cur = {r.id: r.v for r in read_delta_log(spark, table).collect()}
+    assert set(cur) == {2, 3, 4, 5, 6, 20}
+    assert all(cur[i] == 99.0 for i in range(2, 7)) and cur[20] == 1.0
+    # time travel to v0 unaffected (every merge is a plain commit)
+    assert read_delta_log(spark, table, 0).count() == 10
+
+
+def test_merge_by_source_condition_and_cdc_interplay(spark, table):
+    """A CDC 'D' row counts as MATCHED (deletes its own key and shields
+    it from the by-source leg — no double-processing), and the by-source
+    condition limits deletion to the slice the source is authoritative
+    for (even ids here)."""
+    write_delta_commit(_df(spark, 0, 10), table)
+    feed = spark.createDataFrame(
+        [(0, None, "D"), (1, 50.0, "U")], "id long, v double, op string"
+    )
+    merge_delta(
+        spark, table, feed, "id", op_col="op",
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="id % 2 = 0",
+    )
+    cur = {r.id: r.v for r in read_delta_log(spark, table).collect()}
+    # 0 deleted by its D row; 2,4,6,8 deleted by the conditional
+    # by-source leg; odd ids survive untouched; 1 updated
+    assert set(cur) == {1, 3, 5, 7, 9}
+    assert cur[1] == 50.0
+    assert all(cur[i] == i * 2.0 for i in (3, 5, 7, 9))
+
+
+def test_merge_by_source_rejects_unknown_action(spark, table):
+    write_delta_commit(_df(spark, 0, 3), table)
+    src = _df(spark, 0, 1)
+    with pytest.raises(ValueError, match="not_matched_by_source"):
+        merge_delta(spark, table, src, "id", not_matched_by_source="update")

@@ -2081,3 +2081,81 @@ def test_expiry_vs_reader_race(spark, table):
     # final state intact: all 70 rows exactly once
     final = sorted(r.id for r in read_iceberg(spark, table).collect())
     assert final == list(range(70))
+
+
+def _manifest_list(table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        _load_metadata,
+        _snapshot,
+    )
+
+    meta = _load_metadata(table)
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    _s, manifests = read_container(snap["manifest-list"])
+    return meta, snap, manifests
+
+
+def test_rewrite_manifests_merges_without_moving_data(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        rewrite_iceberg_manifests,
+    )
+
+    sids = [
+        write_iceberg_commit(_df(spark, lo, lo + 20), table)
+        for lo in (0, 20, 40, 60)
+    ]
+    _m, _s, before = _manifest_list(table)
+    assert len(before) == 4  # one manifest per append
+    files_before = set()
+    for m in before:
+        _es, entries = read_container(m["manifest_path"])
+        files_before |= {e["data_file"]["file_path"] for e in entries}
+
+    rid = rewrite_iceberg_manifests(table)
+    meta, snap, after = _manifest_list(table)
+    assert meta["current-snapshot-id"] == rid
+    assert snap["summary"]["operation"] == "replace"
+    assert len(after) == 1  # merged to one data manifest (single spec)
+    assert after[0]["added_files_count"] == 0
+    assert after[0]["existing_files_count"] == len(files_before)
+    _es, entries = read_container(after[0]["manifest_path"])
+    # zero data movement: exactly the same files, now EXISTING entries
+    # with explicit sequence numbers
+    assert {e["data_file"]["file_path"] for e in entries} == files_before
+    assert all(e["status"] == 0 for e in entries)
+    assert all(e["sequence_number"] is not None for e in entries)
+    # content identical; time travel to every pre-rewrite snapshot intact
+    assert sorted(r.id for r in read_iceberg(spark, table).collect()) == list(
+        range(80)
+    )
+    for k, sid in enumerate(sids, start=1):
+        assert read_iceberg(spark, table, sid).count() == 20 * k
+
+
+def test_rewrite_manifests_is_noop_when_compact(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        rewrite_iceberg_manifests,
+    )
+
+    sid = write_iceberg_commit(_df(spark, 0, 10), table)
+    assert rewrite_iceberg_manifests(table) == sid  # 1 manifest: no-op
+    meta, _s, manifests = _manifest_list(table)
+    assert meta["current-snapshot-id"] == sid and len(manifests) == 1
+
+
+def test_rewrite_manifests_replace_contributes_no_changes(spark, table):
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        read_iceberg_changes,
+        rewrite_iceberg_manifests,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    s2 = write_iceberg_commit(_df(spark, 10, 20), table)
+    rid = rewrite_iceberg_manifests(table)
+    # the window covering both appends AND the rewrite shows exactly the
+    # appended rows — the replace snapshot adds zero changelog rows
+    post = read_iceberg_changes(spark, table, s1, rid)
+    assert post.count() == 10
+    assert post.filter("_change_type <> 'insert'").count() == 0
+    # the rewrite-only window is empty
+    assert read_iceberg_changes(spark, table, s2, rid).count() == 0
