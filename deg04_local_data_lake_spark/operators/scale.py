@@ -513,3 +513,60 @@ def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "parquet_agg_pushdown_stats",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       TRUE AS agg_pushed
+FROM lineitem
+""",
+)
+def parquet_agg_pushdown_stats(spark, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (Spark 3.3+ DSv2): a filterless
+    MIN/MAX/COUNT is answered from parquet FOOTER statistics — zero data
+    pages decoded. At 100 TB this turns "how many rows / what's the
+    value range of this table" from a full scan into an
+    O(row-groups) metadata read, the same class of win as partition
+    pruning; it is how table-stats collection and range-probe planning
+    stay cheap at fleet scale.
+
+    The v1 parquet reader cannot push aggregates, so the query flips the
+    scan to DSv2 (``spark.sql.sources.useV1SourceList=""``) plus
+    ``spark.sql.parquet.aggregatePushdown=true``, SCOPED: the plan is
+    forced eagerly (the 1-row aggregate is localCheckpointed) and both
+    confs are restored in ``finally`` — no cross-query leakage. The
+    result row carries ``agg_pushed``, read from the OPTIMIZED PLAN
+    itself (``PushedAggregation: [COUNT(*), MIN(...)...]``), so the
+    oracle comparison fails loudly if a future Spark/conf change
+    silently falls back to scanning — the same self-attesting-boolean
+    pattern as ``delta_log_partition_prune``."""
+    from deg04_local_data_lake_spark.plans.explain import formatted_plan
+
+    conf = spark.conf
+    prior_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    prior_agg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        agg = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("l_quantity").alias("min_qty"),
+                F.max("l_quantity").alias("max_qty"),
+                F.min("l_extendedprice").alias("min_price"),
+                F.max("l_extendedprice").alias("max_price"),
+            )
+        )
+        pushed = "PushedAggregation: [COUNT(*)" in formatted_plan(agg)
+        return (
+            agg.withColumn("agg_pushed", F.lit(pushed))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", prior_v1)
+        conf.set("spark.sql.parquet.aggregatePushdown", prior_agg)
