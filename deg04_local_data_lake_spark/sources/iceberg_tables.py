@@ -518,7 +518,12 @@ def _try_publish_metadata_version(table: str, version: int, meta: dict) -> bool:
     meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
     tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
+        # the in-memory CAS basis marker is not part of the spec'd file
+        json.dump(
+            {k: v for k, v in meta.items() if k != "__base-version"},
+            f,
+            indent=1,
+        )
     try:
         os.link(tmp, meta_path)
     except FileExistsError:
@@ -536,7 +541,16 @@ def _load_metadata(table: str, version: int | None = None) -> dict:
     if version is None:
         version = _current_version(table)
     with open(os.path.join(_meta_dir(table), f"v{version}.metadata.json")) as f:
-        return json.load(f)
+        meta = json.load(f)
+    # Compare-and-swap basis: record WHICH version this dict came from.
+    # Every metadata-only operation derives its new_meta from a loaded
+    # dict, so the marker rides the dict-spread into _publish_metadata,
+    # which publishes exactly base+1 — a commit that landed between the
+    # load and the publish makes the claim fail LOUDLY instead of being
+    # silently erased by a next-free-version write (lost update). The
+    # marker never reaches disk (_try_publish_metadata_version strips it).
+    meta["__base-version"] = version
+    return meta
 
 
 def _default_spec(meta: dict) -> dict:
@@ -790,7 +804,10 @@ def write_iceberg_commit(
         return meta_prev.get("current-snapshot-id")
 
     parent_id = _parent_id(prev)
-    version = (_current_version(table) + 1) if exists else 1
+    # CAS basis: claim exactly the version AFTER the one this commit's
+    # state was resolved against (not whatever is current at publish
+    # time — see _publish_metadata's lost-update note)
+    version = (prev["__base-version"] + 1) if exists else 1
     seq = (prev["last-sequence-number"] + 1) if prev else 1
     snapshot_id = seq  # deterministic ids: sequence number doubles as id
 
@@ -1109,7 +1126,7 @@ def write_iceberg_commit(
         # must fail this commit's stale timestamp_ms loudly, not let it
         # land and be silently monotonized forward on read
         _reject_nonmonotone_timestamp_ms(prev, timestamp_ms)
-        version = _current_version(table) + 1
+        version = prev["__base-version"] + 1  # CAS basis: the reloaded head
         seq = prev["last-sequence-number"] + 1
         snapshot_id = seq
 
@@ -1361,7 +1378,7 @@ def evolve_iceberg_partition_spec(
     new_meta["last-partition-id"] = max(
         meta.get("last-partition-id", 999), last_part_id
     )
-    version = _current_version(table) + 1
+    version = meta["__base-version"] + 1  # CAS basis, not publish-time head
     if not _try_publish_metadata_version(table, version, new_meta):
         raise CommitFailedError(
             f"spec evolution on {table}: a concurrent commit landed; "
@@ -1663,7 +1680,7 @@ def _publish_delete_snapshot(
     write_container(mlist_path, _MANIFEST_FILE, manifests)
 
     _reject_nonmonotone_timestamp_ms(meta, timestamp_ms)
-    version = _current_version(table) + 1
+    version = meta["__base-version"] + 1  # CAS basis, not publish-time head
     snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": cur_id,  # spec lineage (changelog adjacency)
@@ -2494,8 +2511,24 @@ def rewrite_iceberg_manifests(
 def _publish_metadata(table: str, new_meta: dict) -> int:
     """Publish ``new_meta`` as the next metadata version and flip the
     version hint — the Hadoop-catalog atomic commit tail shared by every
-    metadata-only operation (refs, expiry). Returns the new version."""
-    version = _current_version(table) + 1
+    metadata-only operation (refs, expiry). Returns the new version.
+
+    COMPARE-AND-SWAP, not next-free-version: the claimed version is
+    loaded-base + 1 (the ``__base-version`` marker ``_load_metadata``
+    stamped on the dict this update was derived from). Claiming
+    ``_current_version() + 1`` at publish time instead would let an
+    update derived from STALE metadata land on top of a commit that
+    raced in between — the PUT-IF-ABSENT would succeed on the next free
+    number while the new_meta body silently omits the racer's snapshot
+    (lost update). With the CAS basis, that interleaving fails loudly
+    and the caller re-applies against fresh metadata."""
+    base = new_meta.get("__base-version")
+    if base is None:
+        raise ValueError(
+            "metadata dict lacks the __base-version CAS marker; "
+            "derive updates from _load_metadata output"
+        )
+    version = base + 1
     if not _try_publish_metadata_version(table, version, new_meta):
         raise CommitFailedError(
             f"metadata update on {table}: a concurrent commit landed; "

@@ -2159,3 +2159,95 @@ def test_rewrite_manifests_replace_contributes_no_changes(spark, table):
     assert post.filter("_change_type <> 'insert'").count() == 0
     # the rewrite-only window is empty
     assert read_iceberg_changes(spark, table, s2, rid).count() == 0
+
+
+def test_metadata_publish_is_cas_not_next_free_version(spark, table):
+    """Lost-update regression: a metadata update derived from STALE
+    metadata must fail loudly when a commit raced in between — never
+    land on the next free version number with the racer's snapshot
+    silently missing from its body."""
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        CommitFailedError,
+        _load_metadata,
+        _publish_metadata,
+    )
+
+    s1 = write_iceberg_commit(_df(spark, 0, 10), table)
+    stale = dict(_load_metadata(table))  # basis: version after s1
+    stale["refs"] = {
+        **stale.get("refs", {}),
+        "pin": {"snapshot-id": s1, "type": "tag"},
+    }
+    s2 = write_iceberg_commit(_df(spark, 10, 20), table)  # racer lands
+    with pytest.raises(CommitFailedError):
+        _publish_metadata(table, stale)
+    # the racer's commit survived untouched
+    meta = _load_metadata(table)
+    assert meta["current-snapshot-id"] == s2
+    assert read_iceberg(spark, table).count() == 20
+    assert "pin" not in meta.get("refs", {})
+    # re-applied against FRESH metadata, the same change lands
+    fresh = dict(_load_metadata(table))
+    fresh["refs"] = {
+        **fresh.get("refs", {}),
+        "pin": {"snapshot-id": s1, "type": "tag"},
+    }
+    _publish_metadata(table, fresh)
+    meta2 = _load_metadata(table)
+    assert meta2["refs"]["pin"]["snapshot-id"] == s1
+    assert meta2["current-snapshot-id"] == s2  # racer still intact
+
+
+def test_metadata_cas_marker_never_reaches_disk(spark, table):
+    write_iceberg_commit(_df(spark, 0, 5), table)
+    meta_dir = os.path.join(table, "metadata")
+    for name in os.listdir(meta_dir):
+        if name.endswith(".metadata.json"):
+            with open(os.path.join(meta_dir, name)) as f:
+                assert "__base-version" not in json.load(f), name
+
+
+def test_live_race_appends_vs_metadata_ops_lose_nothing(spark, table):
+    """Live interleaving: appenders and tag-creators race; appenders
+    rebase automatically, tag-creators retry on CommitFailedError.
+    Invariant: NO appended row and NO tag is ever lost — the failure
+    mode the CAS basis exists to prevent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from deg04_local_data_lake_spark.sources.iceberg_tables import (
+        CommitFailedError,
+        _load_metadata,
+        _publish_metadata,
+    )
+
+    s0 = write_iceberg_commit(_df(spark, 0, 10), table)
+
+    def append(k):
+        return write_iceberg_commit(
+            _df(spark, 10 + 10 * k, 20 + 10 * k), table, mode="append"
+        )
+
+    def tag(name):
+        for _ in range(50):
+            try:
+                fresh = dict(_load_metadata(table))
+                fresh["refs"] = {
+                    **fresh.get("refs", {}),
+                    name: {"snapshot-id": s0, "type": "tag"},
+                }
+                _publish_metadata(table, fresh)
+                return True
+            except CommitFailedError:
+                continue
+        return False
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        appends = [ex.submit(append, k) for k in range(4)]
+        tags = [ex.submit(tag, f"t{j}") for j in range(4)]
+        assert all(f.result() for f in tags)
+        [f.result() for f in appends]
+
+    got = sorted(r.id for r in read_iceberg(spark, table).collect())
+    assert got == list(range(50))  # every append's rows present
+    refs = _load_metadata(table).get("refs", {})
+    assert {f"t{j}" for j in range(4)} <= set(refs)
