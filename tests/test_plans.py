@@ -150,6 +150,7 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
 _BNLJ_ALLOWED = {
     "anomalous_daily_revenue",   # 1-row (mean, std) broadcast
     "pagerank_step",             # 1-row node-count broadcast
+    "pagerank_iterated",         # the same 1-row node-count broadcast x5
     "q11_value_concentration",   # 1-row global-threshold broadcast
     "rfm_segments",              # 1-row anchor-date broadcast
     "q22_idle_balances",         # 1-row average-balance broadcast
