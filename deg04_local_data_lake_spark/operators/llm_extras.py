@@ -1262,3 +1262,105 @@ def embedding_kmeans_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+@register(
+    "lm_trigram_familiarity",
+    oracle="""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+tris AS (
+  SELECT doc_id, substr(text, i, 3) AS tri, substr(text, i, 2) AS bi
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) u
+),
+tc AS (SELECT tri, COUNT(*) AS tc FROM tris GROUP BY 1),
+bc AS (SELECT bi, COUNT(*) AS bc FROM tris GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT substr(text, i, 1)) AS v
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) u
+),
+scored AS (
+  SELECT t.doc_id,
+         (1000000000000 * (tc.tc + 1)) // (bc.bc + v.v) AS q
+  FROM tris t JOIN tc USING (tri) JOIN bc USING (bi) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(q) AS BIGINT) AS fam_q,
+       CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e12)
+         AS familiarity
+FROM scored GROUP BY doc_id
+""",
+)
+def lm_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model scoring — the perplexity-filter
+    stage of CCNet/Gopher-style curation (score each document by how
+    well an n-gram LM trained ON THE CORPUS predicts it; outliers are
+    boilerplate, wrong-language, or garbled text), reformulated log-free
+    so the distributed fold is bitwise deterministic:
+
+    - the LM is add-one-smoothed P(c3|c1c2) = (tc+1)/(bc+V), all exact
+      integer counts (tc = trigram count, bc = trigram-CONTEXT count —
+      the same explode feeds both — V = corpus character vocabulary);
+    - a log-probability sum would make the result depend on float
+      addition ORDER (and on each engine's libm: log is not required to
+      be correctly rounded, unlike +,*,/,sqrt) — so each trigram's
+      probability is quantized to ``(1e12·(tc+1)) div (bc+V)`` (exact
+      integer division) and the per-doc fold is an exact BIGINT SUM;
+    - ``familiarity`` = the average smoothed trigram probability — one
+      identically-shaped double expression over exact integers at the
+      very end. Low familiarity plays the same filtering role as high
+      perplexity (both rank by how unexpected the doc's trigrams are),
+      without a transcendental anywhere.
+
+    Plan: one explode feeds the tc/bc aggregates and the scoring join;
+    both count tables are CHARSET-bounded (≤ |Σ|³ rows however large
+    the corpus) so they broadcast, V rides a 1-row broadcast, and the
+    only data-scale shuffle is the per-doc SUM — the same
+    train-broadcast/score-local split a real KenLM-scoring stage uses
+    at 100 TB."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "text")
+    )
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> struct(substring(text, i, 3) AS tri,"
+                "             substring(text, i, 2) AS bi))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.tri", "t.bi")
+    from deg04_local_data_lake_spark.caching import persist_tracked
+
+    tris = persist_tracked(tris)  # feeds tc, bc, and the scoring join
+    tc = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("tc"))
+    bc = tris.groupBy("bi").agg(F.count(F.lit(1)).alias("bc"))
+    v = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+            )
+        ).alias("c")
+    ).agg(F.countDistinct("c").alias("v"))
+    scored = (
+        tris.join(F.broadcast(tc), "tri")
+        .join(F.broadcast(bc), "bi")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr("(1000000000000 * (tc + 1)) div (bc + v)").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.sum("q").cast("bigint").alias("fam_q"),
+        (
+            F.sum("q").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
+        ).alias("familiarity"),
+    )

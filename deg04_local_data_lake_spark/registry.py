@@ -87,12 +87,12 @@ def load_all() -> None:
 #: of module import order.  The driver samples the first 50 registered
 #: queries each round; since round 7 every registered query has at least
 #: one green driver row, so the window RE-ATTESTS the stalest rows.
-#: Round 9 = (a) everything NEW this round (9 queries), (b) all 17
+#: Round 9 = (a) everything NEW this round (10 queries), (b) all 17
 #: remaining round-2 rows (the TPC-H q-series + pareto/range-join/
 #: rollup/HHI/triangle stragglers named by VERDICT r8 task #1), (c) as
 #: many round-3 rows as fit the 50-sample window, preferring streaming,
 #: similarity/embedding, sketch, and multimodal families (the deepest
-#: custom-operator stacks; the list below holds 57 names, so its last 7
+#: custom-operator stacks; the list below holds 58 names, so its last 8
 #: spill past the driver's 50-query sample into round 10).  Left for
 #: the round-10 window: those spilled rows plus the 16 remaining
 #: round-3 rows (relational/IO
@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "delta_log_merge_full_sync",
     "iceberg_rewrite_manifests",
     "parquet_agg_pushdown_stats",
+    "lm_trigram_familiarity",
     # --- last driver-attested in round 2: TPC-H q-series + stragglers ---
     "q3_shipping_priority",
     "q4_late_shipment_priority",

@@ -166,6 +166,7 @@ _BNLJ_ALLOWED = {
     "weekday_seasonality",       # 1-row overall-mean broadcast
     "basket_affinity_lift",      # 1-row basket-count broadcast
     "langid_confusion",          # 1-row total-docs broadcast
+    "lm_trigram_familiarity",    # 1-row char-vocabulary broadcast
     "dedup_lsh_recall",          # two 1-row audit aggregates combined
     "hll_portable_merge",        # 1-row exact-count broadcast beside the sketch
     "chi2_dow_event_mix",        # 1-row ordered-fold total broadcast
