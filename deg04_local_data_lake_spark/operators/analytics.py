@@ -795,10 +795,49 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-basket line cap for EVERY co-purchase pair build (pagerank,
+#: triangles, degree histogram, itemset pairs, affinity lift). A basket
+#: with n lines contributes O(n²) pairs INTO ONE JOIN GROUP — bounded
+#: baskets are what keep these plans linear, and real baskets are
+#: bounded (TPC-H ≤ 7, our testdata ≤ 17 even under the adversarial
+#: skew derivation), but one pathological 10k-line wholesale order
+#: would put 10⁸ pairs in a single task. Baskets above the cap are
+#: EXCLUDED from pair building — the MinHash MEGA_BUCKET_CAP rationale
+#: (a mega-basket's co-occurrences are noise for affinity/graph
+#: signals, like stopwords for tokens) — and, unlike the LSH cap, this
+#: guard is plain SQL, so every oracle applies the IDENTICAL rule and
+#: parity holds with no documented divergence.
+CO_PURCHASE_ORDER_CAP = 64
+
+#: The oracle-side twin of ``_cap_baskets`` — splice ``{LI}`` with the
+#: site's lineitem projection.
+_BOUNDED_LI_SQL = (
+    "SELECT l_orderkey, l_partkey FROM ("
+    "SELECT l_orderkey, l_partkey,"
+    " COUNT(*) OVER (PARTITION BY l_orderkey) AS __basket_n FROM ({LI})"
+    ") WHERE __basket_n <= 64"
+)
+
+
+def _cap_baskets(li: DataFrame) -> DataFrame:
+    """Drop baskets with more than ``CO_PURCHASE_ORDER_CAP`` rows before
+    a per-basket pair build. One window count keyed on the SAME column
+    the pair join shuffles on, so the exchange is shared (ReusedExchange
+    / AQE) — the guard costs no extra data-scale shuffle."""
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    return (
+        li.withColumn("__basket_n", n)
+        .filter(F.col("__basket_n") <= CO_PURCHASE_ORDER_CAP)
+        .drop("__basket_n")
+    )
+
+
 @register(
     "pagerank_step",
-    oracle="""
-WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH li AS ({_BOUNDED_LI_SQL.format(LI="SELECT l_orderkey, l_partkey FROM lineitem")}),
 edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b
@@ -845,7 +884,9 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from deg04_local_data_lake_spark.caching import persist_tracked
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _cap_baskets(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     edges = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -926,9 +967,11 @@ def _co_purchase_oriented(
         # between queries (the query-scoped tier) made each rebuild the
         # ~8 s orderkey self-join in the wide bench
         on_release_fixtures(_drop_tri_cache)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = _cap_baskets(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     edges = persist_fixture(
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -988,8 +1031,8 @@ def _co_purchase_oriented(
 
 @register(
     "triangle_count",
-    oracle="""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH li AS ({_BOUNDED_LI_SQL.format(LI="SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")}),
 edges AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
@@ -1124,8 +1167,8 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_degree_histogram",
-    oracle="""
-WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH li AS ({_BOUNDED_LI_SQL.format(LI="SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")}),
 edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b
@@ -1158,8 +1201,8 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "frequent_itemset_pairs",
-    oracle="""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH li AS ({_BOUNDED_LI_SQL.format(LI="SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")}),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          CAST(count(*) AS BIGINT) AS support
@@ -1188,7 +1231,7 @@ def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — a per-partition heap + driver merge of 20-row
     sets, never a global sort (the pair space is NOT a reduced frame at
     100 TB, so a row_number window here would be a scale bug)."""
-    li = (
+    li = _cap_baskets(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -1209,8 +1252,8 @@ def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "basket_affinity_lift",
-    oracle="""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH li AS ({_BOUNDED_LI_SQL.format(LI="SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")}),
 n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
 item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n FROM li GROUP BY 1),
 pairs AS (
@@ -1247,7 +1290,7 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-limit."""
     from pyspark.sql import Window
 
-    li = (
+    li = _cap_baskets(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -1349,8 +1392,8 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "local_clustering_topk",
-    oracle="""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH li AS ({_BOUNDED_LI_SQL.format(LI="SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")}),
 edges AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b USING (l_orderkey)
@@ -1429,9 +1472,12 @@ def _pagerank_iter_oracle(iters: int) -> str:
     Spark loop applies (see pagerank_iterated's docstring for why the
     quantization makes the comparison bitwise instead of float-fuzzy)."""
     ctes = [
+        "li AS ("
+        + _BOUNDED_LI_SQL.format(LI="SELECT l_orderkey, l_partkey FROM lineitem")
+        + ")",
         """edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 )""",
         "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
@@ -1501,7 +1547,9 @@ def pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V| rows, which the parity check implicitly attests five times."""
     from deg04_local_data_lake_spark.caching import persist_tracked
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _cap_baskets(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     edges = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")

@@ -240,3 +240,41 @@ def test_bloom_decontamination_no_false_negatives(spark, smoke_dir):
     assert not [r for r in rows if r["exact_hit"] and not r["bloom_hit"]]
     for r in rows:
         assert r["false_positive"] == (r["bloom_hit"] and not r["exact_hit"])
+
+
+def test_co_purchase_cap_bounds_mega_basket(spark):
+    """Adversarial mega-basket: one 2000-line order would put ~2M pairs
+    into a single join group of every co-purchase build (pagerank,
+    triangles, itemset pairs). The basket cap must exclude it while
+    leaving normal baskets untouched — and since the cap is plain SQL,
+    every oracle applies the identical rule (no divergence trade)."""
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark.operators.analytics import (
+        CO_PURCHASE_ORDER_CAP,
+        _cap_baskets,
+    )
+
+    normal = spark.range(50).selectExpr(
+        "id AS l_orderkey",
+        "explode(sequence(1, 5)) AS line",
+    ).selectExpr("l_orderkey", "l_orderkey * 10 + line AS l_partkey")
+    mega = spark.range(1).selectExpr(
+        "9999 AS l_orderkey", "explode(sequence(1, 2000)) AS l_partkey"
+    )
+    li = _cap_baskets(normal.unionByName(mega))
+    assert li.filter(F.col("l_orderkey") == 9999).count() == 0
+    assert li.count() == 250  # normal baskets untouched
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .count()
+    )
+    assert pairs == 50 * 10  # C(5,2) per basket; ~2M mega pairs gone
+    # boundary: a basket exactly at the cap survives
+    at_cap = spark.range(1).selectExpr(
+        "1 AS l_orderkey",
+        f"explode(sequence(1, {CO_PURCHASE_ORDER_CAP})) AS l_partkey",
+    )
+    assert _cap_baskets(at_cap).count() == CO_PURCHASE_ORDER_CAP
