@@ -278,3 +278,53 @@ def test_co_purchase_cap_bounds_mega_basket(spark):
         f"explode(sequence(1, {CO_PURCHASE_ORDER_CAP})) AS l_partkey",
     )
     assert _cap_baskets(at_cap).count() == CO_PURCHASE_ORDER_CAP
+
+
+def test_co_purchase_parity_holds_with_mega_basket_present(spark, tmp_path):
+    """End-to-end cap attestation on data that actually CONTAINS a
+    mega-basket: a 1500-line order is injected into a copy of the
+    testdata, and the graph queries must still hash-match their DuckDB
+    twins — both engines apply the identical SQL cap, so the pair
+    explosion never happens on either side and the mega-order's parts
+    simply vanish from the co-purchase signal."""
+    import glob
+    import shutil
+
+    import duckdb
+
+    from deg04_local_data_lake_spark import oracle
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "mega_sf"
+    dst.mkdir()
+    for f in glob.glob(f"{src}/*.parquet"):
+        if not f.endswith("lineitem.parquet"):
+            shutil.copy(f, dst)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/lineitem.parquet')
+          UNION ALL
+          SELECT 999999990 AS l_orderkey,
+                 1000000 + i AS l_partkey,
+                 1 AS l_suppkey, CAST(i AS INT) AS l_linenumber,
+                 1.0 AS l_quantity, 1.0 AS l_extendedprice,
+                 0.0 AS l_discount, 0.0 AS l_tax,
+                 'N' AS l_returnflag, 'O' AS l_linestatus,
+                 TIMESTAMP '2024-01-01 00:00:00' AS l_shipdate
+          FROM (SELECT unnest(generate_series(1, 1500)) AS i)
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for name in ("pagerank_step", "frequent_itemset_pairs"):
+        ok, msg = oracle.check_query(spark, str(dst), name)
+        assert ok, f"{name} with mega-basket: {msg}"
+    # and the mega parts are really excluded from the graph
+    from pyspark.sql import functions as F
+
+    from deg04_local_data_lake_spark import registry
+
+    pr = registry.queries()["pagerank_step"](spark, str(dst))
+    assert pr.filter(F.col("partkey") >= 1000000).count() == 0
