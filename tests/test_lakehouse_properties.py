@@ -320,3 +320,68 @@ def test_changelog_matches_model_under_branched_ops(
             ice.read_iceberg_changes(
                 spark, table, branch_chain[-1], main_lineage[-1]
             )
+
+
+# --------------------------------- rewrite_manifests model (round 9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "eqdelete", "rewrite"]),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_rewrite_manifests_matches_model_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    """rewrite_manifests interleaved with appends and equality deletes
+    must be INVISIBLE to content at every point: reads match a plain
+    dict model, a delete after a rewrite still kills the (rewritten)
+    older entries, an append after a delete re-adds (higher sequence),
+    and time travel to every recorded snapshot — including across
+    rewrites — replays its recorded state."""
+    table = str(tmp_path_factory.mktemp("icerw") / "tbl")
+    sid = ice.write_iceberg_commit(_to_df(spark, {0: 0.0}), table)
+    model: dict[int, float] = {0: 0.0}
+    history = [(sid, dict(model))]
+    for op, seed in ops:
+        if op == "append":
+            batch = {
+                k: v
+                for k, v in _rows(seed, lo=10 * (seed + 1)).items()
+                if k not in model
+            }
+            if not batch:
+                continue
+            sid = ice.write_iceberg_commit(
+                _to_df(spark, batch), table, mode="append"
+            )
+            model.update(batch)
+        elif op == "eqdelete":
+            keys = sorted(model)[:: max(1, seed + 1)][:3]
+            if not keys:
+                continue
+            keys_df = spark.createDataFrame([(k,) for k in keys], "id long")
+            sid = ice.delete_iceberg_equality(spark, table, keys_df, ["id"])
+            for k in keys:
+                model.pop(k, None)
+        else:
+            new_sid = ice.rewrite_iceberg_manifests(table)
+            if new_sid == sid:
+                continue  # already compact: documented no-op
+            sid = new_sid  # metadata-only: model unchanged
+        history.append((sid, dict(model)))
+        got = {r.id: r.v for r in ice.read_iceberg(spark, table).collect()}
+        assert got == model, f"after {op}({seed})"
+    for s, state in history:
+        got = {r.id: r.v for r in ice.read_iceberg(spark, table, s).collect()}
+        assert got == state, f"snapshot {s} diverged"
