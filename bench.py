@@ -5,11 +5,26 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "spread": {name: [min, max], ...},
+   "calibration": [t_start, t_mid, t_end], "loadavg": [...],
    "sf": <sf>}
 
 Each query is executed twice: a warm-up collect (JIT + parquet footer
 cache) is NOT counted; the timed run is the steady-state number. Total
 ``value`` is the sum of per-query timed seconds.
+
+Self-calibration (round 10): the same fixed probe query
+(``q1_pricing_summary``) is re-timed at run START, MIDDLE, and END and
+recorded as ``calibration`` alongside an ``os.getloadavg()`` snapshot at
+each probe. On a healthy machine identical code only gets FASTER as the
+JVM warms (measured clean profile: monotone-decreasing probes), so
+``scripts/bench_compare.py`` refuses (exit 2) to compare when any later
+probe RISES >30% above an earlier one (contention ramping mid-run), or
+when the two runs' probe MEDIANS differ >30% (different machine health —
+catches the uniformly-contended run the within-run check cannot). This
+closes the round-9 failure mode where a contended driver container
+recorded 16.989 s for code that measures 9.4 s clean, and nothing in
+the file revealed it: r9's contention ramped up mid-run while the
+first-in-run queries stayed flat — exactly the mid-vs-end signature.
 """
 
 from __future__ import annotations
@@ -43,6 +58,39 @@ HEADLINE = [
 ]
 
 
+#: Fixed calibration probe — re-timed at run start/middle/end. Chosen
+#: because it is the cheapest headline query with a stable plan (single
+#: scan + hash agg), so its wall-clock tracks container health, not code.
+CALIBRATION_PROBE = "q1_pricing_summary"
+
+
+def _probe(fn, spark: object, sf_dir: str) -> tuple[float, list[float]]:
+    """Self-stabilizing probe timing + loadavg snapshot.
+
+    Runs the probe until its last three timings agree within 20%
+    (max 11 runs), then reports their median. The JVM keeps JITting for
+    several runs after session start, so a fixed warm-up count makes the
+    START probe read slow on a perfectly clean run (measured: q1 decays
+    0.70→0.41 s over 7 runs at sf0.01) — which would self-flag clean
+    recordings as contaminated. Stabilize-then-measure bounds the JIT
+    transient at any scale factor; genuine contention keeps shifting the
+    window and is what the between-probe drift check catches."""
+    runs: list[float] = []
+    for _ in range(11):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+        if len(runs) >= 3:
+            tail = runs[-3:]
+            if max(tail) / min(tail) - 1.0 <= 0.20:
+                break
+    try:
+        load = [round(v, 2) for v in os.getloadavg()]
+    except OSError:  # pragma: no cover - getloadavg always works on linux
+        load = []
+    return round(sorted(runs[-3:])[1], 3), load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,7 +107,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name in names:
+    probe_fn = qs[CALIBRATION_PROBE]
+    calibration: list[float] = []
+    loadavgs: list[list[float]] = []
+    t, load = _probe(probe_fn, spark, sf_dir)
+    calibration.append(t)
+    loadavgs.append(load)
+    for i, name in enumerate(names):
+        if i == len(names) // 2:  # middle probe
+            t, load = _probe(probe_fn, spark, sf_dir)
+            calibration.append(t)
+            loadavgs.append(load)
         fn = qs[name]
         # two warm-ups (JIT + parquet footer cache; the first run of a
         # query also pays codegen compilation the steady state doesn't),
@@ -77,6 +135,10 @@ def main() -> None:
         timings[name] = round(sorted(runs)[2], 3)  # median of 5
         spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         release_caches()  # tracked persists must not leak into other queries
+
+    t, load = _probe(probe_fn, spark, sf_dir)  # end probe
+    calibration.append(t)
+    loadavgs.append(load)
 
     out = {
         "metric": "headline query wall-clock (warm, noop sink)",
@@ -99,6 +161,14 @@ def main() -> None:
         # comparable. Never change the estimator and the recording in
         # the same round.
         "estimator": "w2-med5-v2",
+        # Self-calibration: the SAME probe (q1) timed at run start,
+        # middle, and end. Identical code ⇒ identical probe time; a
+        # >30% drift across the three points means the container was
+        # contended DURING the run and the whole recording is suspect.
+        # scripts/bench_compare.py enforces this mechanically (exit 2).
+        "calibration": calibration,
+        "calibration_probe": CALIBRATION_PROBE,
+        "loadavg": loadavgs,
     }
     print(json.dumps(out))
     spark.stop()

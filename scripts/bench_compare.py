@@ -14,12 +14,65 @@ Exit code 0 = no regression signals; 1 = at least one query regressed
 beyond the spread envelope (listed on stdout). Recordings made before
 the spread field (r1-r8) fall back to a ±10% band around the median,
 flagged as "approx" in the output.
+
+Exit code 2 = CONTAMINATED RECORDING — refused, no comparison made.
+Round-10 rule: recordings carry a ``calibration`` field (the fixed
+probe query re-timed at run start/middle/end). Identical code must
+yield near-identical probe times, so
+  (a) a later probe RISING >30% above an earlier one ⇒ the container
+      got contended during the run — identical code on a healthy JVM
+      only gets faster — so its per-query numbers are biased and tight
+      spreads cannot rescue them (the round-9 failure mode: 16.989 s
+      recorded for 9.4 s code, spreads tight, bias ramping mid-run);
+  (b) >30% drift BETWEEN the two recordings' probe medians ⇒ the two
+      runs saw different machine health — a cross-run delta measures
+      the environment, not the code.
+Either condition prints "contaminated recording" and exits 2 instead
+of emitting regression signals. Pre-calibration recordings (r1-r9)
+skip the check that needs the missing side, with a warning.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+#: Max tolerated probe drift (max/min − 1) within and across recordings.
+CALIBRATION_TOLERANCE = 0.30
+
+
+def calibration_drift(rec: dict) -> float | None:
+    """Within-run drift ratio (max/min - 1), or None if no calibration.
+
+    DIRECTION-AWARE: the largest INCREASE from any earlier probe to any
+    later one. On a clean run the JVM only gets faster (JIT keeps
+    warming shared paths — measured clean profile at sf0.1:
+    [1.12, 0.84, 0.68], monotone decreasing), so decay is expected and
+    scores 0; contention ramping up mid-run — BENCH_r09's signature,
+    where first-in-run queries stayed flat and everything after slowed
+    50-150% — makes a later probe RISE above an earlier one, which
+    identical code on a healthy machine cannot do. A uniformly-contended
+    run (flat probes, all slow) is caught by the CROSS-run check
+    instead, whose median is robust to the one cold start probe."""
+    cal = rec.get("calibration")
+    if not cal or min(cal) <= 0:
+        return None
+    worst = 0.0
+    for i in range(len(cal)):
+        for j in range(i + 1, len(cal)):
+            worst = max(worst, cal[j] / cal[i] - 1.0)
+    return worst
+
+
+def cross_run_drift(old: dict, new: dict) -> float | None:
+    """Drift between the two recordings' median probe times."""
+    a, b = old.get("calibration"), new.get("calibration")
+    if not a or not b:
+        return None
+    ma, mb = sorted(a)[len(a) // 2], sorted(b)[len(b) // 2]
+    if min(ma, mb) <= 0:
+        return None
+    return max(ma, mb) / min(ma, mb) - 1.0
 
 
 def envelope(rec: dict, name: str) -> tuple[float, float, bool]:
@@ -49,6 +102,31 @@ def main() -> int:
             f"WARNING: estimators differ ({old.get('estimator')} vs "
             f"{new.get('estimator')}) — totals are not comparable"
         )
+    # calibration gate: refuse contaminated recordings outright
+    for label, rec in (("old", old), ("new", new)):
+        drift = calibration_drift(rec)
+        if drift is None:
+            print(
+                f"WARNING: {label} recording has no calibration probes "
+                "(pre-r10) — within-run contamination cannot be checked"
+            )
+        elif drift > CALIBRATION_TOLERANCE:
+            print(
+                f"contaminated recording: {label} probe drifted "
+                f"{drift:.0%} within the run (calibration="
+                f"{rec['calibration']}, loadavg={rec.get('loadavg')}) — "
+                "refusing comparison"
+            )
+            return 2
+    xdrift = cross_run_drift(old, new)
+    if xdrift is not None and xdrift > CALIBRATION_TOLERANCE:
+        print(
+            f"contaminated recording: probe medians differ {xdrift:.0%} "
+            f"between runs ({old.get('calibration')} vs "
+            f"{new.get('calibration')}) — the runs saw different machine "
+            "health; refusing comparison"
+        )
+        return 2
     regressions, improvements = [], []
     for name, med in new["queries"].items():
         if name not in old.get("queries", {}):

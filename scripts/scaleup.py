@@ -168,13 +168,17 @@ def _apply_skew(t: str, df, factor: int, base: dict):
     return df
 
 
-def derive(src: str, out: str, factor: int, skew: bool = False) -> None:
+def derive(
+    src: str, out: str, factor: int, skew: bool = False, spark=None
+) -> None:
     from pyspark.sql import functions as F
 
     from deg04_local_data_lake_spark.session import get_spark_session
 
-    spark = get_spark_session(app_name="deg04-scaleup-derive")
-    spark.sparkContext.setLogLevel("ERROR")
+    own_session = spark is None
+    if own_session:
+        spark = get_spark_session(app_name="deg04-scaleup-derive")
+        spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
 
     # one pass to size every id domain
@@ -235,7 +239,13 @@ def derive(src: str, out: str, factor: int, skew: bool = False) -> None:
             os.path.join(out, f"{t}.parquet")
         )
         print(f"{t}: x{factor} -> {union.count()} rows")
-    spark.stop()
+    # completion marker: a crash mid-derive leaves a partial directory
+    # that must not be mistaken for a usable dataset (tests/
+    # test_scale_parity.py's auto-derive fixture keys off this file)
+    with open(os.path.join(out, "_DERIVED_OK"), "w") as f:
+        f.write(f"src={src} factor={factor} skew={skew}\n")
+    if own_session:
+        spark.stop()
 
 
 # ------------------------------------------------------------ skewbench

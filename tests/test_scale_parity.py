@@ -1,7 +1,15 @@
 """Correctness at scale (round 8): the driver's oracle comparison,
 re-run against the scale-up study's derived sf1 dataset (10× sf0.1,
-join-consistent key offsets — see scripts/scaleup.py). Skips unless the
-derived dataset exists: `python scripts/scaleup.py derive` builds it.
+join-consistent key offsets — see scripts/scaleup.py).
+
+Round 10 (VERDICT r9 task #3): the sf1 and sf1skew datasets are now
+AUTO-DERIVED by a session-scoped fixture when absent, so a fresh
+container runs the 10× gates with zero manual steps instead of silently
+skipping 37+ tests (/tmp is wiped between containers). The derive is
+bounded (~2-3 min each on local[8], done once per container). Only the
+100× tier stays opt-in: set SPARK_GRAFT_SF10=1 to derive it (minutes
+and ~6 GB of parquet), or pre-build with
+`python scripts/scaleup.py derive --factor 100 --out /tmp/scaleup/sf10`.
 
 This is the value-hash gate at 10× the size the driver checks — it
 catches scale-dependent wrong answers (overflow, skew-cap divergence,
@@ -9,6 +17,7 @@ partition-order sensitivity) that sf0.01 cannot."""
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 import pytest
@@ -16,6 +25,50 @@ import pytest
 from deg04_local_data_lake_spark import oracle
 
 SF1_DIR = "/tmp/scaleup/sf1"
+SRC_DIR = os.environ.get("SPARK_GRAFT_SCALEUP_SRC", "/root/testdata/sf0.1")
+
+
+def _scaleup_module():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "scaleup.py",
+    )
+    spec = importlib.util.spec_from_file_location("scaleup", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _dataset_ready(path: str) -> bool:
+    # the marker is written LAST by scaleup.derive — a partial directory
+    # from a crashed derive must trigger a re-derive, not a wrong pass.
+    # Datasets derived before round 10 predate the marker; accept them
+    # when every table carries Spark's own _SUCCESS commit marker.
+    if os.path.isfile(os.path.join(path, "_DERIVED_OK")):
+        return True
+    return all(
+        os.path.isfile(os.path.join(path, f"{t}.parquet", "_SUCCESS"))
+        for t in _TABLES
+    )
+
+
+def _ensure_derived(spark, out: str, factor: int, skew: bool) -> None:
+    if _dataset_ready(out):
+        return
+    _scaleup_module().derive(SRC_DIR, out, factor, skew=skew, spark=spark)
+
+
+@pytest.fixture(scope="session")
+def sf1_dir(spark) -> str:
+    _ensure_derived(spark, SF1_DIR, 10, skew=False)
+    return SF1_DIR
 
 # one representative per family; excludes queries whose oracle
 # intentionally diverges above the skew caps (SemDeDup at mega-cluster
@@ -73,26 +126,28 @@ NAMES_100X = [
     "bloom_index_point_lookup",
 ]
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF1_DIR),
-    reason="derived sf1 dataset absent; run scripts/scaleup.py derive",
-)
-
-
 @pytest.mark.parametrize("name", NAMES)
-def test_oracle_parity_at_10x(spark, name):
-    ok, msg = oracle.check_query(spark, SF1_DIR, name)
+def test_oracle_parity_at_10x(spark, sf1_dir, name):
+    ok, msg = oracle.check_query(spark, sf1_dir, name)
     assert ok, f"{name} at 10x: {msg}"
 
 
-@pytest.mark.skipif(
-    not os.path.isdir(SF10_DIR),
-    reason="derived sf10 dataset absent; "
-    "run scripts/scaleup.py derive --factor 100 --out /tmp/scaleup/sf10",
-)
+@pytest.fixture(scope="session")
+def sf10_dir(spark) -> str:
+    if not _dataset_ready(SF10_DIR) and not os.environ.get(
+        "SPARK_GRAFT_SF10"
+    ):
+        pytest.skip(
+            "sf10 (100x) is opt-in: set SPARK_GRAFT_SF10=1 or pre-build "
+            "with scripts/scaleup.py derive --factor 100"
+        )
+    _ensure_derived(spark, SF10_DIR, 100, skew=False)
+    return SF10_DIR
+
+
 @pytest.mark.parametrize("name", NAMES_100X)
-def test_oracle_parity_at_100x(spark, name):
-    ok, msg = oracle.check_query(spark, SF10_DIR, name)
+def test_oracle_parity_at_100x(spark, sf10_dir, name):
+    ok, msg = oracle.check_query(spark, sf10_dir, name)
     assert ok, f"{name} at 100x: {msg}"
 
 
@@ -116,12 +171,13 @@ NAMES_SKEW = [
 ]
 
 
-@pytest.mark.skipif(
-    not os.path.isdir(SF1_SKEW_DIR),
-    reason="skewed sf1 dataset absent; "
-    "run scripts/scaleup.py derive --skew --out /tmp/scaleup/sf1skew",
-)
+@pytest.fixture(scope="session")
+def sf1skew_dir(spark) -> str:
+    _ensure_derived(spark, SF1_SKEW_DIR, 10, skew=True)
+    return SF1_SKEW_DIR
+
+
 @pytest.mark.parametrize("name", NAMES_SKEW)
-def test_oracle_parity_at_10x_skewed(spark, name):
-    ok, msg = oracle.check_query(spark, SF1_SKEW_DIR, name)
+def test_oracle_parity_at_10x_skewed(spark, sf1skew_dir, name):
+    ok, msg = oracle.check_query(spark, sf1skew_dir, name)
     assert ok, f"{name} at 10x skewed: {msg}"
