@@ -521,6 +521,99 @@ def delta_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_log_maintenance_lifecycle",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 4 = 3)
+           AS cdf_tail_inserts,
+       TRUE AS truncation_refused,
+       TRUE AS stream_schema_ok,
+       CAST(0 AS BIGINT) AS files_reclaimed
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def delta_log_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 live-maintenance-race invariants as a driver-attested
+    oracle query (tests/test_delta_maintenance_race.py found six real
+    holes; this pins the post-fix contract end-to-end): customer lands in
+    four append commits; after ``write_delta_checkpoint`` +
+    ``cleanup_delta_log`` truncate the early JSON commits,
+
+    - the LATEST snapshot must still read exactly (per-segment counts +
+      exact-decimal balances vs the base table — proves checkpoint
+      replay and that ``vacuum_delta(grace_ms=0)`` reclaimed ZERO files,
+      since every appended file stays referenced),
+    - the change feed ABOVE the checkpoint yields exactly the tail
+      commit's inserts, while a range reaching BELOW it refuses with the
+      documented truncation error (never a raw ENOENT, never a partial
+      diff),
+    - the ``deg04_delta_stream`` source still resolves the table schema
+      (its only JSON ``metaData`` was in truncated v0 — it must fall
+      back to the parquet checkpoint, live-race hole #5).
+
+    All mutation happens in a temp table; the oracle states the same
+    facts as plain SQL over ``customer``, so the hash match certifies
+    the whole maintenance lifecycle, not a happy path."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        cleanup_delta_log,
+        read_delta_changes,
+        read_delta_log,
+        vacuum_delta,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_maint_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        for k in range(3):
+            write_delta_commit(cust.filter(F.col("c_custkey") % 4 == k), path)
+        write_delta_checkpoint(path)  # checkpoint at v2
+        cleanup_delta_log(path)  # truncates v0, v1 (and v0's metaData)
+        reclaimed = vacuum_delta(path, grace_ms=0)  # all files referenced
+        write_delta_commit(cust.filter(F.col("c_custkey") % 4 == 3), path)
+
+        cdf_tail = read_delta_changes(spark, path, 2, 3).count()
+        try:
+            read_delta_changes(spark, path, 0, 3).count()
+            refused = False
+        except ValueError as exc:
+            refused = "truncated" in str(exc)
+
+        # the stream source's schema resolution must survive the loss of
+        # every JSON metaData action (checkpoint fallback)
+        ds = make_delta_stream_source()(options={"path": path})
+        stream_ok = set(ds.schema().fieldNames()) == set(cust.columns)
+
+        out = (
+            read_delta_log(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec("c_acctbal")).cast("double").alias("bal"),
+            )
+            .withColumn("cdf_tail_inserts", F.lit(cdf_tail).cast("long"))
+            .withColumn("truncation_refused", F.lit(bool(refused)))
+            .withColumn("stream_schema_ok", F.lit(bool(stream_ok)))
+            .withColumn(
+                "files_reclaimed", F.lit(len(reclaimed)).cast("long")
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_data_skipping",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -3637,7 +3730,10 @@ def vacuum_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lists them (vacuum honors time travel otherwise)
         dl.write_delta_checkpoint(dpath)
         dl.cleanup_delta_log(dpath)
-        d_reclaimed = dl.vacuum_delta(dpath)
+        # single-writer quiesced fixture: grace 0 so the reclamation
+        # the oracle asserts on actually happens in-test (live tables
+        # keep the default VACUUM_GRACE_MS window)
+        d_reclaimed = dl.vacuum_delta(dpath, grace_ms=0)
 
         s1 = ice.write_iceberg_commit(pri("1-URGENT"), ipath)
         ice.write_iceberg_commit(pri("2-HIGH"), ipath, mode="overwrite")

@@ -121,20 +121,56 @@ def _meta_from_checkpoint(meta: dict) -> dict:
     return m
 
 
+def _checkpoint_rows_with_retry(
+    table: str, cp: int, version: int
+) -> tuple[int, list[dict]]:
+    """Open checkpoint ``cp``'s rows, retrying on the pointer race.
+
+    Racing maintenance (round-10 live-race fix): between reading the
+    ``_last_checkpoint`` pointer and opening the checkpoint parquet, a
+    concurrent ``write_delta_checkpoint`` + ``cleanup_delta_log`` pair
+    may delete the checkpoint file the pointer named (cleanup removes
+    checkpoints BELOW the new one). The stale read must not leak a raw
+    pyarrow ENOENT: re-read the pointer and retry — the replacement
+    checkpoint always exists and covers ≥ the same versions, so the
+    retry succeeds with an identical-or-newer base. Returns the
+    checkpoint version actually read plus its rows."""
+    import pyarrow.parquet as pq
+
+    for _attempt in range(8):
+        try:
+            return cp, pq.read_table(_checkpoint_file(table, cp)).to_pylist()
+        except FileNotFoundError:
+            newer = _read_last_checkpoint(table)
+            if newer is None or newer == cp or newer > version:
+                raise FileNotFoundError(
+                    f"checkpoint {cp} for {table} was removed by log "
+                    f"cleanup and no usable replacement ≤ version "
+                    f"{version} exists (current checkpoint: {newer}) "
+                    "— the requested version has been truncated"
+                )
+            cp = newer
+    # 8 pointer advances in one read: not a race, a stampede
+    raise RuntimeError(
+        f"checkpoint pointer for {table} kept moving during replay "
+        "(8 retries) — giving up"
+    )
+
+
 def _replay(
     table: str, version: int
 ) -> tuple[dict[str, dict], dict | None]:
     """Replay the log up to ``version`` inclusive → (live add-actions by
     path, latest metaData). Starts from the newest checkpoint ≤ version
-    when one exists; JSON commits before it may have been truncated."""
+    when one exists; JSON commits before it may have been truncated.
+    Checkpoint opens go through :func:`_checkpoint_rows_with_retry`
+    (pointer-race safe)."""
     live: dict[str, dict] = {}
     meta: dict | None = None
     start = 0
     cp = _read_last_checkpoint(table)
     if cp is not None and cp <= version:
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(_checkpoint_file(table, cp)).to_pylist()
+        cp, tbl = _checkpoint_rows_with_retry(table, cp, version)
         for row in tbl:
             if row.get("metaData") and row["metaData"].get("schemaString"):
                 meta = _meta_from_checkpoint(row["metaData"])
@@ -179,9 +215,8 @@ def _replay_txns(table: str, version: int) -> dict[str, int]:
     start = 0
     cp = _read_last_checkpoint(table)
     if cp is not None and cp <= version:
-        import pyarrow.parquet as pq
-
-        for row in pq.read_table(_checkpoint_file(table, cp)).to_pylist():
+        cp, rows = _checkpoint_rows_with_retry(table, cp, version)
+        for row in rows:
             t = row.get("txn")
             if t and t.get("appId") is not None:
                 txns[t["appId"]] = max(
@@ -210,9 +245,8 @@ def _replay_protocol(table: str, version: int) -> dict:
     start = 0
     cp = _read_last_checkpoint(table)
     if cp is not None and cp <= version:
-        import pyarrow.parquet as pq
-
-        for row in pq.read_table(_checkpoint_file(table, cp)).to_pylist():
+        cp, rows = _checkpoint_rows_with_retry(table, cp, version)
+        for row in rows:
             p = row.get("protocol")
             if p and p.get("minReaderVersion"):
                 proto = {k: v for k, v in p.items() if v is not None}
@@ -2238,11 +2272,23 @@ def write_delta_checkpoint(table: str) -> int:
     """Write a parquet checkpoint of the current snapshot plus the
     ``_last_checkpoint`` pointer; returns the checkpointed version.
     After this, JSON commits ≤ the checkpoint may be truncated and
-    readers still reconstruct every snapshot ≥ the checkpoint."""
+    readers still reconstruct every snapshot ≥ the checkpoint.
+
+    Concurrency (round-10 live-race hole #6): the checkpoint parquet is
+    written to a temp path and ``os.replace``d into place — writing it
+    in place tore the footer out from under concurrent readers that had
+    already resolved the pointer (pyarrow: "magic bytes not found").
+    Re-checkpointing an already-checkpointed version is a no-op: the
+    content for a version is deterministic, so rewriting it buys
+    nothing and churns bytes under readers."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     version = _latest_version(table)
+    if os.path.exists(_checkpoint_file(table, version)):
+        cur = _read_last_checkpoint(table)
+        if cur is not None and cur >= version:
+            return version  # already checkpointed — deterministic no-op
     live, meta = _replay(table, version)
     txns = _replay_txns(table, version)
     protocol = _replay_protocol(table, version)
@@ -2336,13 +2382,21 @@ def write_delta_checkpoint(table: str) -> int:
             ),
         ]
     )
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=schema),
-        _checkpoint_file(table, version),
+    cp_tmp = _checkpoint_file(table, version) + f".{uuid.uuid4().hex}.tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp_tmp)
+    os.replace(cp_tmp, _checkpoint_file(table, version))
+    # unique tmp: two concurrent checkpointers sharing one tmp name can
+    # atomically publish each other's half-written bytes
+    tmp = os.path.join(
+        _log_path(table), f"{_LAST_CHECKPOINT}.{uuid.uuid4().hex}.tmp"
     )
-    tmp = os.path.join(_log_path(table), _LAST_CHECKPOINT + ".tmp")
     with open(tmp, "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
+    cur = _read_last_checkpoint(table)
+    if cur is not None and cur > version:
+        os.remove(tmp)  # a newer checkpoint published while we wrote —
+        return version  # moving the pointer BACKWARDS would un-shield
+        # the newer checkpoint's truncated commits from readers
     os.replace(tmp, os.path.join(_log_path(table), _LAST_CHECKPOINT))
     return version
 
@@ -2767,16 +2821,38 @@ def clone_delta(
     return 0
 
 
-def vacuum_delta(table: str) -> list[str]:
+#: Files younger than this are NEVER vacuumed (mtime-based), mirroring
+#: delta-spark's default 7-day retention and iceberg_tables.
+#: ORPHAN_GRACE_MS. A distributed writer stages part files INTO the
+#: table directory before its commit JSON publishes, so between the
+#: rename and the publish those files are unreferenced — a grace-less
+#: vacuum racing a live writer deletes them and the commit then
+#: publishes references to vanished files (the round-10 live-race hole,
+#: the exact twin of the r9 Iceberg remove_orphan hole). grace_ms=0 is
+#: safe ONLY with every writer quiesced.
+VACUUM_GRACE_MS = 3 * 24 * 3600 * 1000
+
+
+def vacuum_delta(table: str, grace_ms: int = VACUUM_GRACE_MS) -> list[str]:
     """VACUUM: delete data files no longer referenced by ANY
     reconstructable snapshot (file referenced by no version's live set —
     i.e. removed and unreachable even via time travel from the earliest
-    replayable version). Returns the deleted relative paths.
+    replayable version) and older than ``grace_ms``. Returns the deleted
+    relative paths.
 
     Retention here is "every replayable version" rather than a wall-clock
     horizon (no clocks in this engine's tests); delta-spark's
     ``RETAIN n HOURS`` maps onto the same referenced-set computation with
-    a time cutoff."""
+    a time cutoff. ``grace_ms`` protects exactly two racing shapes a
+    LIVE table exhibits: (a) a writer's staged-but-not-yet-committed
+    part files, and (b) files added by commits that landed after this
+    vacuum's replay snapshot. Both are seconds old when vacuum meets
+    them; both are unreferenced by every version vacuum can see; both
+    would be silently deleted without the window. Crashed writers'
+    stale ``_stage_*`` leftovers DO get reclaimed once they age past the
+    window — the same trade delta-spark's retention makes."""
+    import time as _time
+
     latest = _latest_version(table)
     cp = _read_last_checkpoint(table)
     earliest = 0
@@ -2795,6 +2871,7 @@ def vacuum_delta(table: str) -> list[str]:
                 # a live snapshot's deletion vector is part of that
                 # snapshot — reclaiming it would corrupt time travel
                 referenced.add(_dv_rel_path(dv))
+    now_ms = _time.time() * 1000.0
     doomed = []
     for root, _dirs, files in os.walk(table):
         if _LOG_DIR in os.path.relpath(root, table).split(os.sep):
@@ -2802,14 +2879,25 @@ def vacuum_delta(table: str) -> list[str]:
         for f in files:
             if not (f.endswith(".parquet") or f.endswith(".bin")):
                 continue
-            rel = os.path.relpath(os.path.join(root, f), table).replace(
-                os.sep, "/"
-            )
-            if rel not in referenced:
-                doomed.append(rel)
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
+            if rel in referenced:
+                continue
+            try:
+                age_ms = now_ms - os.path.getmtime(full) * 1000.0
+            except OSError:
+                continue  # vanished mid-walk (e.g. a writer's stage move)
+            if age_ms < grace_ms:
+                continue  # inside the grace window — may be in flight
+            doomed.append(rel)
+    survivors = []
     for rel in doomed:
-        os.remove(os.path.join(table, rel))
-    return sorted(doomed)
+        try:
+            os.remove(os.path.join(table, rel))
+            survivors.append(rel)
+        except FileNotFoundError:
+            pass  # a concurrent vacuum got it first — same outcome
+    return sorted(survivors)
 
 
 def cleanup_delta_log(table: str) -> list[int]:
@@ -2829,11 +2917,16 @@ def cleanup_delta_log(table: str) -> list[int]:
     for v in delta_versions(table):
         if v >= cp:
             continue
-        os.remove(_commit_file(table, v))
-        removed.append(v)
+        try:
+            os.remove(_commit_file(table, v))
+            removed.append(v)
+        except FileNotFoundError:
+            pass  # a concurrent cleanup got it first — same outcome
         stale_cp = _checkpoint_file(table, v)
-        if os.path.exists(stale_cp):
+        try:
             os.remove(stale_cp)
+        except FileNotFoundError:
+            pass
     return removed
 
 
@@ -2861,7 +2954,22 @@ def read_delta_changes(
 
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
-        actions = _read_commit(table, v)
+        try:
+            actions = _read_commit(table, v)
+            _live, meta = _replay(table, v)
+        except FileNotFoundError as exc:
+            # round-10 live-race contract: a CDF range that log cleanup
+            # truncated mid-read must refuse with the documented message,
+            # never leak a raw ENOENT or return a partial diff. The
+            # _replay case covers the snapshot diff of a rewriting
+            # commit whose base versions were truncated under the read.
+            raise ValueError(
+                f"change feed range ({from_version}, {to_version}] for "
+                f"{table} includes commit {v}, which has been truncated "
+                "by log cleanup (retention passed) — re-read from a "
+                "version at or above the current checkpoint"
+                f" [{exc}]"
+            ) from None
         adds = [a["add"] for a in actions if "add" in a]
         removes = [a for a in actions if "remove" in a]
         data_change = any(a.get("dataChange", True) for a in adds) or any(
@@ -2869,7 +2977,6 @@ def read_delta_changes(
         )
         if not data_change:
             continue  # OPTIMIZE: storage reorganization, no table change
-        _live, meta = _replay(table, v)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if not removes:
             # pure append: the added files ARE the inserted rows
@@ -2901,8 +3008,16 @@ def read_delta_changes(
                 if op == "UPDATE"
                 else ("insert", "delete")
             )
-            prev = read_delta_log(spark, table, v - 1)
-            cur = read_delta_log(spark, table, v)
+            try:
+                prev = read_delta_log(spark, table, v - 1)
+                cur = read_delta_log(spark, table, v)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"change feed range ({from_version}, {to_version}] "
+                    f"for {table}: snapshot base of commit {v} was "
+                    "truncated by log cleanup (retention passed) — "
+                    f"re-read from the current checkpoint [{exc}]"
+                ) from None
             cols = cur.columns
             ins = cur.exceptAll(prev.select(*cols)).withColumn(
                 "_change_type", F.lit(ins_tag)

@@ -267,6 +267,38 @@ def make_delta_stream_source():
         with open(p) as f:
             return [_json.loads(line) for line in f if line.strip()]
 
+    def _checkpoint_meta(table):
+        """Latest ``metaData`` recoverable from the newest parquet
+        checkpoint — required once log cleanup truncates the early
+        commits (v0 carries the only JSON metaData on an untouched
+        table, so a cleaned log has NO metaData in any commit file).
+        Round-10 live-race hole #5: without this, the stream source
+        refused to even START on a perfectly healthy cleaned table."""
+        import pyarrow.parquet as _pq
+
+        p = _os.path.join(table, "_delta_log", "_last_checkpoint")
+        if not _os.path.exists(p):
+            return None
+        with open(p) as f:
+            cp = int(_json.load(f)["version"])
+        cpf = _os.path.join(
+            table, "_delta_log", f"{cp:020d}.checkpoint.parquet"
+        )
+        meta = None
+        try:
+            rows = _pq.read_table(cpf, columns=["metaData"]).to_pylist()
+        except FileNotFoundError:
+            return None
+        for row in rows:
+            m = row.get("metaData")
+            if m and m.get("schemaString"):
+                meta = dict(m)
+                # pyarrow reads map<string,string> back as pair-lists
+                cfg = meta.get("configuration")
+                if isinstance(cfg, list):
+                    meta["configuration"] = dict(cfg)
+        return meta
+
     def _physical_to_logical(table):
         """physical→logical column renames from the LATEST ``metaData``
         action (empty when the table has no column mapping). Streaming a
@@ -277,7 +309,7 @@ def make_delta_stream_source():
         renames, so the latest mapping binds files from EVERY version —
         including those written before column mapping was activated,
         whose stored names became the physical names at activation."""
-        meta = None
+        meta = _checkpoint_meta(table)  # base for cleanup-truncated logs
         for v in range(_latest_version(table) + 1):
             try:
                 for a in _read_commit(table, v):
@@ -353,7 +385,21 @@ def make_delta_stream_source():
             rename = _physical_to_logical(self.table)
             parts = []
             for v in range(lo + 1, end["version"] + 1):
-                actions = _read_commit(self.table, v)
+                try:
+                    actions = _read_commit(self.table, v)
+                except FileNotFoundError:
+                    # round-10 live-race contract: a version inside this
+                    # batch's range that log cleanup truncated must stop
+                    # the stream with the documented refusal — silently
+                    # skipping it would drop its rows from the stream
+                    # forever (the offset range still advances past it)
+                    raise RuntimeError(
+                        f"commit {v} of {self.table} has been truncated "
+                        "by log cleanup (retention passed the stream's "
+                        "position); restart the stream with a "
+                        "startingVersion at or above the current "
+                        "checkpoint"
+                    ) from None
                 adds = [
                     a["add"]
                     for a in actions
@@ -405,7 +451,7 @@ def make_delta_stream_source():
             from pyspark.sql.types import StructType
 
             table = self.options["path"]
-            meta = None
+            meta = _checkpoint_meta(table)  # cleanup-truncated logs
             for v in range(_latest_version(table) + 1):
                 try:
                     for a in _read_commit(table, v):

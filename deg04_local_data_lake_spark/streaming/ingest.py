@@ -159,7 +159,14 @@ def stream_stream_purchase_click(
         & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
     )
     return purchases.join(clicks, cond, how).select(
-        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+        "purchase_id",
+        # full outer pads the PURCHASE side for unmatched clicks, so the
+        # row's user must come from whichever side is present (on
+        # matches and for inner/left the two are equal by the join cond)
+        F.coalesce("user_id", "click_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
     )
 
 
@@ -1619,4 +1626,106 @@ def stream_left_outer_purchase_click(
     )
     return out.filter(F.col("user_id") >= 0).select(
         "purchase_id", "user_id", _ntz("purchase_ts"), "click_id", _ntz("click_ts")
+    )
+
+
+@register(
+    "stream_full_outer_purchase_click",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COALESCE(p.user_id, c.user_id) AS user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+""",
+)
+def stream_full_outer_purchase_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (round-10, VERDICT r9 task
+    #6): unmatched rows are flushed on BOTH sides by watermark progress —
+    a purchase with no click in its preceding 30 minutes AND a click
+    that no purchase ever claims each surface null-padded once the
+    watermark proves their windows closed. State on both sides is
+    bounded by the same watermark+interval condition as the inner join.
+
+    The drain uses the same end-of-stream sentinel machinery as the
+    left-outer query (``_sentinel_event_src``): the sentinel batch
+    pushes the final watermark past every join window and the trailing
+    no-data microbatch flushes the held rows of BOTH sides. Hash
+    equality with the batch FULL JOIN oracle attests all four legs —
+    matched pairs, click-less purchases, purchase-less clicks, and state
+    eviction aligned exactly with the window (a row emitted both
+    null-padded and matched would duplicate and break the hash)."""
+    src = _sentinel_event_src(spark, sf_dir)
+    events = read_event_stream(spark, src, max_files_per_trigger=8)
+    out = _drain_to_memory(
+        stream_stream_purchase_click(
+            events, watermark=_VERIFY_WATERMARK, how="full_outer"
+        ),
+        "stream_ssjoin_full",
+        mode="append",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "purchase_id", "user_id", _ntz("purchase_ts"), "click_id", _ntz("click_ts")
+    )
+
+
+@register(
+    "stream_dedup_exact_docs",
+    oracle="""
+SELECT DISTINCT MD5(text) AS content_hash, n_chars FROM documents
+""",
+)
+def stream_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` as the STREAMING twin of exact
+    corpus dedup (round-10, VERDICT r9 task #6): the documents table is
+    replayed as a file stream — fed TWICE (union of two independent
+    readers over one directory, so every doc arrives at least twice,
+    split across microbatches) — keyed by content hash, and each
+    distinct text must be emitted exactly once. This is the ingest-time
+    half of ``dedup_exact``: dedup-at-arrival inside the lateness
+    horizon, with the corpus-wide batch pass (canonical-id assignment)
+    remaining the batch job's business.
+
+    Determinism: WHICH duplicate survives depends on arrival order, so
+    the output projects only columns functionally determined by the
+    dedup key (the hash and the text length) — exact under any file
+    split or partition order, hence the DISTINCT oracle. State is one
+    key per distinct doc inside the watermark window; production bounds
+    it with the real lateness budget exactly as the event-stream dedup
+    (``stream_dedup_union``) does."""
+    src = _docs_stream_source(spark, sf_dir)
+
+    def reader() -> DataFrame:
+        docs = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .format("parquet")
+            .load(src)
+        )
+        # synthetic-but-deterministic event time (docs carry none):
+        # doc_id seconds from a fixed epoch keeps every row comfortably
+        # inside the verification watermark
+        return docs.select(
+            F.md5("text").alias("content_hash"),
+            "n_chars",
+            F.timestamp_seconds(F.lit(1_000_000_000) + F.col("doc_id")).alias(
+                "arrival_ts"
+            ),
+        ).withWatermark("arrival_ts", _VERIFY_WATERMARK)
+
+    deduped = (
+        reader()
+        .unionByName(reader())
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return _drain_to_memory(
+        deduped.select("content_hash", "n_chars"),
+        "stream_dedup_docs",
+        mode="append",
     )

@@ -153,7 +153,7 @@ def test_vacuum_removes_only_unreachable_files(spark, table):
     write_delta_commit(_df(spark, 5, 8), table)
     for v in (0, 1):
         os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
-    doomed = vacuum_delta(table)
+    doomed = vacuum_delta(table, grace_ms=0)  # writers quiesced
     assert doomed  # v0's files were deleted
     assert read_delta_log(spark, table).count() == 8
     assert read_delta_log(spark, table, 1).count() == 5  # checkpointed version
@@ -425,7 +425,7 @@ def test_vacuum_keeps_referenced_dv_files(spark, table):
     delete_delta(spark, table, "id % 2 = 0")
     dv_dir = os.path.join(table, "deletion_vectors")
     assert os.path.isdir(dv_dir) and os.listdir(dv_dir)
-    deleted = vacuum_delta(table)
+    deleted = vacuum_delta(table, grace_ms=0)  # writers quiesced
     assert not any(p.endswith(".bin") for p in deleted)
     assert read_delta_log(spark, table).count() == 30000
     # after OPTIMIZE drops every version that referenced the DV... the
@@ -436,7 +436,7 @@ def test_vacuum_keeps_referenced_dv_files(spark, table):
     write_delta_checkpoint(table)
     for v in (0, 1, 2):
         os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
-    deleted = vacuum_delta(table)
+    deleted = vacuum_delta(table, grace_ms=0)
     assert any(p.endswith(".bin") for p in deleted)
     assert read_delta_log(spark, table).count() == 30000
 
@@ -1278,7 +1278,7 @@ def test_vacuum_on_clone_never_reclaims_source_files(spark, tmp_path):
     clone_delta(spark, src, dst)
     # overwrite the clone so every absolute reference becomes dead there
     write_delta_commit(_df(spark, 0, 5), dst, mode="overwrite")
-    assert vacuum_delta(dst) == []  # nothing of its own to reclaim
+    assert vacuum_delta(dst, grace_ms=0) == []  # nothing of its own to reclaim
     assert read_delta_log(spark, src).count() == 100  # source intact
 
 
@@ -1468,7 +1468,7 @@ def test_cleanup_delta_log_retention(spark, table):
     with pytest.raises(Exception):
         read_delta_log(spark, table, 1).count()
     # vacuum still computes its referenced set from the checkpoint floor
-    doomed = vacuum_delta(table)
+    doomed = vacuum_delta(table, grace_ms=0)
     assert all("part-" in p or p.endswith(".parquet") for p in doomed)
     assert read_delta_log(spark, table).count() == 8
     # idempotent

@@ -445,3 +445,87 @@ def test_outer_join_drain_split_independent(spark, smoke_dir, files_per_trigger)
     n_unmatched = sum(1 for _, c in want if c is None)
     assert n_unmatched > 0  # the flush path must actually be exercised
     assert got == want
+
+
+@pytest.mark.parametrize("files_per_trigger", [4, 16])
+def test_full_outer_join_drain_split_independent(
+    spark, smoke_dir, files_per_trigger
+):
+    """Round-10 twin of the left-outer attestation for the FULL OUTER
+    drain: unmatched rows must flush on BOTH sides under any microbatch
+    split (4 and 16 files per trigger bracket the registered query's 8),
+    exactly matching the batch full join."""
+    src = ingest._sentinel_event_src(spark, smoke_dir)
+    events = ingest.read_event_stream(
+        spark, src, max_files_per_trigger=files_per_trigger
+    )
+    out = ingest._drain_to_memory(
+        ingest.stream_stream_purchase_click(
+            events, watermark=ingest._VERIFY_WATERMARK, how="full_outer"
+        ),
+        f"ssjoin_full_split{files_per_trigger}",
+        mode="append",
+    )
+    # repr-sort: unmatched legs carry None, which Python cannot order
+    got = sorted(
+        repr((r["purchase_id"], r["click_id"]))
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    )
+    batch = load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want_pairs = [
+        (r["purchase_id"], r["click_id"])
+        for r in ingest.stream_stream_purchase_click(
+            batch, how="full_outer"
+        ).collect()
+    ]
+    want = sorted(repr(t) for t in want_pairs)
+    # both null-padded legs must actually be exercised
+    assert sum(1 for p, c in want_pairs if c is None) > 0
+    assert sum(1 for p, c in want_pairs if p is None) > 0
+    assert got == want
+
+
+@pytest.mark.parametrize("files_per_trigger", [2, 8])
+def test_stream_dedup_docs_split_independent(
+    spark, smoke_dir, files_per_trigger
+):
+    """The dropDuplicatesWithinWatermark doc-dedup stage must emit each
+    distinct text exactly once under any split of the doubled stream
+    (2 and 8 files per trigger bracket the registered query's 4)."""
+    src = ingest._docs_stream_source(spark, smoke_dir)
+
+    def reader():
+        docs = (
+            spark.readStream.schema(ingest.DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .format("parquet")
+            .load(src)
+        )
+        return docs.select(
+            F.md5("text").alias("content_hash"),
+            "n_chars",
+            F.timestamp_seconds(
+                F.lit(1_000_000_000) + F.col("doc_id")
+            ).alias("arrival_ts"),
+        ).withWatermark("arrival_ts", ingest._VERIFY_WATERMARK)
+
+    out = ingest._drain_to_memory(
+        reader()
+        .unionByName(reader())
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("content_hash", "n_chars"),
+        f"dedup_docs_split{files_per_trigger}",
+        mode="append",
+    )
+    got = sorted((r.content_hash, r.n_chars) for r in out.collect())
+    assert len(got) == len({h for h, _ in got})  # exactly once per hash
+    want = sorted(
+        (r.content_hash, r.n_chars)
+        for r in load_table(spark, smoke_dir, "documents")
+        .select(F.md5("text").alias("content_hash"), "n_chars")
+        .distinct()
+        .collect()
+    )
+    assert got == want
