@@ -100,6 +100,11 @@ NAMES = [
     "pagerank_iterated",
     "embedding_kmeans_iterated",
     "bloom_index_point_lookup",
+    # round 10: the maintenance-lifecycle contract (checkpoint replay,
+    # grace-0 vacuum, CDF horizon) and the lossy JPEG tolerance claim —
+    # both must hold as the data grows, not just at sf0.01
+    "delta_log_maintenance_lifecycle",
+    "mm_decode_jpeg",
 ]
 
 SF10_DIR = "/tmp/scaleup/sf10"
