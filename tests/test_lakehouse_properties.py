@@ -385,3 +385,96 @@ def test_rewrite_manifests_matches_model_under_random_ops(
     for s, state in history:
         got = {r.id: r.v for r in ice.read_iceberg(spark, table, s).collect()}
         assert got == state, f"snapshot {s} diverged"
+
+
+# ------------------------- maintenance-horizon model (round 10)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["append", "overwrite", "checkpoint", "cleanup", "vacuum"]
+            ),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_delta_maintenance_matches_model_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    """Round-10 model check for the maintenance trio (the live-race
+    suite's deterministic twin): under ANY interleaving of appends,
+    overwrites, checkpoints, log cleanups, and grace-0 vacuums,
+
+    - the LATEST snapshot always equals the dict model,
+    - every version at or above the truncation horizon (the newest
+      checkpoint at the time of the last cleanup) time-travels to
+      exactly its recorded state — vacuum must never have reclaimed a
+      file those snapshots still reference,
+    - every version below the horizon refuses loudly (documented
+      missing-commit/truncation errors), never returns partial data.
+    """
+    table = str(tmp_path_factory.mktemp("dlmaint") / "tbl")
+    dl.write_delta_commit(_to_df(spark, {0: 0.0}), table)
+    model: dict[int, float] = {0: 0.0}
+    history: list[tuple[int, dict[int, float]]] = [(0, dict(model))]
+    version = 0
+    horizon = 0  # versions below this must refuse
+    for op, seed in ops:
+        if op == "append":
+            batch = {
+                k: v
+                for k, v in _rows(seed, lo=10 * (seed + 1)).items()
+                if k not in model
+            }
+            if not batch:
+                continue
+            version = dl.write_delta_commit(
+                _to_df(spark, batch), table, mode="append"
+            )
+            model.update(batch)
+            history.append((version, dict(model)))
+        elif op == "overwrite":
+            batch = _rows(seed, lo=seed % 4) or {seed: float(seed)}
+            version = dl.write_delta_commit(
+                _to_df(spark, batch), table, mode="overwrite"
+            )
+            model = dict(batch)
+            history.append((version, dict(model)))
+        elif op == "checkpoint":
+            assert dl.write_delta_checkpoint(table) == version
+        elif op == "cleanup":
+            cp = dl._read_last_checkpoint(table)
+            removed = dl.cleanup_delta_log(table)
+            if cp is not None:
+                assert all(v < cp for v in removed)
+                horizon = max(horizon, cp)
+        else:  # vacuum: grace 0 is safe here (single quiesced writer)
+            dl.vacuum_delta(table, grace_ms=0)
+        got = _read_state(spark, table)
+        assert got == model, f"latest diverged after {op}({seed})"
+    for v, state in history:
+        if v >= horizon:
+            got = {
+                r.id: r.v for r in dl.read_delta_log(spark, table, v).collect()
+            }
+            assert got == state, f"version {v} diverged"
+        else:
+            try:
+                dl.read_delta_log(spark, table, v).collect()
+                raise AssertionError(
+                    f"version {v} below horizon {horizon} did not refuse"
+                )
+            except (FileNotFoundError, ValueError) as exc:
+                assert any(
+                    t in str(exc)
+                    for t in ("missing commit", "truncated", "removed by log")
+                ), f"undocumented refusal: {exc}"
