@@ -1075,3 +1075,81 @@ def pii_scrub_column(text):
         PII_IPV4_RE,
         "<IP>",
     )
+
+
+# --------------------------------------------- chunking (round 10)
+
+CHUNK_TOKENS = 64  # window size, whitespace tokens
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16 tokens
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST((n - 1) // {CHUNK_STRIDE} AS BIGINT)))
+             AS chunk_id,
+         t
+  FROM base
+)
+SELECT doc_id,
+       chunk_id,
+       len(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+           AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+           AS chunk_hash
+FROM chunks
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows — the chunking primitive a
+    RAG indexer or a context-window packer runs over every document
+    (64-token windows, stride 48 ⇒ 16-token overlap; the final window
+    per doc is the natural remainder). Emits stable (doc_id, chunk_id)
+    plus the chunk's token count and content hash, so downstream
+    embedding/indexing stages can join back deterministically.
+
+    Plan shape: tokens + window starts are per-row higher-order
+    expressions (split / sequence / posexplode / slice) — ZERO shuffles,
+    no Python; at 100 TB this runs at parquet scan speed and the output
+    is partition-parallel with its input, exactly what feeds a
+    downstream embedding stage without a repartition. The DuckDB twin
+    recomputes every window with list_slice, so the hash match pins the
+    boundary arithmetic (stride, remainder window, 1-based slice ends)
+    token-for-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                ((F.size("t") - 1) / CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("_pos", "chunk_id"),
+    )
+    window = F.slice(
+        F.col("t"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", window)).alias("chunk_hash"),
+    )

@@ -94,14 +94,15 @@ def load_all() -> None:
 #: frozen as a literal for greppability and pinned by
 #: tests/test_oracle_gate.py::test_priority_is_computed (hand-rotation
 #: drift is now a test failure, not a judge finding). The round-10
-#: window: the 4 round-10 additions, all 24 remaining round-3 rows
-#: (relational/IO/sketch/multimodal stragglers), and the 22
+#: window: the 5 round-10 additions, all 24 remaining round-3 rows
+#: (relational/IO/sketch/multimodal stragglers), and the 21
 #: alphabetically-first round-4 rows.
 PRIORITY: list[str] = [
     "delta_log_maintenance_lifecycle",
     "mm_decode_jpeg",
     "stream_dedup_exact_docs",
     "stream_full_outer_purchase_click",
+    "text_chunk_windows",
     "bitmap_user_overlap",
     "catalog_external_table_scan",
     "cdc_snapshot_diff",
@@ -157,7 +158,6 @@ PRIORITY: list[str] = [
     "text_rolling_hash",
     "text_token_stats",
     "tfidf_top_terms",
-    "throttle_events",
 ]
 
 

@@ -105,6 +105,7 @@ NAMES = [
     # both must hold as the data grows, not just at sf0.01
     "delta_log_maintenance_lifecycle",
     "mm_decode_jpeg",
+    "text_chunk_windows",
 ]
 
 SF10_DIR = "/tmp/scaleup/sf10"
