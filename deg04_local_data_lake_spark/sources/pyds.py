@@ -267,37 +267,72 @@ def make_delta_stream_source():
         with open(p) as f:
             return [_json.loads(line) for line in f if line.strip()]
 
+    def _pointer_version(table):
+        p = _os.path.join(table, "_delta_log", "_last_checkpoint")
+        if not _os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(_json.load(f)["version"])
+
+    def _checkpoints_on_disk(table):
+        log = _os.path.join(table, "_delta_log")
+        if not _os.path.isdir(log):
+            return []
+        return sorted(
+            int(f[:20])
+            for f in _os.listdir(log)
+            if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+        )
+
     def _checkpoint_meta(table):
         """Latest ``metaData`` recoverable from the newest parquet
         checkpoint — required once log cleanup truncates the early
         commits (v0 carries the only JSON metaData on an untouched
         table, so a cleaned log has NO metaData in any commit file).
         Round-10 live-race hole #5: without this, the stream source
-        refused to even START on a perfectly healthy cleaned table."""
+        refused to even START on a perfectly healthy cleaned table.
+
+        Round-11 hardening (ADVICE r10): mirrors delta_log's
+        ``_checkpoint_rows_with_retry`` + pointer-is-a-hint fallback —
+        inlined rather than imported because the streaming runner
+        process can't see ``sources.delta_log`` (module comment). If
+        racing maintenance deletes the named checkpoint between the
+        pointer read and the parquet open, retry via the fresh pointer
+        or the newest ON-DISK checkpoint instead of silently returning
+        None (which made schema resolution fail on a healthy table)."""
         import pyarrow.parquet as _pq
 
-        p = _os.path.join(table, "_delta_log", "_last_checkpoint")
-        if not _os.path.exists(p):
-            return None
-        with open(p) as f:
-            cp = int(_json.load(f)["version"])
-        cpf = _os.path.join(
-            table, "_delta_log", f"{cp:020d}.checkpoint.parquet"
-        )
-        meta = None
-        try:
-            rows = _pq.read_table(cpf, columns=["metaData"]).to_pylist()
-        except FileNotFoundError:
-            return None
-        for row in rows:
-            m = row.get("metaData")
-            if m and m.get("schemaString"):
-                meta = dict(m)
-                # pyarrow reads map<string,string> back as pair-lists
-                cfg = meta.get("configuration")
-                if isinstance(cfg, list):
-                    meta["configuration"] = dict(cfg)
-        return meta
+        cp = _pointer_version(table)
+        if cp is None:
+            disk = _checkpoints_on_disk(table)
+            cp = disk[-1] if disk else None
+        for _attempt in range(8):
+            if cp is None:
+                return None  # genuinely checkpoint-less table
+            cpf = _os.path.join(
+                table, "_delta_log", f"{cp:020d}.checkpoint.parquet"
+            )
+            try:
+                rows = _pq.read_table(cpf, columns=["metaData"]).to_pylist()
+            except FileNotFoundError:
+                newer = _pointer_version(table)
+                if newer is not None and newer != cp:
+                    cp = newer
+                    continue
+                disk = [c for c in _checkpoints_on_disk(table) if c != cp]
+                cp = disk[-1] if disk else None
+                continue
+            meta = None
+            for row in rows:
+                m = row.get("metaData")
+                if m and m.get("schemaString"):
+                    meta = dict(m)
+                    # pyarrow reads map<string,string> back as pair-lists
+                    cfg = meta.get("configuration")
+                    if isinstance(cfg, list):
+                        meta["configuration"] = dict(cfg)
+            return meta
+        return None  # pointer kept moving: caller's JSON fallback decides
 
     def _physical_to_logical(table):
         """physical→logical column renames from the LATEST ``metaData``
