@@ -93,61 +93,21 @@ def load_all() -> None:
 #: CORRECTNESS_r*.json files, ties alphabetical —
 #: frozen as a literal for greppability and pinned by
 #: tests/test_oracle_gate.py::test_priority_is_computed (hand-rotation
-#: drift is now a test failure, not a judge finding). The round-10
-#: window: the 5 round-10 additions, all 24 remaining round-3 rows
-#: (relational/IO/sketch/multimodal stragglers), and the 21
-#: alphabetically-first round-4 rows.
+#: drift is now a test failure, not a judge finding). The round-11
+#: window: the round-11 addition (checkpoint fallback), the 12
+#: remaining round-4 rows, and the 47 alphabetically-first round-5
+#: rows.
+#:
+#: ``PRIORITY_AS_OF`` stamps WHICH history the literal was frozen
+#: against: compute_priority() ignores CORRECTNESS files from rounds ≥
+#: this stamp, so the suite stays green when the driver drops the next
+#: round's recording (VERDICT r10 task #2 — without the stamp,
+#: test_priority_is_computed failed at every handoff by construction).
+#: Refreeze BOTH together: bump the stamp, re-run compute_priority(),
+#: paste the first 60.
+PRIORITY_AS_OF: int = 11
 PRIORITY: list[str] = [
-    "delta_log_maintenance_lifecycle",
-    "mm_decode_jpeg",
-    "stream_dedup_exact_docs",
-    "stream_full_outer_purchase_click",
-    "text_chunk_windows",
-    "bitmap_user_overlap",
-    "catalog_external_table_scan",
-    "cdc_snapshot_diff",
-    "csv_scan_explicit",
-    "csv_scan_inferred",
-    "directory_ingest_manifest",
-    "event_transitions",
-    "events_session_agg",
-    "hll_portable_distinct",
-    "hll_portable_merge",
-    "hll_user_overlap",
-    "json_scan_lines",
-    "latest_event_per_user",
-    "mm_audio_windows",
-    "mm_frame_sample",
-    "mm_image_features",
-    "mm_resize",
-    "orc_scan_roundtrip",
-    "passage_dedup",
-    "rfm_segments",
-    "scd2_user_state",
-    "text_pii_redact",
-    "text_rare_token_score",
-    "time_travel_diff",
-    "activity_streaks",
-    "attribution_last_touch",
-    "attribution_linear_integer",
-    "click_to_purchase_within_hour",
-    "customer_order_gaps",
-    "delta_log_change_feed",
-    "delta_log_data_skipping",
-    "delta_log_merge_upsert",
-    "delta_log_optimize_stats",
-    "delta_log_partition_prune",
-    "delta_log_time_travel",
-    "iceberg_offline_time_travel",
-    "interpolate_linear_gaps",
-    "inverted_index_postings",
-    "merge_event_intervals",
-    "normalize_embeddings",
-    "open_orders_per_day",
-    "session_duration_histogram",
-    "session_path_topk",
-    "sessionized_conversion",
-    "similarity_ivfadc_topk",
+    "delta_log_checkpoint_fallback",
     "similarity_pq_topk",
     "stream_delta_sink_exactly_once",
     "text_fingerprint",
@@ -158,6 +118,55 @@ PRIORITY: list[str] = [
     "text_rolling_hash",
     "text_token_stats",
     "tfidf_top_terms",
+    "throttle_events",
+    "time_to_conversion",
+    "bitwise_functions_parity",
+    "collection_functions_parity",
+    "compaction_roundtrip",
+    "cube_returnflag_status",
+    "datetime_functions_parity",
+    "delta_log_check_constraints",
+    "delta_log_column_mapping",
+    "delta_log_deletion_vectors",
+    "delta_log_restore",
+    "delta_log_update",
+    "events_json_extract",
+    "events_props_from_json",
+    "events_tier_salted_join",
+    "events_value_by_type_salted",
+    "iceberg_data_skipping",
+    "iceberg_equality_deletes",
+    "iceberg_partition_prune",
+    "iceberg_position_deletes",
+    "iceberg_schema_evolution",
+    "iceberg_transform_partition_prune",
+    "listagg_top_customers",
+    "listings_parse",
+    "not_in_null_semantics",
+    "null_semantics_parity",
+    "observed_write_audit",
+    "pyds_ticks_scan",
+    "q11_value_concentration",
+    "q16_supplier_part_stats",
+    "q17_small_quantity_revenue",
+    "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q2_cheapest_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_interval_window",
+    "recursive_tree_depth",
+    "restore_rollback_roundtrip",
+    "sql_entry_top_nations",
+    "sql_parameterized_entry",
+    "sql_scripting_block",
+    "stream_delta_source_incremental",
+    "stream_iceberg_source_incremental",
+    "string_functions_parity",
+    "udtf_chunk_text",
+    "union_account_balances",
+    "variant_props_extract",
+    "window_kitchen_sink",
 ]
 
 
@@ -177,13 +186,22 @@ def oracles() -> dict[str, str]:
     return _ordered(ORACLES)
 
 
-def last_green_rounds(repo_root: str | None = None) -> dict[str, int]:
+def last_green_rounds(
+    repo_root: str | None = None, max_round: int | None = None
+) -> dict[str, int]:
     """Last round each query went green in a shipped CORRECTNESS_r*.json.
 
     Green = the driver's own criteria: no error, row counts and column
     sets matched, and the value hash didn't mismatch (rows-only checks
     record ``hash_match: null`` — those count as green at their weaker
-    tier, exactly as the driver treats them)."""
+    tier, exactly as the driver treats them).
+
+    ``max_round`` (exclusive upper bound) pins the computation to a
+    fixed window of history: CORRECTNESS files with round ≥ max_round
+    are ignored. Without it, the PRIORITY literal frozen in round N
+    stopped matching the computation the moment the driver dropped
+    CORRECTNESS_rN.json — every handoff was red by construction
+    (VERDICT r10 task #2)."""
     import glob
     import json
     import os
@@ -199,6 +217,8 @@ def last_green_rounds(repo_root: str | None = None) -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd >= max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -215,7 +235,9 @@ def last_green_rounds(repo_root: str | None = None) -> dict[str, int]:
     return out
 
 
-def compute_priority(repo_root: str | None = None) -> list[str]:
+def compute_priority(
+    repo_root: str | None = None, as_of: int | None = None
+) -> list[str]:
     """The rotation window, COMPUTED from the shipped CORRECTNESS history
     instead of hand-maintained (VERDICT r9 task #5 — the hand list was
     correct every round but encoded exactly the computation the
@@ -225,11 +247,18 @@ def compute_priority(repo_root: str | None = None) -> list[str]:
     first — ties alphabetical. The driver samples the first 50, so the
     window is provably the new queries plus the stalest re-attestations.
 
-    ``PRIORITY`` below is this function's output, frozen as a literal so
+    ``PRIORITY`` above is this function's output, frozen as a literal so
     the rotation stays greppable; ``tests/test_oracle_gate.py`` asserts
-    literal == computation, so it cannot drift."""
+    literal == computation, so it cannot drift. The computation is
+    pinned to the history the literal was frozen against
+    (``as_of`` defaults to ``PRIORITY_AS_OF``, which excludes
+    CORRECTNESS files from rounds ≥ the stamp): round N's driver
+    recording must not retroactively redefine round N's frozen window,
+    or the suite is red at every handoff (VERDICT r10 task #2)."""
     load_all()
-    history = last_green_rounds(repo_root)
+    if as_of is None:
+        as_of = PRIORITY_AS_OF
+    history = last_green_rounds(repo_root, max_round=as_of)
     new = sorted(n for n in QUERIES if n not in history)
     stale = sorted(
         (n for n in QUERIES if n in history),

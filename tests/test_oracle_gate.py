@@ -127,19 +127,23 @@ def test_all_registered_oracles_pass_type_lint():
 
 
 def test_priority_is_computed():
-    """VERDICT r9 task #5: the PRIORITY rotation list must BE the
-    computation over the shipped CORRECTNESS history — never-attested
-    additions first, then ascending last-green round, ties alphabetical.
-    A hand edit that drifts from the history fails here instead of
-    surfacing as a judge finding."""
+    """VERDICT r9 task #5 (+ r10 task #2): the PRIORITY rotation list
+    must BE the computation over the CORRECTNESS history it was frozen
+    against — never-attested additions first, then ascending last-green
+    round, ties alphabetical. The computation is pinned to rounds <
+    PRIORITY_AS_OF so the driver dropping the CURRENT round's recording
+    does not retroactively redefine the frozen window (that made the
+    suite red at every handoff through round 10). A hand edit that
+    drifts from history fails here instead of surfacing as a judge
+    finding."""
     from deg04_local_data_lake_spark import registry
 
-    computed = registry.compute_priority()
+    computed = registry.compute_priority()  # pinned to PRIORITY_AS_OF
     assert registry.PRIORITY == computed[:len(registry.PRIORITY)]
     assert len(registry.PRIORITY) >= 50  # must cover the driver's sample
     # the window really is the stalest: everything in the front 50 is
     # either never-attested or no fresher than anything outside it
-    hist = registry.last_green_rounds()
+    hist = registry.last_green_rounds(max_round=registry.PRIORITY_AS_OF)
     window = set(computed[:50])
     newest_inside = max(hist.get(n, 0) for n in window)
     oldest_outside = min(hist[n] for n in computed[50:] if n in hist)
