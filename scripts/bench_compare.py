@@ -27,7 +27,18 @@ yield near-identical probe times, so
   (b) >30% drift BETWEEN the two recordings' probe medians ⇒ the two
       runs saw different machine health — a cross-run delta measures
       the environment, not the code.
-Either condition prints "contaminated recording" and exits 2 instead
+Round-11 rules (BENCH_r10's DECAYING-contention signature slipped (a):
+its probes only fell, 1.639→1.271→1.112, because the container was
+contended at START and drained during the run — 9 false REGRESSION
+signals for identical code):
+  (c) the START probe exceeding the same recording's OWN in-run median
+      for the probe query by >30% ⇒ identical code timed inconsistently
+      inside one file (BENCH_r10: probe 1.639 vs q1 median 1.007 =
+      +63%) — contention present at run start;
+  (d) the recorded start loadavg[0] exceeding LOADAVG_BOUND ⇒ something
+      else was demonstrably running when the recording began (BENCH_r10
+      started at loadavg 2.92; clean recordings start ≤ ~1).
+Any condition prints "contaminated recording" and exits 2 instead
 of emitting regression signals. Pre-calibration recordings (r1-r9)
 skip the check that needs the missing side, with a warning.
 """
@@ -37,8 +48,16 @@ from __future__ import annotations
 import json
 import sys
 
-#: Max tolerated probe drift (max/min − 1) within and across recordings.
+#: Max tolerated probe drift (max/min − 1) within and across recordings,
+#: and for the start-probe-vs-in-run-median consistency check.
 CALIBRATION_TOLERANCE = 0.30
+
+#: Max tolerated 1-min loadavg at recording start. Clean recordings on
+#: this container start at ≤ ~1 (BENCH_WIDE.md r10 header: 0.39); the
+#: two contaminated recordings started at 2.9+ (r10) with another
+#: process demonstrably competing. The bench process itself cannot have
+#: driven the 1-min average that high before its first probe.
+LOADAVG_BOUND = 2.5
 
 
 def calibration_drift(rec: dict) -> float | None:
@@ -62,6 +81,32 @@ def calibration_drift(rec: dict) -> float | None:
         for j in range(i + 1, len(cal)):
             worst = max(worst, cal[j] / cal[i] - 1.0)
     return worst
+
+
+def start_probe_inconsistency(rec: dict) -> float | None:
+    """Start probe vs the recording's OWN in-run median for the same
+    query (ratio - 1), or None when either side is missing.
+
+    The probe query is also timed as a regular headline query later in
+    the same run (same code, same JVM, same file). A start probe far
+    ABOVE that steady-state is an identical-code inconsistency inside
+    one recording — the decaying-contention signature that the
+    direction-aware within-run check structurally cannot see (probes
+    that only fall score 0 there)."""
+    cal = rec.get("calibration")
+    probe = rec.get("calibration_probe")
+    med = rec.get("queries", {}).get(probe)
+    if not cal or not med or min(cal) <= 0 or med <= 0:
+        return None
+    return cal[0] / med - 1.0
+
+
+def start_loadavg(rec: dict) -> float | None:
+    """1-min loadavg at the first probe, or None if not recorded."""
+    la = rec.get("loadavg")
+    if not la or not la[0]:
+        return None
+    return float(la[0][0])
 
 
 def cross_run_drift(old: dict, new: dict) -> float | None:
@@ -115,6 +160,29 @@ def main() -> int:
                 f"contaminated recording: {label} probe drifted "
                 f"{drift:.0%} within the run (calibration="
                 f"{rec['calibration']}, loadavg={rec.get('loadavg')}) — "
+                "refusing comparison"
+            )
+            return 2
+        inconsistency = start_probe_inconsistency(rec)
+        if (
+            inconsistency is not None
+            and inconsistency > CALIBRATION_TOLERANCE
+        ):
+            print(
+                f"contaminated recording: {label} START probe is "
+                f"{inconsistency:.0%} above its own in-run median for "
+                f"the same query ({rec['calibration'][0]}s vs "
+                f"{rec['queries'][rec['calibration_probe']]}s) — "
+                "identical code timed inconsistently inside one file "
+                "(contention at run start); refusing comparison"
+            )
+            return 2
+        la = start_loadavg(rec)
+        if la is not None and la > LOADAVG_BOUND:
+            print(
+                f"contaminated recording: {label} started at 1-min "
+                f"loadavg {la} (> bound {LOADAVG_BOUND}) — another "
+                "process was running when the recording began; "
                 "refusing comparison"
             )
             return 2

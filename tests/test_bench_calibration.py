@@ -148,3 +148,58 @@ def test_bench_emits_calibration_fields():
     src = open(os.path.join(REPO, "bench.py")).read()
     for field in ('"calibration"', '"calibration_probe"', '"loadavg"'):
         assert field in src
+
+
+def test_decaying_contention_refused_via_start_probe(tmp_path):
+    """Round-11 rule (c): BENCH_r10's signature — probes only DECAY
+    (scores 0 in the direction-aware check) because contention was
+    present at START and drained during the run. The start probe vs the
+    recording's own in-run median for the same query is an
+    identical-code inconsistency inside one file and must refuse."""
+    old = _rec(
+        {"q1": 1.0},
+        spread={"q1": [0.9, 1.1]},
+        calibration=[0.5, 0.5, 0.5],
+    )
+    old["calibration_probe"] = "q1"
+    # the BENCH_r10 shape, scaled: start probe 63% above in-run median
+    new = _rec({"q1": 1.007}, calibration=[1.639, 1.271, 1.112])
+    new["calibration_probe"] = "q1"
+    rc, out = _run_compare(tmp_path, old, new)
+    assert rc == 2, out
+    assert "START probe" in out
+    assert "REGRESSION" not in out
+
+
+def test_start_loadavg_bound_refused(tmp_path):
+    """Round-11 rule (d): a recording that began at 1-min loadavg above
+    the documented bound had something else demonstrably running."""
+    old = _rec(
+        {"q1": 1.0},
+        spread={"q1": [0.9, 1.1]},
+        calibration=[0.5, 0.5, 0.5],
+    )
+    new = _rec({"q1": 1.0}, calibration=[0.5, 0.5, 0.5])
+    new["loadavg"] = [[2.92, 3.56, 3.27], [1.95, 3.17, 3.15], [1.82, 2.7, 2.98]]
+    rc, out = _run_compare(tmp_path, old, new)
+    assert rc == 2, out
+    assert "loadavg" in out
+    assert "REGRESSION" not in out
+
+
+def test_real_r09_r10_files_refused_contaminated():
+    """The shipped BENCH_r10.json (22.999 s for 11.69 s code, 9 false
+    regression signals in round 10) must now refuse outright."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            COMPARE,
+            os.path.join(REPO, "BENCH_r09.json"),
+            os.path.join(REPO, "BENCH_r10.json"),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 2, proc.stdout
+    assert "contaminated recording" in proc.stdout
+    assert "REGRESSION" not in proc.stdout
