@@ -331,6 +331,13 @@ def decode_jpeg(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — legal padding on foreign baseline encoders
+        # (round-11 ADVICE fix: these were rejected as bad markers)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: marker cut off at end of data")
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         pos += 2
         if marker == 0xFFD9:  # EOI
@@ -340,7 +347,14 @@ def decode_jpeg(data: bytes) -> dict:
                 f"unsupported JPEG process: {_UNSUPPORTED_SOF[marker]} "
                 "(baseline SOF0 only)"
             )
+        # bounds-checked header reads: a truncated segment must raise
+        # the documented ValueError, never leak struct.error to the
+        # mapInPandas consumers (round-11 ADVICE fix)
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment length cut off")
         (length,) = struct.unpack(">H", data[pos : pos + 2])
+        if length < 2 or pos + length > len(data):
+            raise ValueError("truncated JPEG: segment body cut off")
         body = data[pos + 2 : pos + length]
         pos += length
         if marker == 0xFFDB:  # DQT
@@ -363,6 +377,8 @@ def decode_jpeg(data: bytes) -> dict:
                 huff[(cls, tid)] = _decode_map(bits, vals)
                 off += 17 + n
         elif marker == 0xFFC0:  # SOF0: baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG: SOF0 header cut off")
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(f"JPEG precision {precision} unsupported")
@@ -378,6 +394,8 @@ def decode_jpeg(data: bytes) -> dict:
                 comps.append({"id": cid, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xFFDA:  # SOS
+            if not body:
+                raise ValueError("truncated JPEG: SOS header cut off")
             ns = body[0]
             sel = []
             for c in range(ns):
@@ -386,6 +404,8 @@ def decode_jpeg(data: bytes) -> dict:
             scan = sel
             break  # entropy-coded data follows
         elif marker == 0xFFDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG: DRI segment cut off")
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError("JPEG restart intervals unsupported")
         # APPn/COM and other metadata segments are skipped

@@ -307,3 +307,48 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(jc.encode_jpeg(px))
     assert out["width"] == 8 and out["height"] == 8
     assert int(np.abs(out["pixels"].astype(int) - 12).max()) <= 1
+
+
+def test_jpeg_truncated_header_raises_valueerror():
+    """Round-11 ADVICE fix: a segment header cut off mid-bytes must
+    raise the documented ValueError — struct.error leaking out broke
+    the 'bad rows fail loudly with ValueError' contract decode_image
+    promises to its mapInPandas consumers."""
+    import numpy as np
+    import pytest as _pytest
+
+    jc = _jpeg()
+    # the ADVICE reproducer: SOI + DQT marker + 1 byte of its length
+    with _pytest.raises(ValueError, match="truncated"):
+        jc.decode_jpeg(b"\xff\xd8\xff\xdb\x00")
+    # marker byte alone at end of data
+    with _pytest.raises(ValueError, match="truncated|SOF0/SOS"):
+        jc.decode_jpeg(b"\xff\xd8\xff")
+    # every prefix of a real stream raises ValueError, never struct.error
+    blob = jc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    sos = blob.index(b"\xff\xda")
+    for cut in range(2, sos + 4):
+        try:
+            jc.decode_jpeg(blob[:cut])
+        except ValueError:
+            pass  # the documented refusal
+
+
+def test_jpeg_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+    legal padding emitted by foreign baseline encoders. Round-11
+    ADVICE fix: these were rejected as 'marker expected'."""
+    import numpy as np
+
+    jc = _jpeg()
+    px = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    blob = jc.encode_jpeg(px)
+    # pad fill bytes before the SOF0 and SOS markers
+    for marker in (b"\xff\xc0", b"\xff\xda"):
+        at = blob.index(marker)
+        padded = blob[:at] + b"\xff" * 3 + blob[at:]
+        dec = jc.decode_jpeg(padded)
+        assert (dec["width"], dec["height"]) == (8, 8)
+        assert (
+            int(np.abs(dec["pixels"].astype(int) - px.astype(int)).max()) <= 3
+        )
