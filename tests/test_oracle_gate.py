@@ -156,3 +156,40 @@ def test_every_query_has_an_oracle_or_documented_exception():
 
     qs, os_ = registry.queries(), registry.oracles()
     assert set(qs) == set(os_), sorted(set(qs) ^ set(os_))
+
+
+def test_priority_stable_when_driver_drops_next_recording(tmp_path):
+    """The handoff property itself (VERDICT r10 task #2): shipping a
+    CORRECTNESS file from round PRIORITY_AS_OF (or later) must not
+    change the computation the frozen literal is checked against —
+    that's exactly what happened at every handoff through round 10."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from deg04_local_data_lake_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    before = registry.compute_priority(repo_root=str(tmp_path))
+    # simulate the driver dropping this round's recording: every query
+    # in the current window goes green in round PRIORITY_AS_OF
+    fake = {
+        name: {"err": None, "rows_match": True, "hash_match": True}
+        for name in registry.PRIORITY
+    }
+    (tmp_path / f"CORRECTNESS_r{registry.PRIORITY_AS_OF}.json").write_text(
+        json.dumps(fake)
+    )
+    after = registry.compute_priority(repo_root=str(tmp_path))
+    assert after == before, (
+        "a recording from round >= PRIORITY_AS_OF changed the pinned "
+        "computation — the handoff would be red again"
+    )
+    # while an UNPINNED view (next round's refreeze) must see it
+    unpinned = registry.compute_priority(
+        repo_root=str(tmp_path), as_of=registry.PRIORITY_AS_OF + 1
+    )
+    assert unpinned != before
