@@ -644,6 +644,7 @@ def test_txn_and_protocol_replay_between_checkpoints_after_cleanup(
                     "compact",
                     "expire",
                     "orphan",
+                    "tag",
                 ]
             ),
             st.integers(min_value=0, max_value=6),
@@ -666,13 +667,17 @@ def test_iceberg_maintenance_matches_model_under_random_ops(
     - time travel to every SURVIVING snapshot replays exactly its
       recorded state — orphan removal must never reclaim a data,
       manifest, or delete file any surviving snapshot references,
-    - every EXPIRED snapshot refuses loudly, never partial data.
+    - every EXPIRED snapshot refuses loudly, never partial data,
+    - a TAG protects its snapshot from ANY later expiry (the spec's
+      retention contract): tagged snapshots never appear in an expire
+      result and stay readable whatever keep_last says.
     """
     table = str(tmp_path_factory.mktemp("icemaint") / "tbl")
     sid = ice.write_iceberg_commit(_to_df(spark, {0: 0.0}), table)
     model: dict[int, float] = {0: 0.0}
     history: list[tuple[int, dict[int, float]]] = [(sid, dict(model))]
     expired: set[int] = set()
+    tagged: set[int] = set()
     for op, seed in ops:
         if op == "append":
             batch = {
@@ -713,7 +718,16 @@ def test_iceberg_maintenance_matches_model_under_random_ops(
             dropped = ice.expire_iceberg_snapshots(
                 table, keep_last=seed % 3 + 1
             )
+            assert not (set(dropped) & tagged), (
+                f"expire dropped TAGGED snapshots {set(dropped) & tagged}"
+            )
             expired.update(dropped)
+        elif op == "tag":  # pin the current snapshot against expiry
+            pinned = ice.create_iceberg_ref(
+                table, f"t{len(tagged)}_{sid}", "tag", replace=True
+            )
+            assert pinned == sid
+            tagged.add(sid)
         else:  # orphan removal: grace 0 safe here (single quiesced writer)
             ice.remove_orphan_iceberg_files(table, grace_ms=0)
         got = {r.id: r.v for r in ice.read_iceberg(spark, table).collect()}
@@ -731,3 +745,129 @@ def test_iceberg_maintenance_matches_model_under_random_ops(
                 for r in ice.read_iceberg(spark, table, s).collect()
             }
             assert got == state, f"surviving snapshot {s} diverged"
+
+
+# ------------- schema evolution × maintenance model (round 11 stretch)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                [
+                    "append",
+                    "rename",
+                    "addcol",
+                    "dropcol",
+                    "checkpoint",
+                    "cleanup",
+                    "vacuum",
+                ]
+            ),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_delta_schema_evolution_matches_model_under_maintenance(
+    spark, tmp_path_factory, ops
+):
+    """Column mapping × maintenance, the remaining feature class the
+    round-10 bug pattern points at: under ANY interleaving of appends,
+    RENAME COLUMN (activates column mapping), ADD/DROP COLUMNS,
+    checkpoints, cleanups, and vacuums,
+
+    - the LATEST read always shows the CURRENT logical schema with the
+      model's values bound correctly through physical names,
+    - time travel ≥ the horizon serves each version under the schema it
+      had THEN (old value-column name, pre-ADD column absent) even when
+      its metaData now lives only in a parquet checkpoint,
+    - versions below the horizon refuse loudly.
+    """
+    table = str(tmp_path_factory.mktemp("dlschema") / "tbl")
+    dl.write_delta_commit(_to_df(spark, {0: 0.0}), table)
+    model: dict[int, float] = {0: 0.0}
+    vname = "v"
+    extras: set[str] = set()
+    # history rows: (version, state, value_col_name, extra_cols)
+    history = [(0, dict(model), vname, set(extras))]
+    version = 0
+    horizon = 0
+    n_renames = 0
+    for op, seed in ops:
+        if op == "append":
+            batch = {
+                k: v
+                for k, v in _rows(seed, lo=10 * (seed + 1)).items()
+                if k not in model
+            }
+            if not batch:
+                continue
+            df = _to_df(spark, batch).withColumnRenamed("v", vname)
+            version = dl.write_delta_commit(df, table, mode="append")
+            model.update(batch)
+        elif op == "rename":
+            new_name = f"v{n_renames + 1}"
+            version = dl.rename_delta_column(
+                spark, table, {vname: new_name}
+            )
+            vname = new_name
+            n_renames += 1
+        elif op == "addcol":
+            col = f"c{seed}"
+            if col in extras:
+                continue
+            version = dl.add_delta_columns(table, {col: "double"})
+            extras.add(col)
+        elif op == "dropcol":
+            if not extras:
+                continue
+            col = sorted(extras)[seed % len(extras)]
+            version = dl.drop_delta_columns(table, [col])
+            extras.discard(col)
+        elif op == "checkpoint":
+            assert dl.write_delta_checkpoint(table) == version
+            continue
+        elif op == "cleanup":
+            cp = dl._read_last_checkpoint(table)
+            dl.cleanup_delta_log(table)
+            if cp is not None:
+                horizon = max(horizon, cp)
+            continue
+        else:
+            dl.vacuum_delta(table, grace_ms=0)
+            continue
+        history.append((version, dict(model), vname, set(extras)))
+        df = dl.read_delta_log(spark, table)
+        assert set(df.columns) == {"id", vname} | extras, (
+            f"latest schema diverged after {op}({seed})"
+        )
+        got = {r["id"]: r[vname] for r in df.collect()}
+        assert got == model, f"latest values diverged after {op}({seed})"
+    for v, state, name, cols in history:
+        if v >= horizon:
+            df = dl.read_delta_log(spark, table, v)
+            assert set(df.columns) == {"id", name} | cols, (
+                f"version {v} schema diverged"
+            )
+            rows = df.collect()
+            got = {r["id"]: r[name] for r in rows}
+            assert got == state, f"version {v} values diverged"
+            for c in cols:
+                assert all(r[c] is None for r in rows), (
+                    f"version {v}: added column {c} not null"
+                )
+        else:
+            try:
+                dl.read_delta_log(spark, table, v).collect()
+                raise AssertionError(
+                    f"version {v} below horizon {horizon} did not refuse"
+                )
+            except (FileNotFoundError, ValueError):
+                pass
