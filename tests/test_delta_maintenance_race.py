@@ -411,3 +411,71 @@ def test_live_maintenance_race(spark, table):
     # files are referenced, so no maintenance setting may touch them
     got = sorted(r.id for r in read_delta_log(spark, table).collect())
     assert got == list(range(80))
+
+
+def test_checkpoint_pointer_never_heals_backwards(spark, table, monkeypatch):
+    """Round-11 (ADVICE r10): write_delta_checkpoint's pointer guard was
+    check-then-act — a concurrent checkpointer could publish a newer
+    pointer between the loser's guard read and its os.replace, after
+    which the replace moved ``_last_checkpoint`` BACKWARDS and
+    un-shielded the newer checkpoint's truncated commits from readers.
+    The function now heals after publishing: re-read and restore the
+    max of pointer vs newest on-disk checkpoint until stable.
+
+    Simulated here by letting the loser see a stale pointer for its
+    exists-check and guard reads (checkpoint@3 + pointer=3 already
+    published by the winner), while the heal loop reads reality."""
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+
+    for k in range(3):
+        write_delta_commit(_df(spark, 10 * k, 10 * (k + 1)), table)
+    assert write_delta_checkpoint(table) == 2  # the loser's target
+    write_delta_commit(_df(spark, 30, 40), table)
+    assert write_delta_checkpoint(table) == 3  # the winner published
+    assert dl._read_last_checkpoint(table) == 3
+
+    real_read = dl._read_last_checkpoint
+    real_latest = dl._latest_version
+    calls = {"n": 0}
+
+    def stale_for_guards(t):
+        calls["n"] += 1
+        # the loser's exists-check and pre-replace guard both read the
+        # world as it was before the winner published; the heal loop
+        # afterwards reads reality
+        return 1 if calls["n"] <= 2 else real_read(t)
+
+    monkeypatch.setattr(dl, "_read_last_checkpoint", stale_for_guards)
+    monkeypatch.setattr(dl, "_latest_version", lambda t: 2)
+    assert dl.write_delta_checkpoint(table) == 2  # the loser finishes
+    monkeypatch.setattr(dl, "_read_last_checkpoint", real_read)
+    monkeypatch.setattr(dl, "_latest_version", real_latest)
+    # the loser's replace rolled the pointer to 2; the heal loop must
+    # have restored it to the newest on-disk checkpoint
+    assert dl._read_last_checkpoint(table) == 3
+    assert read_delta_log(spark, table).count() == 40
+
+
+def test_stream_schema_survives_pointed_checkpoint_deletion(spark, table):
+    """Round-11 (ADVICE r10): the stream source's _checkpoint_meta
+    silently returned None when racing maintenance deleted the
+    checkpoint its pointer named — schema resolution then failed on a
+    healthy table. It now retries via the fresh pointer and falls back
+    to the newest ON-DISK checkpoint (the pointer is a hint)."""
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    for k in range(2):
+        write_delta_commit(_df(spark, 10 * k, 10 * (k + 1)), table)
+    assert write_delta_checkpoint(table) == 1
+    cleanup_delta_log(table)  # v0 (the only JSON metaData) is gone
+    write_delta_commit(_df(spark, 20, 30), table)
+    assert write_delta_checkpoint(table) == 2
+    # racing maintenance deletes the POINTED checkpoint; checkpoint@1
+    # is still on disk (no cleanup ran after) and carries the metaData
+    os.remove(
+        os.path.join(table, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    )
+    ds = make_delta_stream_source()(options={"path": table})
+    assert set(ds.schema().fieldNames()) == {"id", "v"}
