@@ -3299,6 +3299,105 @@ def time_travel_monotonized_mutations(
 
 
 @register(
+    "timestamp_retention_lockstep",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_at_head_instant,
+       TRUE AS below_retention_refused,
+       TRUE AS reorder_rejected,
+       TRUE AS formats_agree
+FROM customer
+""",
+)
+def timestamp_retention_lockstep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF × retention, lockstep on both from-scratch
+    layers (round-11 find, driver-attested): history committed at
+    instants [100, 200, untimestamped→201] is truncated below its last
+    commit (Delta checkpoint+cleanup / Iceberg expire keep_last=1).
+    Before the fix the surviving untimestamped commit RE-ANCHORED to
+    instant 0 because the monotonization rule was re-derived over the
+    surviving entries only — ``asof=150`` silently served the latest
+    data and a new commit stamped 50 passed the monotonicity guard
+    (history reorder). Now every commit carries its publish-time
+    effective instant (``commitInfo.effectiveTimestamp`` /
+    snapshot-log ``effective-timestamp-ms`` — the no-ambient-clocks
+    twin of the wall-clock ms real delta-spark/Iceberg store), so after
+    truncation: ``asof=201`` still serves the full table, ``asof=150``
+    refuses loudly as out of retention, and the reorder commit is
+    rejected — on BOTH formats."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.delta_log as dl
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_ts_ret_")
+    dpath = _os.path.join(root, "delta")
+    ipath = _os.path.join(root, "ice")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        thirds = [cust.filter(F.col("c_custkey") % 3 == k) for k in range(3)]
+        dl.write_delta_commit(thirds[0], dpath, commit_timestamp=100)
+        ice.write_iceberg_commit(thirds[0], ipath, timestamp_ms=100)
+        dl.write_delta_commit(
+            thirds[1], dpath, mode="append", commit_timestamp=200
+        )
+        ice.write_iceberg_commit(
+            thirds[1], ipath, mode="append", timestamp_ms=200
+        )
+        dl.write_delta_commit(thirds[2], dpath, mode="append")  # eff 201
+        ice.write_iceberg_commit(thirds[2], ipath, mode="append")
+        dl.write_delta_checkpoint(dpath)
+        dl.cleanup_delta_log(dpath)
+        ice.expire_iceberg_snapshots(ipath, keep_last=1)
+
+        d_n = dl.read_delta_log(spark, dpath, timestamp_as_of=201).count()
+        i_n = ice.read_iceberg(spark, ipath, as_of_timestamp_ms=201).count()
+        try:
+            dl.read_delta_log(spark, dpath, timestamp_as_of=150).count()
+            d_refused = False
+        except ValueError as exc:
+            d_refused = "truncated by log cleanup" in str(exc)
+        try:
+            ice.read_iceberg(spark, ipath, as_of_timestamp_ms=150).count()
+            i_refused = False
+        except ValueError as exc:
+            i_refused = "snapshot expiry" in str(exc)
+        probe = thirds[0].limit(1)
+        try:
+            dl.write_delta_commit(
+                probe, dpath, mode="append", commit_timestamp=50
+            )
+            d_reorder = False
+        except ValueError as exc:
+            d_reorder = "strictly increasing" in str(exc)
+        try:
+            ice.write_iceberg_commit(
+                probe, ipath, mode="append", timestamp_ms=50
+            )
+            i_reorder = False
+        except ValueError as exc:
+            i_reorder = "strictly increasing" in str(exc)
+        out = spark.createDataFrame(
+            [
+                (
+                    d_n if d_n == i_n else -1,
+                    bool(d_refused and i_refused),
+                    bool(d_reorder and i_reorder),
+                    d_n == i_n,
+                )
+            ],
+            "n_at_head_instant long, below_retention_refused boolean, "
+            "reorder_rejected boolean, formats_agree boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "stream_epoch_survives_expiry",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1157,12 +1157,25 @@ def _supplied_commit_timestamp(table: str, version: int) -> int | None:
     """Caller-supplied commitInfo timestamp of ``version`` (None when
     the commit carries none — 0 means unset in this engine's
     no-ambient-clocks convention)."""
-    t = None
+    return _commit_timestamps(table, version)[1]
+
+
+def _commit_timestamps(
+    table: str, version: int
+) -> tuple[int | None, int | None]:
+    """(stored effectiveTimestamp, caller-supplied timestamp) of a
+    commit. The stored value is the monotonized instant stamped at
+    publish time (see :func:`_stamp_effective_timestamp`); pre-round-11
+    commits carry only the supplied one."""
+    eff = sup = None
     for a in _read_commit(table, version):
         if "commitInfo" in a:
-            raw = int(a["commitInfo"].get("timestamp", 0) or 0)
-            t = raw if raw > 0 else None
-    return t
+            ci = a["commitInfo"]
+            raw = int(ci.get("timestamp", 0) or 0)
+            sup = raw if raw > 0 else None
+            e = ci.get("effectiveTimestamp")
+            eff = int(e) if e is not None else None
+    return eff, sup
 
 
 def _effective_timestamps(table: str):
@@ -1172,11 +1185,21 @@ def _effective_timestamps(table: str):
     modification time for untimestamped commits; this engine has no ambient
     clocks, so an untimestamped commit inherits previous-effective + 1 —
     strictly after its predecessor, never instant 0. Effective timestamps
-    are therefore strictly increasing whatever the caller supplied."""
+    are therefore strictly increasing whatever the caller supplied.
+
+    A commit's publish-time ``effectiveTimestamp`` stamp wins when
+    present (round-11 fix): re-deriving the rule over only the SURVIVING
+    commits re-anchored history after log cleanup — an untimestamped
+    commit whose predecessors were truncated re-derived as instant 0,
+    silently re-resolving ``TIMESTAMP AS OF`` probes that used to land
+    on (now truncated) earlier versions, and shrinking the commit-time
+    monotonicity guard's head."""
     eff = None
     for v in delta_versions(table):
-        t = _supplied_commit_timestamp(table, v)
-        if eff is None:
+        stored, t = _commit_timestamps(table, v)
+        if stored is not None:
+            eff = stored  # publish-time stamp: immune to truncation
+        elif eff is None:
             eff = t if t is not None else 0
         elif t is not None and t > eff:
             eff = t
@@ -1220,12 +1243,25 @@ def _version_at_timestamp(table: str, ts: int) -> int:
     pre-delete state, never the mutated one. Versions truncated below a
     checkpoint are out of retention and never resolve."""
     best = None
+    first: tuple[int, int] | None = None
     for v, eff in _effective_timestamps(table):
+        if first is None:
+            first = (v, eff)
         if eff <= ts:
             best = v  # effective timestamps strictly increase
         else:
             break
     if best is None:
+        if first is not None and first[0] > 0:
+            # history starts mid-log: everything at or before ``ts``
+            # was truncated by log cleanup — refuse loudly instead of
+            # "no commit" (the instants existed; retention dropped them)
+            raise ValueError(
+                f"timestamp {ts} predates the earliest retained commit "
+                f"of {table} (version {first[0]}, effective timestamp "
+                f"{first[1]}) — earlier history was truncated by log "
+                "cleanup (retention passed)"
+            )
         raise ValueError(
             f"no commit at or before timestamp {ts} in {table}"
         )
@@ -1884,6 +1920,54 @@ def _write_commit_file(table: str, version: int, actions: list[dict]) -> None:
         )
 
 
+def _stamp_effective_timestamp(
+    table: str, version: int, actions: list[dict]
+) -> None:
+    """Record the commit's MONOTONIZED instant in its own commitInfo
+    (``effectiveTimestamp``) at publish time — every commit passes
+    through here, so the value is part of the commit and survives
+    whatever later log cleanup truncates.
+
+    Round-11 bug this closes: the monotonization rule was re-derived at
+    READ time over the surviving commits only, so after cleanup an
+    untimestamped commit whose predecessors were truncated re-anchored
+    at instant 0 — ``TIMESTAMP AS OF 150`` on a history whose (now
+    truncated) v0 was committed at 100 silently resolved to the LATEST
+    data, and a new commit stamped 50 passed the monotonicity guard,
+    reordering history. delta-spark is immune because every commitInfo
+    carries wall-clock ms; this is the no-ambient-clocks twin.
+    Idempotent: retried publishes (optimistic-concurrency rebases)
+    restamp the same key against the new head."""
+    supplied = None
+    ci = None
+    for a in actions:
+        if "commitInfo" in a:
+            ci = a["commitInfo"]
+            raw = int(ci.get("timestamp", 0) or 0)
+            supplied = raw if raw > 0 else None
+    prev_eff = None
+    if version > 0 and os.path.exists(_commit_file(table, version - 1)):
+        prev_eff = _commit_timestamps(table, version - 1)[0]
+        if prev_eff is None:
+            # legacy predecessor (pre-stamping): derive it once by the
+            # read-time rule; every commit from here on is stamped
+            for _v, e in _effective_timestamps(table):
+                if _v == version - 1:
+                    prev_eff = e
+    if prev_eff is None:
+        eff = supplied if supplied is not None else 0
+    elif supplied is not None and supplied > prev_eff:
+        eff = supplied
+    else:
+        eff = prev_eff + 1
+    if ci is None:
+        actions.append(
+            {"commitInfo": {"timestamp": 0, "effectiveTimestamp": int(eff)}}
+        )
+    else:
+        ci["effectiveTimestamp"] = int(eff)
+
+
 def _try_publish_commit(
     table: str, version: int, actions: list[dict]
 ) -> bool:
@@ -1893,6 +1977,7 @@ def _try_publish_commit(
     two concurrent committers can never both succeed at the same version
     (``os.replace`` would silently clobber the loser). Object-store
     deployments substitute the store's conditional-put here."""
+    _stamp_effective_timestamp(table, version, actions)
     tmp = _commit_file(table, version) + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         for a in actions:

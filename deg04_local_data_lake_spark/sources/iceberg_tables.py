@@ -507,6 +507,35 @@ class CommitFailedError(RuntimeError):
     they rebase automatically (Iceberg's retryable-commit contract)."""
 
 
+def _stamp_snaplog_effective_timestamps(meta: dict) -> None:
+    """Fill ``effective-timestamp-ms`` on snapshot-log entries that lack
+    it — the publish-time monotonized instant, stamped once and carried
+    by the entry forever (the Iceberg twin of
+    ``delta_log._stamp_effective_timestamp``, round-11 fix): re-deriving
+    the monotonization over only the SURVIVING entries re-anchored
+    history after ``expire_iceberg_snapshots`` filtered the log — an
+    untimestamped survivor whose predecessors expired re-derived as
+    instant 0, silently re-resolving TIMESTAMP AS OF probes and
+    shrinking the commit-time monotonicity guard's head. Idempotent:
+    already-stamped entries keep their value (expiry filtering preserves
+    them)."""
+    eff = None
+    for entry in meta.get("snapshot-log", []) or []:
+        stored = entry.get("effective-timestamp-ms")
+        if stored is not None:
+            eff = int(stored)
+            continue
+        raw = int(entry.get("timestamp-ms", 0) or 0)
+        t = raw if raw > 0 else None
+        if eff is None:
+            eff = t if t is not None else 0
+        elif t is not None and t > eff:
+            eff = t
+        else:
+            eff += 1
+        entry["effective-timestamp-ms"] = int(eff)
+
+
 def _try_publish_metadata_version(table: str, version: int, meta: dict) -> bool:
     """PUT-IF-ABSENT publish of ``v{version}.metadata.json`` followed by
     the version-hint flip — the Hadoop catalog's commit contract is an
@@ -515,6 +544,7 @@ def _try_publish_metadata_version(table: str, version: int, meta: dict) -> bool:
     already claimed the version, so two racing committers can never
     both succeed — ``os.replace`` here would silently discard the first
     writer's snapshot (lost update)."""
+    _stamp_snaplog_effective_timestamps(meta)
     meta_path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
     tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
@@ -705,9 +735,18 @@ def _effective_snaplog_timestamps(meta: dict):
     applies (``delta_log._effective_timestamps``): an entry without a
     caller-supplied timestamp (0 = unset, no ambient clocks) inherits
     previous-effective + 1, so a DELETE/UPDATE published after a
-    timestamped append resolves strictly AFTER it — never at instant 0."""
+    timestamped append resolves strictly AFTER it — never at instant 0.
+
+    The publish-time ``effective-timestamp-ms`` stamp wins when present
+    (:func:`_stamp_snaplog_effective_timestamps`, round-11): re-deriving
+    the rule over only the post-expiry SURVIVORS re-anchored history."""
     eff = None
     for entry in meta.get("snapshot-log", []):
+        stored = entry.get("effective-timestamp-ms")
+        if stored is not None:
+            eff = int(stored)
+            yield entry["snapshot-id"], eff
+            continue
         raw = int(entry.get("timestamp-ms", 0) or 0)
         t = raw if raw > 0 else None
         if eff is None:
@@ -1879,12 +1918,30 @@ def read_iceberg(
                 "pass either snapshot_id/ref or as_of_timestamp_ms, not both"
             )
         best = None
+        first_sid = None
         for sid, eff in _effective_snaplog_timestamps(meta):
+            if first_sid is None:
+                first_sid = sid
             if eff <= as_of_timestamp_ms:
                 best = sid  # effective timestamps strictly increase
             else:
                 break
         if best is None:
+            by_id = {
+                s["snapshot-id"]: s for s in meta.get("snapshots", [])
+            }
+            first = by_id.get(first_sid)
+            if first is not None and first.get("parent-snapshot-id") is not None:
+                # the snapshot-log starts mid-history: everything at or
+                # before the probe was dropped by expire_snapshots —
+                # refuse loudly (the instants existed; retention
+                # dropped them), round-11 twin of the Delta refusal
+                raise ValueError(
+                    f"timestamp {as_of_timestamp_ms} predates the "
+                    f"earliest retained snapshot of {table} — earlier "
+                    "history was removed by snapshot expiry "
+                    "(retention passed)"
+                )
             raise ValueError(
                 f"no snapshot at or before timestamp {as_of_timestamp_ms}"
             )

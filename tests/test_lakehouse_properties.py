@@ -871,3 +871,174 @@ def test_delta_schema_evolution_matches_model_under_maintenance(
                 )
             except (FileNotFoundError, ValueError):
                 pass
+
+
+# --------- TIMESTAMP AS OF × retention truncation (round 11)
+
+
+def test_timestamp_resolution_survives_delta_log_cleanup(
+    spark, tmp_path_factory
+):
+    """Round-11 find: the monotonization rule was re-derived at READ
+    time over the surviving commits only, so after checkpoint+cleanup
+    an untimestamped commit whose predecessors were truncated
+    re-anchored at instant 0 — ``TIMESTAMP AS OF 150`` on a history
+    committed at [100, 200, untimestamped→201] silently resolved to the
+    LATEST data, and a new commit stamped 50 passed the monotonicity
+    guard (silent history reorder). Commits now carry their effective
+    instant (publish-time ``commitInfo.effectiveTimestamp`` — the
+    no-ambient-clocks twin of delta-spark's wall-clock ms), probes
+    below the earliest retained commit refuse loudly, and the guard
+    keeps the full-history head."""
+    t = str(tmp_path_factory.mktemp("dlts") / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id", "CAST(id AS DOUBLE) AS v"
+    )
+    dl.write_delta_commit(df(0, 5), t, commit_timestamp=100)
+    dl.write_delta_commit(df(5, 10), t, mode="append", commit_timestamp=200)
+    dl.write_delta_commit(df(10, 15), t, mode="append")  # effective 201
+    assert dl.read_delta_log(spark, t, timestamp_as_of=150).count() == 5
+    dl.write_delta_checkpoint(t)
+    dl.cleanup_delta_log(t)
+    # surviving commit keeps its FULL-history instant, not a re-anchor
+    assert list(dl._effective_timestamps(t)) == [(2, 201)]
+    with pytest.raises(ValueError, match="truncated by log cleanup"):
+        dl.read_delta_log(spark, t, timestamp_as_of=150)
+    assert dl.read_delta_log(spark, t, timestamp_as_of=201).count() == 15
+    with pytest.raises(ValueError, match="strictly increasing"):
+        dl.write_delta_commit(
+            df(15, 20), t, mode="append", commit_timestamp=50
+        )
+    v = dl.write_delta_commit(
+        df(15, 20), t, mode="append", commit_timestamp=300
+    )
+    assert dl._version_at_timestamp(t, 300) == v
+
+
+def test_timestamp_resolution_survives_iceberg_expiry(
+    spark, tmp_path_factory
+):
+    """The Iceberg twin: snapshot-log entries carry a publish-time
+    ``effective-timestamp-ms``; expiry filtering preserves it, probes
+    below the earliest retained snapshot refuse loudly, and the
+    commit-time monotonicity guard keeps the full-history head."""
+    t = str(tmp_path_factory.mktemp("icets") / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id", "CAST(id AS DOUBLE) AS v"
+    )
+    ice.write_iceberg_commit(df(0, 5), t, timestamp_ms=100)
+    ice.write_iceberg_commit(df(5, 10), t, mode="append", timestamp_ms=200)
+    ice.write_iceberg_commit(df(10, 15), t, mode="append")  # 201
+    assert (
+        ice.read_iceberg(spark, t, as_of_timestamp_ms=150).count() == 5
+    )
+    ice.expire_iceberg_snapshots(t, keep_last=1)
+    meta = ice._load_metadata(t)
+    assert [e for _s, e in ice._effective_snaplog_timestamps(meta)] == [201]
+    with pytest.raises(ValueError, match="snapshot expiry"):
+        ice.read_iceberg(spark, t, as_of_timestamp_ms=150)
+    assert (
+        ice.read_iceberg(spark, t, as_of_timestamp_ms=201).count() == 15
+    )
+    with pytest.raises(ValueError, match="strictly increasing"):
+        ice.write_iceberg_commit(
+            df(15, 20), t, mode="append", timestamp_ms=50
+        )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gaps=st.lists(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=50)),
+        min_size=2,
+        max_size=6,
+    ),
+    cut_after=st.integers(min_value=0, max_value=5),
+    probes=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=4
+    ),
+)
+def test_timestamp_model_survives_truncation(
+    spark, tmp_path_factory, gaps, cut_after, probes
+):
+    """TIMESTAMP AS OF × retention, model-checked on both formats: after
+    truncating history at an arbitrary commit (Delta checkpoint+cleanup
+    / Iceberg expire keep_last), every probe must either resolve to
+    EXACTLY the version the FULL-history monotonization model predicts
+    (when that version survives) or refuse loudly (when it was
+    truncated) — never re-anchor onto a survivor."""
+    cut = min(cut_after, len(gaps) - 1)
+    droot = str(tmp_path_factory.mktemp("tstrunc")) + "/d"
+    iroot = str(tmp_path_factory.mktemp("tstrunc")) + "/i"
+    supplied: list[int | None] = []
+    eff: list[int] = []
+    for g in gaps:
+        if g is None:
+            supplied.append(None)
+            eff.append(eff[-1] + 1 if eff else 0)
+        else:
+            t = (eff[-1] if eff else 100) + g
+            supplied.append(t)
+            eff.append(t)
+    for i, t in enumerate(supplied):
+        df = spark.range(i * 5, i * 5 + 5).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        )
+        dl.write_delta_commit(df, droot, commit_timestamp=t)
+        ice.write_iceberg_commit(df, iroot, timestamp_ms=t)
+        if i == cut:
+            # the checkpoint that will become the truncation horizon —
+            # taken mid-history exactly as a real maintenance schedule
+            # would, so cleanup below keeps versions ≥ cut replayable
+            dl.write_delta_checkpoint(droot)
+    dl.cleanup_delta_log(droot)  # removes commits < cut
+    ice.expire_iceberg_snapshots(iroot, keep_last=len(gaps) - cut)
+    for probe in probes:
+        want = None
+        for i, e in enumerate(eff):
+            if e <= probe:
+                want = i
+        if want is None or want < cut:
+            with pytest.raises(ValueError):
+                dl.read_delta_log(spark, droot, timestamp_as_of=probe)
+            with pytest.raises(ValueError):
+                ice.read_iceberg(spark, iroot, as_of_timestamp_ms=probe)
+        else:
+            got = dl.read_delta_log(
+                spark, droot, timestamp_as_of=probe
+            ).count()
+            assert got == (want + 1) * 5, f"delta probe {probe}"
+            got = ice.read_iceberg(
+                spark, iroot, as_of_timestamp_ms=probe
+            ).count()
+            assert got == (want + 1) * 5, f"iceberg probe {probe}"
+
+
+def test_vacuum_keeps_files_of_between_checkpoint_versions(
+    spark, tmp_path_factory
+):
+    """Companion to the checkpoint-fallback fix: vacuum's referenced-set
+    walk starts at the EARLIEST replayable version, which after the fix
+    is the oldest on-disk checkpoint — not the pointer. On the
+    falsifying layout (pointer=2, checkpoint@1 on disk, commit 0
+    truncated) a grace-0 vacuum must keep every file version 1 still
+    references (even those removed at v2), or the time travel the
+    replay fix restored would read vanished data."""
+    table = str(tmp_path_factory.mktemp("cpfbvac") / "tbl")
+    dl.write_delta_commit(_to_df(spark, {0: 0.0}), table)
+    dl.write_delta_commit(_to_df(spark, {1: 1.0}), table, mode="append")
+    assert dl.write_delta_checkpoint(table) == 1
+    # v2 OVERWRITES: v1's files become unreferenced by the latest
+    # snapshot — only v1's replayability keeps them alive
+    dl.write_delta_commit(_to_df(spark, {9: 9.0}), table, mode="overwrite")
+    assert dl.cleanup_delta_log(table) == [0]
+    assert dl.write_delta_checkpoint(table) == 2
+    reclaimed = dl.vacuum_delta(table, grace_ms=0)
+    assert reclaimed == [], f"vacuum ate live-history files: {reclaimed}"
+    got = {r.id: r.v for r in dl.read_delta_log(spark, table, 1).collect()}
+    assert got == {0: 0.0, 1: 1.0}
+    assert _read_state(spark, table) == {9: 9.0}
