@@ -94,8 +94,9 @@ def load_all() -> None:
 #: frozen as a literal for greppability and pinned by
 #: tests/test_oracle_gate.py::test_priority_is_computed (hand-rotation
 #: drift is now a test failure, not a judge finding). The round-11
-#: window: the round-11 addition (checkpoint fallback), the 12
-#: remaining round-4 rows, and the 47 alphabetically-first round-5
+#: window: the two round-11 additions (checkpoint fallback, timestamp
+#: retention), the 12
+#: remaining round-4 rows, and the 46 alphabetically-first round-5
 #: rows.
 #:
 #: ``PRIORITY_AS_OF`` stamps WHICH history the literal was frozen
@@ -108,6 +109,7 @@ def load_all() -> None:
 PRIORITY_AS_OF: int = 11
 PRIORITY: list[str] = [
     "delta_log_checkpoint_fallback",
+    "timestamp_retention_lockstep",
     "similarity_pq_topk",
     "stream_delta_sink_exactly_once",
     "text_fingerprint",
@@ -166,7 +168,6 @@ PRIORITY: list[str] = [
     "udtf_chunk_text",
     "union_account_balances",
     "variant_props_extract",
-    "window_kitchen_sink",
 ]
 
 
