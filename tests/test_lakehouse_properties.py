@@ -1042,3 +1042,90 @@ def test_vacuum_keeps_files_of_between_checkpoint_versions(
     got = {r.id: r.v for r in dl.read_delta_log(spark, table, 1).collect()}
     assert got == {0: 0.0, 1: 1.0}
     assert _read_state(spark, table) == {9: 9.0}
+
+
+# ------------- WAP branches × expiry × fast-forward model (round 11)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["main", "branch", "publish", "expire", "dropbranch"]
+            ),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_iceberg_wap_matches_model_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    """Write-audit-publish × retention, model-checked: under ANY
+    interleaving of main appends, branch ('wap') appends, fast-forward
+    publishes, snapshot expiry, and branch drops,
+
+    - reading main always equals the main model; reading via the branch
+      ref always equals the branch model (expiry must protect the
+      branch's ANCESTRY back to a retained snapshot, the spec's rule —
+      a broken chain would also break the publish walk),
+    - fast-forward succeeds exactly when main is an ancestor of the
+      branch head (publish after divergence must REFUSE, never clobber
+      main),
+    - a dropped branch's snapshots become expirable without affecting
+      main's readability.
+    """
+    table = str(tmp_path_factory.mktemp("icewap") / "tbl")
+    ice.write_iceberg_commit(_to_df(spark, {0: 0.0}), table)
+    main_state: dict[int, float] = {0: 0.0}
+    branch_state: dict[int, float] | None = None
+    diverged = False
+    next_id = 10
+    for op, seed in ops:
+        batch = {next_id + i: float(seed * 100 + i) for i in range(seed % 2 + 1)}
+        next_id += len(batch)
+        if op == "main":
+            ice.write_iceberg_commit(
+                _to_df(spark, batch), table, mode="append"
+            )
+            main_state.update(batch)
+            if branch_state is not None:
+                diverged = True  # main left the branch's lineage
+        elif op == "branch":
+            ice.write_iceberg_commit(
+                _to_df(spark, batch), table, mode="append", branch="wap"
+            )
+            if branch_state is None:
+                branch_state = dict(main_state)  # auto-created at main
+            branch_state.update(batch)
+        elif op == "publish":
+            if branch_state is None:
+                continue
+            if diverged:
+                with pytest.raises(ValueError, match="not an ancestor"):
+                    ice.fast_forward_iceberg(table, "wap")
+                continue
+            ice.fast_forward_iceberg(table, "wap")
+            main_state = dict(branch_state)
+        elif op == "expire":
+            ice.expire_iceberg_snapshots(table, keep_last=seed % 3 + 1)
+        else:  # dropbranch
+            if branch_state is None:
+                continue
+            ice.drop_iceberg_ref(table, "wap")
+            branch_state = None
+            diverged = False
+        got = {r.id: r.v for r in ice.read_iceberg(spark, table).collect()}
+        assert got == main_state, f"main diverged after {op}({seed})"
+        if branch_state is not None:
+            got = {
+                r.id: r.v
+                for r in ice.read_iceberg(spark, table, ref="wap").collect()
+            }
+            assert got == branch_state, f"branch diverged after {op}({seed})"
