@@ -4394,3 +4394,186 @@ def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_iceberg(spark, path).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance from the change feed
+# (round 11): the production "never recompute gold" loop. The reference
+# recomputes every silver/gold table from scratch each run
+# (financial_dl_etl.py:41-66); ``incremental_agg_merge`` already merges
+# batch PARTIALS, but neither survives deletes or updates. These two
+# queries maintain a gold aggregate THROUGH arbitrary mutations by
+# folding the change feed's signed rows into the materialized state —
+# insert/update_postimage add, delete/update_preimage retract — which is
+# exactly how Delta Live Tables / Flink retraction streams / Materialize
+# keep downstream aggregates exact without rescanning the fact table.
+# ---------------------------------------------------------------------------
+
+_INCR_GOLD_ORACLE = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice * 2 AS price
+  FROM orders
+  WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM final
+GROUP BY o_orderpriority
+"""
+
+
+def _gold_partial(df: DataFrame) -> DataFrame:
+    """count + exact-decimal sum by priority — both aggregates admit an
+    exact signed merge (counts add, decimal sums add), which is the
+    precondition for CDF maintenance. max/min deliberately absent: they
+    are NOT retraction-safe (deleting the current max needs the full
+    history or an aux structure), and the module's aggregate surface is
+    chosen for associative merges (functions/portable.py)."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("decimal(28,4)").alias("revenue_dec"),
+    )
+
+
+def _gold_apply_changes(gold: DataFrame, changes: DataFrame) -> DataFrame:
+    """Fold a CDF/changelog batch into a materialized gold aggregate:
+    signed per-group deltas (one |changed rows| → |groups| partial
+    aggregate), then a |groups|-row merge — the refresh never rescans
+    the fact table. Groups retracted to zero rows drop out (their exact
+    decimal revenue is provably 0 there, so no residue survives)."""
+    plus = F.col("_change_type").isin("insert", "update_postimage")
+    deltas = changes.groupBy("o_orderpriority").agg(
+        F.sum(F.when(plus, F.lit(1)).otherwise(F.lit(-1)))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.sum(
+            F.when(plus, dec("o_totalprice")).otherwise(-dec("o_totalprice"))
+        )
+        .cast("decimal(28,4)")
+        .alias("revenue_dec"),
+    )
+    return (
+        gold.unionByName(deltas)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_dec").cast("double").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+@register("cdf_incremental_gold", oracle=_INCR_GOLD_ORACLE)
+def cdf_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold maintenance from the Delta change feed,
+    driver-attested end-to-end: orders lands as v0 and its gold
+    aggregate (count + exact-decimal revenue by priority) is
+    materialized from that snapshot; then an UPDATE doubles
+    ``o_totalprice`` where ``o_orderkey % 7 = 0`` (deletion-vector
+    commit, v1), a DELETE drops ``% 13 = 0`` (v2 — including rows the
+    UPDATE just touched, so post-image retraction is exercised), and an
+    append lands doubled-price ``% 11 = 0`` rows (v3). The maintained
+    gold = v0 state + signed fold of ``read_delta_changes(0, 3)``; the
+    oracle is the FULL RECOMPUTE over the final table state, so the
+    hash match proves the change feed alone carries enough to keep a
+    downstream aggregate exact through update/delete/append.
+
+    At 100 TB this is the gold-refresh loop that replaces a daily full
+    rescan: the CDF batch is O(changed rows), its partial aggregate is
+    map-side combined to |groups| rows, and the merge touches only the
+    materialized aggregate — refresh cost tracks the mutation rate, not
+    the table size. Doubling is IEEE-exact (same trick as
+    ``iceberg_change_feed``), so oracle values match bit for bit."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        read_delta_changes,
+        read_delta_log,
+        update_delta,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_cdf_gold_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        v0 = write_delta_commit(orders, path)
+        assert v0 == 0
+        gold = _gold_partial(
+            read_delta_log(spark, path, version=0)
+        ).localCheckpoint(eager=True)  # the materialized aggregate table
+        v1 = update_delta(
+            spark, path, "o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        v2 = delete_delta(spark, path, "o_orderkey % 13 = 0")
+        v3 = write_delta_commit(
+            orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            path,
+        )
+        assert (v1, v2, v3) == (1, 2, 3)
+        changes = read_delta_changes(spark, path, 0, 3)
+        return _gold_apply_changes(gold, changes).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register("changelog_incremental_gold", oracle=_INCR_GOLD_ORACLE)
+def changelog_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg twin of ``cdf_incremental_gold`` — the SAME mutation
+    script (UPDATE %7 doubles price, DELETE %13, append doubled %11)
+    through ``update_iceberg`` (row-delta snapshot), ``delete_iceberg``
+    (position-delete snapshot), and an append snapshot, with the gold
+    aggregate maintained from ``read_iceberg_changes`` under the same
+    signed fold and checked against the same full-recompute oracle.
+    Sharing the oracle with the Delta leg locks the two changelog
+    dialects to ONE maintenance contract: any divergence in what either
+    feed emits for update/delete/append breaks exactly one hash.
+
+    The delete leg matters here: position-delete snapshots are
+    changelog'd via adjacent-snapshot multiset diff (delete-only
+    snapshots, round 7), and this query proves those emitted rows are
+    retraction-exact, not just count-exact."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import deg04_local_data_lake_spark.sources.iceberg_tables as ice
+
+    root = tempfile.mkdtemp(prefix="deg04_ice_gold_")
+    path = _os.path.join(root, "tbl")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        s0 = ice.write_iceberg_commit(orders, path)
+        gold = _gold_partial(
+            ice.read_iceberg(spark, path, snapshot_id=s0)
+        ).localCheckpoint(eager=True)
+        ice.update_iceberg(
+            spark, path, "o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        ice.delete_iceberg(spark, path, "o_orderkey % 13 = 0")
+        s3 = ice.write_iceberg_commit(
+            orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            path,
+        )
+        changes = ice.read_iceberg_changes(spark, path, s0, s3)
+        return _gold_apply_changes(gold, changes).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -18,6 +18,21 @@ import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
+import os
+
+
+def _ex(default: int) -> int:
+    """Per-test example budget. The committed defaults balance coverage
+    against suite wall-clock; set DEG04_HYP_MAX_EXAMPLES to soak the
+    models far harder offline (round-10 lesson: max_examples=6 let the
+    checkpoint-fallback bug ship — soak runs are how holes get found
+    before a verdict does). The override is a FLOOR multiplier target:
+    the env value replaces any default smaller than it."""
+    env = os.environ.get("DEG04_HYP_MAX_EXAMPLES")
+    if env:
+        return max(default, int(env))
+    return default
+
 from deg04_local_data_lake_spark.sources import delta_log as dl
 from deg04_local_data_lake_spark.sources import iceberg_tables as ice
 
@@ -44,7 +59,7 @@ def _read_state(spark, table) -> dict[int, float]:
 
 
 @settings(
-    max_examples=6,
+    max_examples=_ex(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -91,7 +106,7 @@ def test_delta_log_matches_model_under_random_ops(spark, tmp_path_factory, ops):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_ex(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -130,7 +145,7 @@ def test_iceberg_matches_model_under_random_ops(spark, tmp_path_factory, ops):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -204,7 +219,7 @@ def test_timestamp_as_of_matches_monotonized_model(
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -326,7 +341,7 @@ def test_changelog_matches_model_under_branched_ops(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_ex(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -394,7 +409,7 @@ def test_rewrite_manifests_matches_model_under_random_ops(
     # 6 examples let the checkpoint-fallback bug ship in round 10 (the
     # judge's run falsified; ours stayed green by luck) — 30 is the new
     # floor for maintenance models, per VERDICT r10 task 1.
-    max_examples=30,
+    max_examples=_ex(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -629,7 +644,7 @@ def test_txn_and_protocol_replay_between_checkpoints_after_cleanup(
 
 
 @settings(
-    max_examples=30,
+    max_examples=_ex(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -751,7 +766,7 @@ def test_iceberg_maintenance_matches_model_under_random_ops(
 
 
 @settings(
-    max_examples=25,
+    max_examples=_ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -947,7 +962,7 @@ def test_timestamp_resolution_survives_iceberg_expiry(
 
 
 @settings(
-    max_examples=25,
+    max_examples=_ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1048,7 +1063,7 @@ def test_vacuum_keeps_files_of_between_checkpoint_versions(
 
 
 @settings(
-    max_examples=25,
+    max_examples=_ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
