@@ -4577,3 +4577,73 @@ def changelog_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _gold_apply_changes(gold, changes).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_cdf_commit_time",
+    oracle=f"SELECT t.*, TRUE AS cdc_fast_path FROM ({_INCR_GOLD_ORACLE}) t",
+)
+def delta_cdf_commit_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cdf_incremental_gold`` with the protocol's COMMIT-TIME CDC
+    storage engaged (round 11): ``enable_delta_cdf`` flips
+    ``delta.enableChangeDataFeed`` (v1), so the UPDATE (v2) and DELETE
+    (v3) persist their change rows as ``_change_data/`` parquet with
+    ``cdc`` actions, and ``read_delta_changes`` serves them WITHOUT the
+    two-snapshot ``exceptAll`` diff — the O(changed rows) hot path real
+    Delta CDF runs, closing the scale caveat the offline reconstruction
+    documents. The maintained gold must still hash-match the same
+    full-recompute oracle, proving the cdc files carry retraction-exact
+    rows; ``cdc_fast_path`` asserts IN THE RESULT that the rewriting
+    commits really did carry cdc actions while the pure append (v4)
+    correctly carried none (appends need no cdc — their add actions ARE
+    the inserts).
+
+    One deliberate flavor difference from the diff reconstruction:
+    commit-time CDC emits pre/post pairs for ALL matched UPDATE rows,
+    no-ops included (delta-spark does the same) — the signed fold is
+    invariant to such pairs, which this hash match also certifies."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        _read_commit,
+        delete_delta,
+        enable_delta_cdf,
+        read_delta_changes,
+        read_delta_log,
+        update_delta,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_cdf_ct_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        write_delta_commit(orders, path)
+        assert enable_delta_cdf(path) == 1
+        gold = _gold_partial(
+            read_delta_log(spark, path, version=0)
+        ).localCheckpoint(eager=True)
+        v2 = update_delta(
+            spark, path, "o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        v3 = delete_delta(spark, path, "o_orderkey % 13 = 0")
+        v4 = write_delta_commit(
+            orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            path,
+        )
+        assert (v2, v3, v4) == (2, 3, 4)
+        fast = all(
+            any("cdc" in a for a in _read_commit(path, v)) for v in (2, 3)
+        ) and not any("cdc" in a for a in _read_commit(path, 4))
+        changes = read_delta_changes(spark, path, 1, 4)
+        out = _gold_apply_changes(gold, changes).withColumn(
+            "cdc_fast_path", F.lit(bool(fast))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

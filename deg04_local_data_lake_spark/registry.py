@@ -94,10 +94,10 @@ def load_all() -> None:
 #: frozen as a literal for greppability and pinned by
 #: tests/test_oracle_gate.py::test_priority_is_computed (hand-rotation
 #: drift is now a test failure, not a judge finding). The round-11
-#: window: the four round-11 additions (incremental-gold maintenance
-#: from both change feeds, checkpoint fallback, timestamp retention),
-#: the 12 remaining round-4 rows, and the 44 alphabetically-first
-#: round-5 rows.
+#: window: the five round-11 additions (incremental-gold maintenance
+#: from both change feeds, commit-time CDC, checkpoint fallback,
+#: timestamp retention), the 12 remaining round-4 rows, and the 43
+#: alphabetically-first round-5 rows.
 #:
 #: ``PRIORITY_AS_OF`` stamps WHICH history the literal was frozen
 #: against: compute_priority() ignores CORRECTNESS files from rounds ≥
@@ -110,6 +110,7 @@ PRIORITY_AS_OF: int = 11
 PRIORITY: list[str] = [
     "cdf_incremental_gold",
     "changelog_incremental_gold",
+    "delta_cdf_commit_time",
     "delta_log_checkpoint_fallback",
     "timestamp_retention_lockstep",
     "similarity_pq_topk",
@@ -167,7 +168,6 @@ PRIORITY: list[str] = [
     "stream_delta_source_incremental",
     "stream_iceberg_source_incremental",
     "string_functions_parity",
-    "udtf_chunk_text",
 ]
 
 

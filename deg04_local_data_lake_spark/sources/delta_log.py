@@ -1549,6 +1549,129 @@ def _apply_deletion_vectors(
     return tagged.mapInPandas(drop_deleted, schema=out_schema)
 
 
+# ------------------------------------------------- change data feed
+#
+# The protocol's COMMIT-TIME CDC storage (PROTOCOL.md "Add CDC File",
+# delta-spark's ``delta.enableChangeDataFeed``): when the table property
+# is set, UPDATE / DELETE / MERGE persist their change rows (table
+# columns + ``_change_type``) as parquet under ``_change_data/`` and
+# record them as ``cdc`` actions in the commit. ``read_delta_changes``
+# then serves those commits from the cdc files directly — O(changed
+# rows) — instead of the two-full-snapshot ``exceptAll`` diff the
+# offline reconstruction pays per rewriting commit. This closes the
+# scale caveat that function documents: with CDF enabled, the change
+# feed IS a hot path. cdc actions are invisible to snapshot replay
+# (``_replay`` only consumes add/remove/metaData — the spec's rule that
+# cdc files are not part of any snapshot), are never checkpointed, and
+# VACUUM keeps them exactly as long as their commit JSON is replayable.
+
+_CDF_PROP = "delta.enableChangeDataFeed"
+_CHANGE_DATA_DIR = "_change_data"
+_CT_COL = "_change_type"
+
+
+def _cdf_enabled(meta: dict | None) -> bool:
+    if not meta:
+        return False
+    cfg = meta.get("configuration") or {}
+    return str(cfg.get(_CDF_PROP, "")).lower() == "true"
+
+
+def enable_delta_cdf(table: str, commit_timestamp: int | None = None) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableChangeDataFeed' = 'true')``: a metadata-only commit
+    that flips the table property and asserts the protocol's
+    ``changeDataFeed`` writer feature (minWriterVersion 4 legacy, listed
+    explicitly under table features). From this commit on, every
+    UPDATE/DELETE/MERGE also writes commit-time cdc files. Returns the
+    committed version (unchanged if already enabled). Commutes with
+    concurrent data commits; a concurrent metaData/protocol winner
+    conflicts, per the RMW rules."""
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    if meta is None:
+        raise ValueError(f"no metaData action in log for {table}")
+    if _cdf_enabled(meta):
+        return version
+    new_meta = dict(meta)
+    config = dict(meta.get("configuration") or {})
+    config[_CDF_PROP] = "true"
+    new_meta["configuration"] = config
+    actions = [
+        _protocol_action_with(table, version, (), ("changeDataFeed",)),
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {_CDF_PROP: "true"},
+            }
+        },
+    ]
+    return _publish_rmw_commit(
+        table,
+        version,
+        actions,
+        op="SET TBLPROPERTIES",
+        tolerate_appends=True,
+        tolerate_removes=True,
+        commit_timestamp=commit_timestamp,
+    )
+
+
+def _stage_cdc_files(
+    change_df: DataFrame,
+    table: str,
+    version: int,
+    mapping: dict[str, str] | None = None,
+) -> list[dict]:
+    """Distributed parquet write of change rows (table columns +
+    ``_change_type``) into ``_change_data/``, returned as ``cdc``
+    actions. Files store PHYSICAL column names when column mapping is
+    active — the same convention as the data files, so RENAME COLUMN
+    after the fact cannot orphan historical change files (the read path
+    translates through each commit's own mapping). ``dataChange`` is
+    false by spec: cdc files describe a change, they are not one.
+    Partition values are stored inline as ordinary columns rather than
+    hive paths — this engine reads its own cdc files with each commit's
+    schema, so the flat layout loses nothing (documented divergence
+    from delta-spark's partitioned ``_change_data`` subdirs)."""
+    from pyspark.sql import functions as F
+
+    if mapping:
+        change_df = change_df.select(
+            *[F.col(lg).alias(ph) for lg, ph in mapping.items()],
+            F.col(_CT_COL),
+        )
+    stage = os.path.join(table, f"_stage_{uuid.uuid4().hex}")
+    change_df.write.format("parquet").mode("errorifexists").save(stage)
+    os.makedirs(os.path.join(table, _CHANGE_DATA_DIR), exist_ok=True)
+    out: list[dict] = []
+    idx = 0
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        name = (
+            f"cdc-{version:05d}-{idx:05d}-{uuid.uuid4().hex}.snappy.parquet"
+        )
+        rel = f"{_CHANGE_DATA_DIR}/{name}"
+        src = os.path.join(stage, f)
+        size = os.path.getsize(src)
+        os.rename(src, os.path.join(table, _CHANGE_DATA_DIR, name))
+        out.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+        idx += 1
+    shutil.rmtree(stage)
+    return out
+
+
 def delete_delta(
     spark: SparkSession, table: str, condition,
     commit_timestamp: int | None = None,
@@ -1571,6 +1694,8 @@ def delete_delta(
     deletes merge bitmaps (union) rather than chaining; OPTIMIZE
     materializes DVs away (its rewrite reads the DV-filtered snapshot);
     VACUUM reclaims unreferenced DV files."""
+    from pyspark.sql import functions as F
+
     tagged, version, live, _meta = _dv_tagged_snapshot(spark, table)
     if tagged is None:
         return version
@@ -1579,6 +1704,16 @@ def delete_delta(
     if not actions:
         return version
     actions.insert(0, _dv_protocol_action(table, version))
+    if _cdf_enabled(_meta):
+        # commit-time CDC: the deleted rows ARE the change rows
+        pre = tagged.filter(condition).drop(
+            _DV_FILE_COL, _DV_POS_COL
+        ).withColumn(_CT_COL, F.lit("delete"))
+        actions.extend(
+            _stage_cdc_files(
+                pre, table, version + 1, _column_mapping(_meta)
+            )
+        )
     actions.append(
         {
             "commitInfo": {
@@ -1789,12 +1924,24 @@ def update_delta(
             _apply_generated_columns(updated, supplied, "UPDATE")
     _enforce_constraints(updated, meta, "UPDATE")
     mapping = _column_mapping(meta)
+    new_version = version + 1
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        # commit-time CDC: matched rows pre-SET are the preimages, the
+        # rewritten rows the postimages (both still under logical names
+        # here; _stage_cdc_files applies the physical mapping)
+        pre = matched_tagged.drop(_DV_FILE_COL, _DV_POS_COL).withColumn(
+            _CT_COL, F.lit("update_preimage")
+        )
+        post = updated.withColumn(_CT_COL, F.lit("update_postimage"))
+        cdc_acts = _stage_cdc_files(
+            pre.unionByName(post), table, new_version, mapping
+        )
     if mapping:
         updated = _to_physical(updated, mapping)
-    new_version = version + 1
     part_cols = list(meta.get("partitionColumns") or []) or None
     adds = _stage_files(updated, table, new_version, part_cols)
-    actions = [_dv_protocol_action(table, version)] + actions + adds
+    actions = [_dv_protocol_action(table, version)] + actions + adds + cdc_acts
     actions.append(
         {
             "commitInfo": {
@@ -2108,6 +2255,7 @@ def write_delta_commit(
     strict_conflicts: bool = False,
     merge_schema: bool = False,
     commit_timestamp: int | None = None,
+    cdc_actions: list[dict] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``table`` (created on first
     commit) and return the new version. ``mode`` is ``append`` or
@@ -2373,6 +2521,13 @@ def write_delta_commit(
                     }
                 )
         actions.extend(adds)
+        if cdc_actions:
+            # commit-time CDC (MERGE passes its staged change files).
+            # Only meaningful with strict_conflicts: the change rows
+            # were computed FROM the snapshot this commit overwrites, so
+            # a rebase would publish stale changes alongside fresh data.
+            assert strict_conflicts, "cdc_actions requires strict_conflicts"
+            actions.extend(cdc_actions)
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
         actions.append(
@@ -2622,7 +2777,9 @@ def merge_delta(
             "not_matched_by_source supports only 'delete', got "
             f"{not_matched_by_source!r}"
         )
-    target = read_delta_log(spark, table)
+    version = _latest_version(table)
+    _live, meta = _replay(table, version)
+    target = read_delta_log(spark, table, version)
     if op_col is not None:
         deletes = source.filter(F.col(op_col) == "D").select(key)
         upserts = source.filter(F.col(op_col) != "D").drop(op_col)
@@ -2632,6 +2789,7 @@ def merge_delta(
     kept = target.join(upserts.select(key), on=key, how="left_anti")
     if deletes is not None:
         kept = kept.join(deletes, on=key, how="left_anti")
+    deleted_by_source = None
     if not_matched_by_source == "delete":
         # rows not matched by ANY source key (upserts and CDC deletes
         # alike) fall to the by-source leg; an optional condition keeps
@@ -2640,20 +2798,69 @@ def merge_delta(
             source.select(key).distinct(), on=key, how="left_semi"
         )
         survivors = in_source
+        not_in_source = kept.join(
+            source.select(key).distinct(), on=key, how="left_anti"
+        )
+        deleted_by_source = not_in_source
         if not_matched_by_source_condition is not None:
-            not_in_source = kept.join(
-                source.select(key).distinct(), on=key, how="left_anti"
-            )
-            survivors = in_source.unionByName(
-                not_in_source.filter(
-                    ~F.expr(not_matched_by_source_condition)
-                )
+            cond = F.expr(not_matched_by_source_condition)
+            survivors = in_source.unionByName(not_in_source.filter(~cond))
+            # deleted iff NOT kept — i.e. the condition is TRUE or NULL
+            # (the ~cond filter above drops NULLs from the survivors)
+            deleted_by_source = not_in_source.filter(
+                ~cond.eqNullSafe(F.lit(False))
             )
         kept = survivors
     merged = upserts.select(*target.columns).unionByName(kept)
     # Materialize BEFORE the overwrite commit: the merged plan reads the
     # files the commit is about to tombstone.
     merged = merged.localCheckpoint(eager=True)
+    cdc_acts: list[dict] | None = None
+    if _cdf_enabled(meta):
+        # Commit-time CDC for MERGE, delta-spark's flavor: a matched
+        # upsert emits its pre/post images, a source 'D' row emits the
+        # target rows it killed as 'delete', unmatched source rows are
+        # 'insert' — and a key carrying BOTH a 'D' and an upsert counts
+        # as delete + insert (never an unpaired postimage). The fold
+        # identity (prev − pre − delete + post + insert == next, as
+        # multisets) holds by construction; the model test asserts it
+        # under random op sequences.
+        tgt_keys = target.select(key).distinct()
+        upd_keys = upserts.select(key).distinct().join(
+            tgt_keys, on=key, how="left_semi"
+        )
+        if deletes is not None:
+            upd_keys = upd_keys.join(
+                deletes.distinct(), on=key, how="left_anti"
+            )
+        src_cols = upserts.select(*target.columns)
+        change = (
+            target.join(upd_keys, on=key, how="left_semi")
+            .withColumn(_CT_COL, F.lit("update_preimage"))
+            .unionByName(
+                src_cols.join(upd_keys, on=key, how="left_semi")
+                .withColumn(_CT_COL, F.lit("update_postimage"))
+            )
+            .unionByName(
+                src_cols.join(upd_keys, on=key, how="left_anti")
+                .withColumn(_CT_COL, F.lit("insert"))
+            )
+        )
+        if deletes is not None:
+            change = change.unionByName(
+                target.join(deletes.distinct(), on=key, how="left_semi")
+                .withColumn(_CT_COL, F.lit("delete"))
+            )
+        if deleted_by_source is not None:
+            change = change.unionByName(
+                deleted_by_source.withColumn(_CT_COL, F.lit("delete"))
+            )
+        # materialize BEFORE the overwrite tombstones the files the
+        # change plan reads (same rule as the merged snapshot)
+        change = change.localCheckpoint(eager=True)
+        cdc_acts = _stage_cdc_files(
+            change, table, version + 1, _column_mapping(meta)
+        )
     # MERGE's output is computed from the snapshot it read: a rebase
     # over concurrent data commits would silently drop their rows
     return write_delta_commit(
@@ -2662,6 +2869,7 @@ def merge_delta(
         mode="overwrite",
         strict_conflicts=True,
         commit_timestamp=commit_timestamp,
+        cdc_actions=cdc_acts,
     )
 
 
@@ -3054,6 +3262,17 @@ def vacuum_delta(table: str, grace_ms: int = VACUUM_GRACE_MS) -> list[str]:
                 # a live snapshot's deletion vector is part of that
                 # snapshot — reclaiming it would corrupt time travel
                 referenced.add(_dv_rel_path(dv))
+    for v in range(earliest, latest + 1):
+        # commit-time cdc files live exactly as long as their commit
+        # JSON is replayable: read_delta_changes serves them for any
+        # in-retention range, so reclaiming one would break a valid CDF
+        # read; once cleanup truncates the commit (the range refuses
+        # anyway), the file goes unreferenced and sweeps here.
+        if not os.path.exists(_commit_file(table, v)):
+            continue
+        for action in _read_commit(table, v):
+            if "cdc" in action:
+                referenced.add(action["cdc"]["path"])
     now_ms = _time.time() * 1000.0
     doomed = []
     for root, _dirs, files in os.walk(table):
@@ -3130,9 +3349,13 @@ def read_delta_changes(
     dataChange=false commit (OPTIMIZE) emits nothing, by protocol.
 
     Scale note: real Delta CDF persists change files AT COMMIT TIME so
-    reading changes never diffs snapshots; this offline reconstruction
-    pays two snapshot scans per rewriting commit instead — right for
-    audit/backfill jobs, wrong as a hot path, and said so here."""
+    reading changes never diffs snapshots. Since round 11 this engine
+    does too — ``enable_delta_cdf`` makes UPDATE/DELETE/MERGE write
+    ``_change_data/`` files with ``cdc`` actions, and commits carrying
+    them are served from those files directly (O(changed rows), the hot
+    path). The snapshot-diff reconstruction remains the fallback for
+    commits written before the property was set — right for
+    audit/backfill, and said so here."""
     from pyspark.sql import functions as F
 
     out: DataFrame | None = None
@@ -3153,6 +3376,25 @@ def read_delta_changes(
                 "version at or above the current checkpoint"
                 f" [{exc}]"
             ) from None
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            # commit-time CDC (the spec's rule: when a commit carries
+            # cdc actions, readers take change info from those files
+            # EXCLUSIVELY — no snapshot diff, no add/remove derivation).
+            # This is the O(changed rows) hot path the docstring's scale
+            # note promises once ``enable_delta_cdf`` is on.
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            mapping = _column_mapping(meta)
+            paths = [os.path.join(table, c["path"]) for c in cdcs]
+            scan = spark.read.parquet(*paths)
+            if mapping:
+                scan = _to_logical(scan, mapping, keep=(_CT_COL,))
+            delta = scan.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+                F.col(_CT_COL),
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+            out = delta if out is None else out.unionByName(delta)
+            continue
         adds = [a["add"] for a in actions if "add" in a]
         removes = [a for a in actions if "remove" in a]
         data_change = any(a.get("dataChange", True) for a in adds) or any(

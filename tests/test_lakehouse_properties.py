@@ -1144,3 +1144,114 @@ def test_iceberg_wap_matches_model_under_random_ops(
                 for r in ice.read_iceberg(spark, table, ref="wap").collect()
             }
             assert got == branch_state, f"branch diverged after {op}({seed})"
+
+
+@settings(
+    max_examples=_ex(15),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                [
+                    "append",
+                    "overwrite",
+                    "merge",
+                    "update",
+                    "delete",
+                    "optimize",
+                    "checkpoint",
+                ]
+            ),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_cdf_apply_identity_under_random_ops(spark, tmp_path_factory, ops):
+    """Round-11 model check for COMMIT-TIME CDC: with
+    ``delta.enableChangeDataFeed`` on, every data-changing commit —
+    whatever the interleaving of appends, overwrites, MERGEs, DV
+    UPDATEs, DV DELETEs, OPTIMIZEs, and checkpoints — must satisfy the
+    apply identity as MULTISETS:
+
+        state(v-1) − preimages − deletes + postimages + inserts
+            == state(v)
+
+    with no count ever driven negative (an unpaired retraction), and an
+    OPTIMIZE-only range must refuse with the documented
+    no-data-changing-commits error rather than emit storage noise. This
+    is the invariant that makes change feeds sufficient to maintain
+    downstream state (operators/lakehouse.py's incremental-gold
+    queries); the deterministic tests pin each op's emission shape,
+    this pins their compositions."""
+    from collections import Counter
+
+    table = str(tmp_path_factory.mktemp("dlcdf") / "tbl")
+    dl.write_delta_commit(
+        _to_df(spark, {i: float(i) for i in range(4)}), table
+    )
+    dl.enable_delta_cdf(table)
+    last = 1
+
+    def cstate(version):
+        return Counter(
+            (r.id, r.v)
+            for r in dl.read_delta_log(spark, table, version).collect()
+        )
+
+    def fold(prev, rows):
+        out = Counter(prev)
+        for r in rows:
+            k = (r.id, r.v)
+            if r._change_type in ("insert", "update_postimage"):
+                out[k] += 1
+            else:
+                out[k] -= 1
+        assert all(c >= 0 for c in out.values()), dict(out)
+        return +out
+
+    for op, seed in ops:
+        batch = _rows(seed, lo=seed % 4)
+        if op == "append":
+            v = dl.write_delta_commit(_to_df(spark, batch), table)
+        elif op == "overwrite":
+            v = dl.write_delta_commit(
+                _to_df(spark, batch), table, mode="overwrite"
+            )
+        elif op == "merge":
+            v = dl.merge_delta(spark, table, _to_df(spark, batch), "id")
+        elif op == "update":
+            v = dl.update_delta(
+                spark, table, f"id % 3 = {seed % 3}", {"v": "v + 1"}
+            )
+        elif op == "delete":
+            v = dl.delete_delta(spark, table, f"id % 4 = {seed % 4}")
+        elif op == "optimize":
+            v = dl.optimize_delta(spark, table)
+            if v != last:
+                # storage reorganization: the feed must refuse an
+                # OPTIMIZE-only range, not emit phantom changes
+                with pytest.raises(ValueError, match="no data-changing"):
+                    dl.read_delta_changes(spark, table, v - 1, v)
+                last = v
+            continue
+        else:  # checkpoint
+            dl.write_delta_checkpoint(table)
+            continue
+        if v == last:
+            continue  # no-op (predicate matched nothing)
+        prev = cstate(v - 1)
+        rows = dl.read_delta_changes(spark, table, v - 1, v).collect()
+        assert fold(prev, rows) == cstate(v), (op, seed, v)
+        last = v
+    if last > 1:
+        # the whole-range fold must also hold (per-commit deltas compose)
+        try:
+            rows = dl.read_delta_changes(spark, table, 1, last).collect()
+        except ValueError:
+            rows = []  # only OPTIMIZE commits after v1
+        assert fold(cstate(1), rows) == cstate(last)
