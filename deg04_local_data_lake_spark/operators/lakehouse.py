@@ -4647,3 +4647,72 @@ def delta_cdf_commit_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "delta_mapped_append_omitted_column",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(note) AS BIGINT) AS n_notes
+FROM (
+  SELECT o_orderpriority, o_totalprice AS price,
+         CAST(NULL AS DOUBLE) AS note
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice * 2, CAST(NULL AS DOUBLE)
+  FROM orders WHERE o_orderkey % 3 = 0
+) t
+GROUP BY o_orderpriority
+""",
+)
+def delta_mapped_append_omitted_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-11 soak falsifier as a driver-attested oracle (the
+    established hole→regression+example+oracle pattern): on a
+    column-MAPPED table (RENAME activates mapping mode) with a freshly
+    ADDed nullable column, an append that OMITS that column must land
+    its rows with the column null — the same subset-schema append the
+    unmapped log has always allowed. Before the fix,
+    ``write_delta_commit``'s mapped-append branch projected the FULL
+    mapping and raised UNRESOLVED_COLUMN
+    (tests/test_lakehouse_properties.py @example; delta_log.py append
+    branch). The oracle recomputes the final state (base + doubled %3
+    appends, ``note`` null everywhere — ``n_notes = 0`` proves the
+    omission landed as nulls, not garbage), so the hash match certifies
+    the mapped read path binds physical names correctly across files
+    written both before and after the schema change."""
+    import shutil
+    import tempfile
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        add_delta_columns,
+        read_delta_log,
+        rename_delta_column,
+        write_delta_commit,
+    )
+
+    path = tempfile.mkdtemp(prefix="deg04_map_append_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        write_delta_commit(orders, path)
+        rename_delta_column(spark, path, {"o_totalprice": "price"})
+        add_delta_columns(path, {"note": "double"})
+        inc = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("price"),
+        )
+        write_delta_commit(inc, path, mode="append")
+        out = read_delta_log(spark, path).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("price")).cast("double").alias("revenue"),
+            F.count("note").cast("bigint").alias("n_notes"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

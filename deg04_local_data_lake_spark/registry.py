@@ -94,10 +94,11 @@ def load_all() -> None:
 #: frozen as a literal for greppability and pinned by
 #: tests/test_oracle_gate.py::test_priority_is_computed (hand-rotation
 #: drift is now a test failure, not a judge finding). The round-11
-#: window: the five round-11 additions (incremental-gold maintenance
-#: from both change feeds, commit-time CDC, checkpoint fallback,
-#: timestamp retention), the 12 remaining round-4 rows, and the 43
-#: alphabetically-first round-5 rows.
+#: window: the seven round-11 additions (incremental-gold maintenance
+#: from both change feeds — batch ×2 + the streaming CDF drain —
+#: commit-time CDC, the mapped-append soak falsifier, checkpoint
+#: fallback, timestamp retention), the 12 remaining round-4 rows, and
+#: the 41 alphabetically-first round-5 rows.
 #:
 #: ``PRIORITY_AS_OF`` stamps WHICH history the literal was frozen
 #: against: compute_priority() ignores CORRECTNESS files from rounds ≥
@@ -112,6 +113,8 @@ PRIORITY: list[str] = [
     "changelog_incremental_gold",
     "delta_cdf_commit_time",
     "delta_log_checkpoint_fallback",
+    "delta_mapped_append_omitted_column",
+    "stream_cdf_incremental_gold",
     "timestamp_retention_lockstep",
     "similarity_pq_topk",
     "stream_delta_sink_exactly_once",
@@ -166,8 +169,6 @@ PRIORITY: list[str] = [
     "sql_parameterized_entry",
     "sql_scripting_block",
     "stream_delta_source_incremental",
-    "stream_iceberg_source_incremental",
-    "string_functions_parity",
 ]
 
 

@@ -2446,7 +2446,15 @@ def write_delta_commit(
         configuration[_CM_MAX] = str(max_id)
         schema_string = json.dumps(doc)
         if mode == "append":
-            stage_df = _to_physical(df, _column_mapping(prev_meta0))
+            # Round-11 soak find: an append may legally OMIT nullable
+            # columns (they read back as null — the unmapped path has
+            # always allowed this); projecting the FULL mapping here
+            # raised UNRESOLVED_COLUMN on any mapped table appended
+            # without a just-added column. Map only what's present.
+            m = _column_mapping(prev_meta0)
+            stage_df = _to_physical(
+                df, {lg: ph for lg, ph in m.items() if lg in set(df.columns)}
+            )
         else:
             stage_df = _to_physical(df, write_mapping)
 

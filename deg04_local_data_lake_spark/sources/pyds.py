@@ -369,9 +369,15 @@ def make_delta_stream_source():
         return rename
 
     class DeltaCommitFilePartition(_InputPartition):
-        def __init__(self, path, rename=None):
+        def __init__(self, path, rename=None, tag=None, version=None):
             self.path = path
             self.rename = rename or {}
+            # CDF mode only: ``tag`` stamps a constant _change_type on
+            # files that don't carry one (add files are inserts); cdc
+            # files ship their own column and pass tag=None. ``version``
+            # stamps _commit_version. Both None in plain-append mode.
+            self.tag = tag
+            self.version = version
 
     class DeltaLogStreamReader(_StreamReader):
         # Restart safety (round-6 ADVICE): a reader restarted from a
@@ -392,6 +398,16 @@ def make_delta_stream_source():
             self.per_batch = int(options.get("maxversionsperbatch", 1))
             self.skip_change = (
                 str(options.get("skipchangecommits", "false")).lower()
+                == "true"
+            )
+            # readChangeFeed=true streams the change data feed instead
+            # of the append flow: cdc-file commits fan out one partition
+            # per cdc file (rows already tagged), pure appends emit
+            # their add files tagged 'insert', and a rewriting commit
+            # WITHOUT cdc files (written before enable_delta_cdf) fails
+            # loudly — delta-spark's readChangeFeed stream contract.
+            self.read_change_feed = (
+                str(options.get("readchangefeed", "false")).lower()
                 == "true"
             )
             self.start_version = int(options.get("startingversion", 0))
@@ -444,6 +460,39 @@ def make_delta_stream_source():
                     "remove" in a and a["remove"].get("dataChange", True)
                     for a in actions
                 )
+                if self.read_change_feed:
+                    cdcs = [a["cdc"] for a in actions if "cdc" in a]
+                    if cdcs:
+                        # the spec's reader rule: cdc files serve the
+                        # commit's changes EXCLUSIVELY
+                        for c in cdcs:
+                            parts.append(
+                                DeltaCommitFilePartition(
+                                    _os.path.join(self.table, c["path"]),
+                                    rename,
+                                    tag=None,
+                                    version=v,
+                                )
+                            )
+                        continue
+                    if has_change:
+                        raise RuntimeError(
+                            f"commit {v} of {self.table} rewrites data "
+                            "but carries no cdc files (written before "
+                            "delta.enableChangeDataFeed was set); the "
+                            "CDF stream cannot reconstruct it — start "
+                            "at or after the property flip"
+                        )
+                    for add in adds:
+                        parts.append(
+                            DeltaCommitFilePartition(
+                                _os.path.join(self.table, add["path"]),
+                                rename,
+                                tag="insert",
+                                version=v,
+                            )
+                        )
+                    continue
                 if has_change:
                     if not self.skip_change:
                         raise RuntimeError(
@@ -462,6 +511,7 @@ def make_delta_stream_source():
             return parts
 
         def read(self, partition):
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             for batch in pq.ParquetFile(partition.path).iter_batches():
@@ -471,6 +521,17 @@ def make_delta_stream_source():
                             partition.rename.get(c, c)
                             for c in batch.schema.names
                         ]
+                    )
+                if partition.version is not None:
+                    n = batch.num_rows
+                    if partition.tag is not None:
+                        batch = batch.append_column(
+                            "_change_type",
+                            pa.array([partition.tag] * n, pa.string()),
+                        )
+                    batch = batch.append_column(
+                        "_commit_version",
+                        pa.array([partition.version] * n, pa.int64()),
                     )
                 yield batch
 
@@ -496,7 +557,17 @@ def make_delta_stream_source():
                     continue  # checkpoint-truncated prefix
             if meta is None:
                 raise ValueError(f"no metaData action in log for {table}")
-            return StructType.fromJson(_json.loads(meta["schemaString"]))
+            st = StructType.fromJson(_json.loads(meta["schemaString"]))
+            if (
+                str(self.options.get("readchangefeed", "false")).lower()
+                == "true"
+            ):
+                from pyspark.sql.types import LongType, StringType
+
+                st = st.add("_change_type", StringType()).add(
+                    "_commit_version", LongType()
+                )
+            return st
 
         def streamReader(self, schema):
             return DeltaLogStreamReader(self.options)

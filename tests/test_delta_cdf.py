@@ -191,3 +191,78 @@ def test_cdf_with_column_mapping_stores_physical_names(spark, table):
     assert "val" in ch.columns  # read path translates back to logical
     post = [r for r in ch.collect() if r._change_type == "update_postimage"]
     assert [(r.id, r.val) for r in post] == [(1, 9.0)]
+
+
+def _cdf_stream(spark, table, name, starting=1):
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    try:
+        spark.dataSource.register(make_delta_stream_source())
+    except Exception:
+        pass
+    return (
+        spark.readStream.format("deg04_delta_stream")
+        .option("path", table)
+        .option("maxVersionsPerBatch", 1)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", starting)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_cdf_stream_equals_batch_feed(spark, table):
+    dl.write_delta_commit(_df(spark, [(i, float(i)) for i in range(10)]), table)
+    dl.enable_delta_cdf(table)
+    dl.update_delta(spark, table, "id % 3 = 0", {"v": "v * 2"})
+    dl.delete_delta(spark, table, "id % 5 = 0")
+    dl.write_delta_commit(_df(spark, [(100, 1.0)]), table)
+    q = _cdf_stream(spark, table, "cdf_stream_eq")
+    try:
+        q.processAllAvailable()
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+    assert n_batches >= 3  # one commit per trigger, exactly-once offsets
+    got = spark.table("cdf_stream_eq")
+    batch = dl.read_delta_changes(spark, table, 1, 4).select(got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_cdf_stream_refuses_pre_enable_change_commit(spark, table):
+    # a rewriting commit WITHOUT cdc files (written before the property
+    # flip) is unreconstructable as a stream: fail loudly, never guess
+    dl.write_delta_commit(_df(spark, [(1, 1.0), (2, 2.0)]), table)
+    dl.update_delta(spark, table, "id = 1", {"v": "9.0"})  # no CDF yet
+    dl.enable_delta_cdf(table)
+    q = _cdf_stream(spark, table, "cdf_stream_refuse", starting=1)
+    try:
+        with pytest.raises(Exception, match="no cdc files"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_mapped_append_may_omit_nullable_added_column(spark, table):
+    # round-11 soak falsifier (deterministic twin of the model-test
+    # @example): rename activates column mapping, ADD COLUMN extends
+    # the schema metadata-only, and an append WITHOUT the new column
+    # must land with it null — not raise UNRESOLVED_COLUMN
+    dl.write_delta_commit(_df(spark, [(0, 0.0)]), table)
+    dl.rename_delta_column(spark, table, {"v": "v1"})
+    dl.add_delta_columns(table, {"c0": "double"})
+    df = spark.createDataFrame([(10, 1.0)], "id long, v1 double")
+    v = dl.write_delta_commit(df, table, mode="append")
+    got = {r.id: (r.v1, r.c0) for r in dl.read_delta_log(spark, table).collect()}
+    assert got == {0: (0.0, None), 10: (1.0, None)}
+    # and time travel before the append still reads the old shape
+    assert {r.id for r in dl.read_delta_log(spark, table, v - 1).collect()} == {0}

@@ -770,6 +770,12 @@ def test_iceberg_maintenance_matches_model_under_random_ops(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+# The round-11 soak falsifier, pinned forever: an append that OMITS a
+# just-added nullable column on a column-MAPPED table (rename first
+# activates mapping) raised UNRESOLVED_COLUMN instead of landing the
+# rows with the column null — _to_physical projected the full mapping
+# rather than the columns present (write_delta_commit append branch).
+@example(ops=[("rename", 0), ("addcol", 0), ("append", 0)])
 @given(
     ops=st.lists(
         st.tuples(
