@@ -3405,13 +3405,23 @@ def read_delta_changes(
             continue
         adds = [a["add"] for a in actions if "add" in a]
         removes = [a for a in actions if "remove" in a]
+        op = None
+        for a in actions:
+            if "commitInfo" in a:
+                op = a["commitInfo"].get("operation")
         data_change = any(a.get("dataChange", True) for a in adds) or any(
             r["remove"].get("dataChange", True) for r in removes
         )
         if not data_change:
             continue  # OPTIMIZE: storage reorganization, no table change
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        if not removes:
+        # an add-only commit is a pure append UNLESS it is a RESTORE:
+        # a restore across a DV delete re-adds LIVE paths with smaller
+        # deletion vectors and removes nothing — its change rows are
+        # the resurrected ones, not the whole re-added files (round-11
+        # hole found by the stream-reconstruction equality test: the
+        # pure-append branch re-emitted DV-dead rows and stale values)
+        if not removes and op != "RESTORE":
             # pure append: the added files ARE the inserted rows
             # (_scan_adds also derives Hive partition columns — a bare
             # schema read would null them out on a partitioned append)
@@ -3430,10 +3440,6 @@ def read_delta_changes(
                     scan = _to_logical(scan, mapping)
                 delta = scan.withColumn("_change_type", F.lit("insert"))
         else:
-            op = None
-            for a in actions:
-                if "commitInfo" in a:
-                    op = a["commitInfo"].get("operation")
             # delta-spark's CDF flavor: an UPDATE's diff rows are its
             # pre/post images, not anonymous delete/insert pairs
             ins_tag, del_tag = (

@@ -245,11 +245,20 @@ def make_delta_stream_source():
     import json as _json
     import os as _os
 
+    from pyspark import cloudpickle as _cloudpickle
     from pyspark.sql.datasource import (
         DataSource as _DataSource,
         DataSourceStreamReader as _StreamReader,
         InputPartition as _InputPartition,
     )
+
+    from deg04_local_data_lake_spark.sources import roaring as _roaring
+
+    # the runner process can't import sc.addPyFile modules, so the DV
+    # bitmap codec rides along by value (numpy-only module) exactly as
+    # the Iceberg factory below ships its Avro codec
+    _cloudpickle.register_pickle_by_value(_roaring)
+    _dv_deserialize = _roaring.deserialize_array
 
     def _latest_version(table):
         log = _os.path.join(table, "_delta_log")
@@ -368,8 +377,136 @@ def make_delta_stream_source():
                 rename[phys] = f["name"]
         return rename
 
+    _Z85 = (
+        "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    )
+    _Z85_IDX = {c: i for i, c in enumerate(_Z85)}
+
+    def _z85_decode(s, length=None):
+        out = bytearray()
+        for i in range(0, len(s), 5):
+            v = 0
+            for c in s[i: i + 5]:
+                v = v * 85 + _Z85_IDX[c]
+            out += v.to_bytes(4, "big")
+        return bytes(out[:length]) if length is not None else bytes(out)
+
+    def _dv_rows(table, desc):
+        """deletionVector descriptor → sorted list of deleted row
+        indexes, or None when the add carries no DV. Mirrors
+        delta_log._dv_load (inlined: module comment) — ``i`` inline
+        z85 payloads and ``u`` on-disk framed files, crc-checked."""
+        import struct as _struct
+        import zlib as _zlib
+        import uuid as _uuid
+
+        if not desc or not desc.get("storageType"):
+            return None
+        st = desc["storageType"]
+        if st == "i":
+            data = _z85_decode(
+                desc["pathOrInlineDv"], desc.get("sizeInBytes")
+            )
+        elif st in ("u", "p"):
+            if st == "u":
+                enc = desc["pathOrInlineDv"]
+                prefix, z85uuid = enc[:-20], enc[-20:]
+                u = _uuid.UUID(bytes=_z85_decode(z85uuid, 16))
+                name = f"deletion_vector_{u}.bin"
+                rel = f"{prefix}/{name}" if prefix else name
+                p = _os.path.join(table, rel)
+            else:
+                p = desc["pathOrInlineDv"]
+            with open(p, "rb") as f:
+                raw = f.read()
+            off = desc.get("offset") or 1
+            size, = _struct.unpack_from(">i", raw, off)
+            data = raw[off + 4: off + 4 + size]
+            crc, = _struct.unpack_from(">I", raw, off + 4 + size)
+            if (_zlib.crc32(data) & 0xFFFFFFFF) != crc:
+                raise ValueError(
+                    f"deletion vector checksum mismatch in {p}"
+                )
+        else:
+            raise ValueError(
+                f"unknown deletionVector storageType {st!r}"
+            )
+        return _dv_deserialize(data).tolist()
+
+    def _replay_live(table, version):
+        """Live file state (path → add action) and effective metaData
+        at ``version``, replaying from the newest ON-DISK checkpoint ≤
+        version (the r11 pointer-is-a-hint rule, delta_log._replay's
+        contract inlined for the runner process). Raises
+        FileNotFoundError with the documented truncation text when log
+        cleanup removed a needed commit and no checkpoint covers it."""
+        import pyarrow.parquet as _pq
+
+        for _attempt in range(8):
+            cps = [c for c in _checkpoints_on_disk(table) if c <= version]
+            live, meta = {}, None
+            start = 0
+            if cps:
+                cp = cps[-1]
+                cpf = _os.path.join(
+                    table, "_delta_log", f"{cp:020d}.checkpoint.parquet"
+                )
+                try:
+                    rows = _pq.read_table(
+                        cpf, columns=["add", "metaData"]
+                    ).to_pylist()
+                except FileNotFoundError:
+                    continue  # racing cleanup: re-list, retry
+                for row in rows:
+                    m = row.get("metaData")
+                    if m and m.get("schemaString"):
+                        meta = dict(m)
+                        cfg = meta.get("configuration")
+                        if isinstance(cfg, list):
+                            meta["configuration"] = dict(cfg)
+                    a = row.get("add")
+                    if a and a.get("path"):
+                        add = dict(a)
+                        pv = add.get("partitionValues")
+                        if isinstance(pv, list):
+                            add["partitionValues"] = dict(pv)
+                        live[add["path"]] = add
+                start = cp + 1
+            for v in range(start, version + 1):
+                try:
+                    actions = _read_commit(table, v)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"cannot replay version {version} of {table}: "
+                        f"commit {v} has been truncated by log cleanup "
+                        "and no on-disk checkpoint at or below the "
+                        "version covers it"
+                    ) from None
+                for act in actions:
+                    if "metaData" in act:
+                        meta = act["metaData"]
+                    if "remove" in act:
+                        live.pop(act["remove"]["path"], None)
+                for act in actions:
+                    if "add" in act:
+                        live[act["add"]["path"]] = act["add"]
+            return live, meta
+        raise FileNotFoundError(
+            f"cannot replay version {version} of {table}: checkpoints "
+            "kept moving under concurrent maintenance"
+        )
+
     class DeltaCommitFilePartition(_InputPartition):
-        def __init__(self, path, rename=None, tag=None, version=None):
+        def __init__(
+            self,
+            path,
+            rename=None,
+            tag=None,
+            version=None,
+            include=None,
+            exclude=None,
+        ):
             self.path = path
             self.rename = rename or {}
             # CDF mode only: ``tag`` stamps a constant _change_type on
@@ -378,6 +515,12 @@ def make_delta_stream_source():
             # stamps _commit_version. Both None in plain-append mode.
             self.tag = tag
             self.version = version
+            # whole-file CDF reconstruction: emit only these in-file
+            # row indexes (``include``, the DV-diff resurrection /
+            # kill sets) or everything EXCEPT these (``exclude``, a
+            # file's deletion vector). At most one is set.
+            self.include = include
+            self.exclude = exclude
 
     class DeltaLogStreamReader(_StreamReader):
         # Restart safety (round-6 ADVICE): a reader restarted from a
@@ -413,6 +556,11 @@ def make_delta_stream_source():
             self.start_version = int(options.get("startingversion", 0))
             self._cursor = self.start_version - 1
             self._floor = self.start_version - 1
+            # memoized (version, live, meta) snapshot cursor for the
+            # CDF whole-file reconstruction: partitions() walks
+            # versions in ascending order, so the previous snapshot
+            # advances by one commit instead of replaying per version
+            self._snap = None
 
         def initialOffset(self):
             return {"version": self.start_version - 1}
@@ -428,6 +576,143 @@ def make_delta_stream_source():
         def commit(self, end):
             self._floor = max(self._floor, end["version"])
             self._cursor = max(self._cursor, self._floor)
+
+        def _snapshot(self, version):
+            """Live state + metaData at ``version`` via the memo
+            cursor (ascending walks advance commit-by-commit)."""
+            if self._snap is not None and self._snap[0] <= version:
+                v0, live, meta = self._snap
+                live = dict(live)
+                for v in range(v0 + 1, version + 1):
+                    actions = _read_commit(table=self.table, version=v)
+                    for act in actions:
+                        if "metaData" in act:
+                            meta = act["metaData"]
+                        if "remove" in act:
+                            live.pop(act["remove"]["path"], None)
+                    for act in actions:
+                        if "add" in act:
+                            live[act["add"]["path"]] = act["add"]
+            else:
+                live, meta = _replay_live(self.table, version)
+            self._snap = (version, live, meta)
+            return live, meta
+
+        def _reconstruct_changes(self, v, actions, rename):
+            """CDF partitions for a rewriting commit WITHOUT cdc files.
+
+            With change-data-feed enabled, the only commits that rewrite
+            data without persisting cdc files are whole-file operations
+            (overwrite, RESTORE — UPDATE/DELETE/MERGE stage cdc at
+            commit time), and those are EXACTLY reconstructable at the
+            file level, the same add/remove derivation delta-spark's
+            CDCReader runs: a file added is its live rows as inserts, a
+            file removed is its previously-live rows as deletes, and a
+            file whose deletion vector changed emits the DV set
+            difference both ways (resurrected rows insert, newly-dead
+            rows delete). Per-file row sets ride in the partition —
+            the reconstruction stays one task per changed file, no
+            snapshot-wide diff. Commits from BEFORE the property flip
+            still refuse (delta-spark's stream contract; the batch
+            reader's snapshot-diff fallback is the audit path for
+            those)."""
+            try:
+                prev_live, prev_meta = self._snapshot(v - 1)
+            except FileNotFoundError as exc:
+                raise RuntimeError(
+                    f"commit {v} of {self.table} rewrites data and its "
+                    "base snapshot has been truncated by log cleanup "
+                    "(retention passed the stream's position); restart "
+                    "the stream with a startingVersion at or above the "
+                    f"current checkpoint [{exc}]"
+                ) from None
+            cfg = (prev_meta or {}).get("configuration") or {}
+            own_meta = None
+            for a in actions:
+                if "metaData" in a:
+                    own_meta = a["metaData"]
+            if own_meta is not None:
+                cfg = own_meta.get("configuration") or {}
+            if str(cfg.get("delta.enableChangeDataFeed", "false")
+                   ).lower() != "true":
+                raise RuntimeError(
+                    f"commit {v} of {self.table} rewrites data "
+                    "but carries no cdc files (written before "
+                    "delta.enableChangeDataFeed was set); the "
+                    "CDF stream cannot reconstruct it — start "
+                    "at or after the property flip"
+                )
+            op = None
+            for a in actions:
+                if "commitInfo" in a:
+                    op = a["commitInfo"].get("operation")
+            ins_tag, del_tag = (
+                ("update_postimage", "update_preimage")
+                if op == "UPDATE"
+                else ("insert", "delete")
+            )
+            cur_live = dict(prev_live)
+            for a in actions:
+                if "remove" in a:
+                    cur_live.pop(a["remove"]["path"], None)
+            for a in actions:
+                if "add" in a:
+                    cur_live[a["add"]["path"]] = a["add"]
+            parts = []
+            for path in sorted(set(prev_live) | set(cur_live)):
+                before, after = prev_live.get(path), cur_live.get(path)
+                if before == after:
+                    continue
+                full = _os.path.join(self.table, path)
+                if before is None:
+                    parts.append(
+                        DeltaCommitFilePartition(
+                            full, rename, tag=ins_tag, version=v,
+                            exclude=_dv_rows(
+                                self.table, after.get("deletionVector")
+                            ),
+                        )
+                    )
+                elif after is None:
+                    parts.append(
+                        DeltaCommitFilePartition(
+                            full, rename, tag=del_tag, version=v,
+                            exclude=_dv_rows(
+                                self.table, before.get("deletionVector")
+                            ),
+                        )
+                    )
+                else:
+                    dvb = set(
+                        _dv_rows(
+                            self.table, before.get("deletionVector")
+                        ) or []
+                    )
+                    dva = set(
+                        _dv_rows(
+                            self.table, after.get("deletionVector")
+                        ) or []
+                    )
+                    resurrected = sorted(dvb - dva)
+                    killed = sorted(dva - dvb)
+                    if resurrected:
+                        parts.append(
+                            DeltaCommitFilePartition(
+                                full, rename, tag=ins_tag, version=v,
+                                include=resurrected,
+                            )
+                        )
+                    if killed:
+                        parts.append(
+                            DeltaCommitFilePartition(
+                                full, rename, tag=del_tag, version=v,
+                                include=killed,
+                            )
+                        )
+            # advance the memo past this commit so the next version's
+            # base is one incremental step away
+            self._snap = (v, cur_live, own_meta or prev_meta)
+            return parts
 
         def partitions(self, start, end):
             lo = max(start["version"], self._floor)
@@ -456,10 +741,22 @@ def make_delta_stream_source():
                     for a in actions
                     if "add" in a and a["add"].get("dataChange", True)
                 ]
+                op = None
+                for a in actions:
+                    if "commitInfo" in a:
+                        op = a["commitInfo"].get("operation")
+                # a RESTORE can change data WITHOUT removing a file
+                # (re-adding a live path with different deletion-vector
+                # state resurrects rows) — treating its adds as fresh
+                # appends would re-emit rows already streamed, so it is
+                # a change commit whenever it touches data at all. A
+                # METADATA-ONLY restore (reverting schema/properties of
+                # a data-identical snapshot: no adds, no removes) is
+                # invisible to the stream, like any metaData commit.
                 has_change = any(
                     "remove" in a and a["remove"].get("dataChange", True)
                     for a in actions
-                )
+                ) or (op == "RESTORE" and bool(adds))
                 if self.read_change_feed:
                     cdcs = [a["cdc"] for a in actions if "cdc" in a]
                     if cdcs:
@@ -476,13 +773,10 @@ def make_delta_stream_source():
                             )
                         continue
                     if has_change:
-                        raise RuntimeError(
-                            f"commit {v} of {self.table} rewrites data "
-                            "but carries no cdc files (written before "
-                            "delta.enableChangeDataFeed was set); the "
-                            "CDF stream cannot reconstruct it — start "
-                            "at or after the property flip"
+                        parts.extend(
+                            self._reconstruct_changes(v, actions, rename)
                         )
+                        continue
                     for add in adds:
                         parts.append(
                             DeltaCommitFilePartition(
@@ -497,7 +791,7 @@ def make_delta_stream_source():
                     if not self.skip_change:
                         raise RuntimeError(
                             f"commit {v} of {self.table} rewrites data "
-                            "(overwrite/DELETE/UPDATE); set "
+                            "(overwrite/DELETE/UPDATE/RESTORE); set "
                             "skipChangeCommits=true to stream past it"
                         )
                     continue  # skipped whole, as delta-spark does
@@ -514,7 +808,29 @@ def make_delta_stream_source():
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            row0 = 0
             for batch in pq.ParquetFile(partition.path).iter_batches():
+                if (
+                    partition.include is not None
+                    or partition.exclude is not None
+                ):
+                    import numpy as np
+
+                    # deletion-vector coordinates are in-file row
+                    # indexes; track them across arrow batches
+                    pos = np.arange(
+                        row0, row0 + batch.num_rows, dtype="int64"
+                    )
+                    row0 += batch.num_rows
+                    if partition.include is not None:
+                        mask = np.isin(pos, partition.include)
+                    else:
+                        mask = ~np.isin(pos, partition.exclude)
+                    if not mask.any():
+                        continue
+                    batch = batch.filter(pa.array(mask))
+                else:
+                    row0 += batch.num_rows
                 if partition.rename:
                     batch = batch.rename_columns(
                         [

@@ -266,3 +266,167 @@ def test_mapped_append_may_omit_nullable_added_column(spark, table):
     assert got == {0: (0.0, None), 10: (1.0, None)}
     # and time travel before the append still reads the old shape
     assert {r.id for r in dl.read_delta_log(spark, table, v - 1).collect()} == {0}
+
+
+# --------------- round 11: whole-file + DV-diff stream reconstruction
+#
+# With CDF enabled, the only commits that rewrite data WITHOUT cdc
+# files are whole-file operations (overwrite, RESTORE). The stream
+# source reconstructs them exactly at the file level — added file →
+# live rows as inserts (DV-excluded), removed file → previously-live
+# rows as deletes, DV-changed file → the DV set difference both ways —
+# instead of refusing, matching the batch reader's semantics.
+
+
+def test_cdf_stream_reconstructs_overwrite_and_restore(spark, table):
+    # coalesce(1): multi-row files so the DV deletes are PARTIAL-file
+    # (a one-row-per-file layout degenerates every DV delete into a
+    # whole-file remove and the DV include/exclude paths never run)
+    dl.write_delta_commit(
+        _df(spark, [(i, float(i)) for i in range(10)]).coalesce(1), table
+    )
+    dl.enable_delta_cdf(table)                                       # v1
+    dl.update_delta(spark, table, "id % 3 = 0", {"v": "v * 2"})      # v2 cdc
+    dl.write_delta_commit(
+        _df(spark, [(100, 1.0), (101, 2.0)]), table, mode="overwrite"
+    )                                                                # v3
+    dl.restore_delta(spark, table, 2)                                # v4
+    dl.delete_delta(spark, table, "id % 4 = 1")                      # v5 cdc
+    dl.restore_delta(spark, table, 4)                                # v6
+    assert _cdc_count(table, 3) == 0 and _cdc_count(table, 4) == 0
+    q = _cdf_stream(spark, table, "cdf_recon_eq", starting=0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("cdf_recon_eq")
+    batch = dl.read_delta_changes(spark, table, -1, 6).select(got.columns)
+    assert Counter(map(tuple, got.collect())) == Counter(
+        map(tuple, batch.collect())
+    )
+    # the overwrite reconstructs as delete-all + insert-new, exactly
+    v3 = Counter(
+        (r.id, r._change_type)
+        for r in got.collect()
+        if r._commit_version == 3
+    )
+    assert v3 == Counter(
+        {(i, "delete"): 1 for i in range(10)}
+        | {(100, "insert"): 1, (101, "insert"): 1}
+    )
+
+
+def test_cdf_stream_restore_resurrects_dv_rows_exactly(spark, table):
+    # RESTORE across a DV delete re-adds the SAME file with a smaller
+    # (here: no) deletion vector and removes nothing — the change is
+    # the DV set difference, emitted via the partition include-path
+    dl.write_delta_commit(
+        _df(spark, [(i, float(i)) for i in range(8)]).coalesce(1), table
+    )
+    dl.enable_delta_cdf(table)                                       # v1
+    dl.delete_delta(spark, table, "id % 2 = 0")                      # v2 DV
+    # the delete was partial-file: the data file survives with a DV
+    assert any(
+        (a.get("add") or {}).get("deletionVector")
+        for a in dl._read_commit(table, 2)
+    )
+    dl.restore_delta(spark, table, 1)                                # v3
+    q = _cdf_stream(spark, table, "cdf_resurrect", starting=3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in spark.table("cdf_resurrect").collect()
+    ]
+    assert Counter(got) == Counter(
+        (i, float(i), "insert", 3) for i in range(0, 8, 2)
+    )
+    # the BATCH reader agrees exactly (round-11 hole, found by this
+    # equality: its pure-append branch used to re-emit the re-added
+    # files WHOLE — DV-dead rows included — for add-only RESTOREs)
+    assert Counter(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in dl.read_delta_changes(spark, table, 2, 3).collect()
+    ) == Counter(got)
+    # and the final snapshot agrees: everything is back
+    assert _state(spark, table) == Counter(
+        {(i, float(i)): 1 for i in range(8)}
+    )
+
+
+def test_snapshot_stream_treats_restore_as_change_commit(spark, table):
+    # a RESTORE can rewrite data with NO removes (pure DV resurrection
+    # re-adds a live path) — the append flow must never re-emit that
+    # file's rows as if they were fresh appends
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    dl.write_delta_commit(
+        _df(spark, [(i, float(i)) for i in range(6)]).coalesce(1), table
+    )
+    dl.delete_delta(spark, table, "id >= 4")                         # v1 DV
+    dl.restore_delta(spark, table, 0)                                # v2: add-only
+    try:
+        spark.dataSource.register(make_delta_stream_source())
+    except Exception:
+        pass
+
+    def _q(name, skip):
+        return (
+            spark.readStream.format("deg04_delta_stream")
+            .option("path", table)
+            .option("maxVersionsPerBatch", 10)
+            .option("skipChangeCommits", str(skip).lower())
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+
+    q = _q("restore_skip", True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # v1 (DV delete) and v2 (restore) both skipped whole: v0 rows once
+    assert Counter(
+        (r.id, r.v) for r in spark.table("restore_skip").collect()
+    ) == Counter({(i, float(i)): 1 for i in range(6)})
+
+    q = _q("restore_refuse", False)
+    try:
+        with pytest.raises(Exception, match="rewrites data"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_cdf_stream_refuses_after_property_reverting_restore(spark, table):
+    # RESTORE restores table METADATA too (schema AND configuration):
+    # restoring to a pre-enable version flips
+    # delta.enableChangeDataFeed back off, so a later rewriting commit
+    # carries no cdc files and must refuse the CDF stream with the
+    # documented pre-enable message. The metadata-only restore itself
+    # (data-identical snapshot: no adds, no removes) emits NOTHING —
+    # it is invisible to the stream like any metaData commit.
+    dl.write_delta_commit(
+        _df(spark, [(i, float(i)) for i in range(6)]).coalesce(1), table
+    )
+    dl.enable_delta_cdf(table)                                       # v1
+    assert dl.restore_delta(spark, table, 0) == 2                    # v2
+    acts = dl._read_commit(table, 2)
+    assert not any("add" in a or "remove" in a for a in acts)
+    assert dl.delete_delta(spark, table, "id = 1") == 3              # v3
+    assert _cdc_count(table, 3) == 0  # CDF is off again: no cdc staged
+    q = _cdf_stream(spark, table, "cdf_prop_revert", starting=2)
+    try:
+        with pytest.raises(Exception, match="no cdc files"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # the metadata-only restore (v2) emitted no rows before the refusal
+    assert spark.table("cdf_prop_revert").count() == 0
