@@ -94,11 +94,12 @@ def load_all() -> None:
 #: frozen as a literal for greppability and pinned by
 #: tests/test_oracle_gate.py::test_priority_is_computed (hand-rotation
 #: drift is now a test failure, not a judge finding). The round-11
-#: window: the seven round-11 additions (incremental-gold maintenance
+#: window: the eight round-11 additions (incremental-gold maintenance
 #: from both change feeds — batch ×2 + the streaming CDF drain —
 #: commit-time CDC, the mapped-append soak falsifier, checkpoint
-#: fallback, timestamp retention), the 12 remaining round-4 rows, and
-#: the 41 alphabetically-first round-5 rows.
+#: fallback, timestamp retention, and the CDF stream's whole-file +
+#: DV-diff reconstruction), the 12 remaining round-4 rows, and the 40
+#: alphabetically-first round-5 rows.
 #:
 #: ``PRIORITY_AS_OF`` stamps WHICH history the literal was frozen
 #: against: compute_priority() ignores CORRECTNESS files from rounds ≥
@@ -115,6 +116,7 @@ PRIORITY: list[str] = [
     "delta_log_checkpoint_fallback",
     "delta_mapped_append_omitted_column",
     "stream_cdf_incremental_gold",
+    "stream_cdf_whole_file_reconstruction",
     "timestamp_retention_lockstep",
     "similarity_pq_topk",
     "stream_delta_sink_exactly_once",
@@ -168,7 +170,6 @@ PRIORITY: list[str] = [
     "sql_entry_top_nations",
     "sql_parameterized_entry",
     "sql_scripting_block",
-    "stream_delta_source_incremental",
 ]
 
 

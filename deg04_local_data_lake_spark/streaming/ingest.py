@@ -1864,3 +1864,174 @@ def stream_cdf_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
     )
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "stream_cdf_whole_file_reconstruction",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+),
+v2state AS (
+  SELECT k, CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p FROM base
+)
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS commit_version,
+         'update_preimage' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+  FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT 2, 'update_postimage', COUNT(*),
+         CAST(SUM(CAST(p * 2 AS DECIMAL(18,4))) AS DOUBLE)
+  FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT 3, 'delete', COUNT(*),
+         CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE)
+  FROM v2state
+  UNION ALL
+  SELECT 3, 'insert', COUNT(*),
+         CAST(SUM(CAST(p * 4 AS DECIMAL(18,4))) AS DOUBLE)
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT 4, 'delete', COUNT(*),
+         CAST(SUM(CAST(p * 4 AS DECIMAL(18,4))) AS DOUBLE)
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT 4, 'insert', COUNT(*),
+         CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE)
+  FROM v2state
+  UNION ALL
+  SELECT 5, 'delete', COUNT(*),
+         CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE)
+  FROM v2state WHERE k % 13 = 0
+  UNION ALL
+  SELECT 6, 'insert', COUNT(*),
+         CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE)
+  FROM v2state WHERE k % 13 = 0
+  UNION ALL
+  SELECT 7, 'insert', COUNT(*),
+         CAST(SUM(CAST(p * 2 AS DECIMAL(18,4))) AS DOUBLE)
+  FROM base WHERE k % 11 = 0
+) t
+""",
+)
+def stream_cdf_whole_file_reconstruction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 11: the CDF stream's WHOLE-FILE + DV-DIFF reconstruction,
+    driver-attested end-to-end. With change-data-feed enabled, the only
+    commits that rewrite data without persisting cdc files are
+    whole-file operations (overwrite, RESTORE); through round 10 the
+    stream REFUSED them (batch/stream divergence — the batch reader
+    serves them via snapshot diff). The stream source now reconstructs
+    them exactly at the file level, the add/remove derivation
+    delta-spark's CDCReader runs: added file → its live rows as inserts
+    (deletion-vector rows EXCLUDED), removed file → its previously-live
+    rows as deletes, and a re-added path whose DV shrank → the DV set
+    difference as resurrected inserts (sources/pyds.py
+    ``_reconstruct_changes``).
+
+    The workload walks every reconstruction leg: a DV UPDATE (v2,
+    cdc-served), an OVERWRITE (v3: delete-all + insert-new, whole
+    files), a RESTORE across the overwrite (v4: the re-added original
+    files carry the update's DVs — the insert legs must EXCLUDE those
+    dead rows or the %7 keys double-count at both prices), a DV DELETE
+    (v5, cdc-served), a RESTORE across it (v6: add-only resurrection
+    via the DV set difference — also the round-11 BATCH hole: the
+    pure-append branch used to re-emit those files whole), and a plain
+    append (v7). The result is the per-(version, change_type) row count
+    and exact decimal price sum of the drained stream, hash-matched
+    against DuckDB computing the same feed from first principles.
+
+    100 TB posture: reconstruction stays one InputPartition per changed
+    file with the DV row sets resolved driver-side from kilobyte
+    bitmaps — O(changed files) planning, O(changed rows) data movement,
+    never a snapshot-wide diff."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        delete_delta,
+        enable_delta_cdf,
+        restore_delta,
+        update_delta,
+        write_delta_commit,
+    )
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_delta_stream_source,
+    )
+
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    name = f"stream_cdf_recon_{_STREAM_SEQ}"
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_delta_commit(orders, path)                          # v0
+        assert enable_delta_cdf(path) == 1                        # v1
+        v = update_delta(
+            spark, path, "o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )                                                         # v2
+        v = write_delta_commit(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 4
+            ),
+            path,
+            mode="overwrite",
+        )                                                         # v3
+        v = restore_delta(spark, path, 2)                         # v4
+        v = delete_delta(spark, path, "o_orderkey % 13 = 0")      # v5
+        v = restore_delta(spark, path, 4)                         # v6
+        v = write_delta_commit(
+            orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            path,
+            mode="append",
+        )                                                         # v7
+        assert v == 7, f"unexpected final version {v}"
+
+    path = _built_stream_table(spark, "cdf_recon", sf_dir, build)
+    try:
+        spark.dataSource.register(make_delta_stream_source())
+    except Exception:
+        pass  # already registered in this session
+    sdf = (
+        spark.readStream.format("deg04_delta_stream")
+        .option("path", path)
+        .option("maxVersionsPerBatch", 1)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)  # (1, …]: the mutation feed
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+    # one commit per trigger, exactly-once offsets: six emitting versions
+    assert n_batches >= 6, f"expected >=6 microbatches, got {n_batches}"
+    out = (
+        spark.table(name)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.col("_commit_version").cast("bigint").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+    return out.localCheckpoint(eager=True)
