@@ -1,0 +1,728 @@
+"""Round-11 random-op models for the STREAM sources (Delta + Iceberg).
+
+The maintenance × feature hole class (VERDICT r10: "directed tests miss
+interleaving holes") applies to the streaming layer too: through round
+10 the ``deg04_delta_stream`` source had only directed race tests. This
+file drives the reader CLASS under a faithful simulation of Spark's
+MicroBatchExecution offset protocol — latestOffset → offset-WAL (start,
+end] → partitions → read → commit, with crashes at both durable points —
+interleaved with random table mutations and maintenance, against a dict
+model. The simulation is the same engine contract the real streaming
+runner exercises (the directed tests in tests/test_delta_cdf.py and
+tests/test_streaming.py cover the real-runner wiring); class-level
+drive makes random interleavings cheap enough to model-check.
+
+Two flows are modeled:
+
+- the SNAPSHOT flow (``skipChangeCommits=true``): emitted rows must be
+  exactly the appended batches of consumed versions — rewriting commits
+  (overwrite / DV delete / DV update / RESTORE) skip whole, OPTIMIZE is
+  invisible, and no crash/restart pattern may duplicate or drop a row;
+- the CDF flow (``readChangeFeed=true``): cdc-file commits and pure
+  appends emit their exact model multiset; whole-file reconstructed
+  commits (overwrite / RESTORE, round 11) must satisfy the apply
+  identity state(v-1) − deletes + inserts == state(v) per version
+  (RESTORE's exact pair flavor is file-level, so the identity — not a
+  value-level multiset — is the portable invariant), and the fold of
+  ALL emissions in commit order must land on the final snapshot.
+
+Maintenance interleavings: a drain whose range needs a commit below the
+cleanup horizon must refuse with the documented truncation error (and
+the model then RECOVERS the way the error message instructs: a fresh
+stream from the horizon); grace-0 vacuum must never break a stream
+positioned at or above the horizon.
+
+The ICEBERG twin (``deg04_iceberg_stream``, offsets = snapshot sequence
+numbers) runs the same engine simulation against appends, overwrites,
+equality deletes, compactions, snapshot expiry, and orphan removal:
+emitted rows are exactly the consumed appends (expiry is never
+retroactive), an expired sequence number inside an unconsumed range
+refuses with the documented data-loss error, and the
+``allowExpiredGaps=true`` catch-up reader serves exactly the surviving
+appends.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+import deg04_local_data_lake_spark.sources.delta_log as dl
+from deg04_local_data_lake_spark.sources.pyds import make_delta_stream_source
+
+
+def _ex(default: int) -> int:
+    env = os.environ.get("DEG04_HYP_MAX_EXAMPLES")
+    if env:
+        return max(default, int(env))
+    return default
+
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            [
+                "append",
+                "overwrite",
+                "delete",
+                "update",
+                "restore",
+                "optimize",
+                "checkpoint",
+                "cleanup",
+                "vacuum",
+                "trigger",
+                "drain",
+                "crash",
+                "walcrash",
+                "readcrash",
+            ]
+        ),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=3,
+    max_size=9,
+)
+
+
+class _MicroBatchSim:
+    """Driver-side simulation of MicroBatchExecution against a
+    factory-built stream reader (Delta by default, Iceberg via
+    ``factory=``): offsets are WAL'd before execution and committed
+    after, exactly once; ``crash`` rebuilds the reader from scratch
+    (all in-memory state lost) while the WAL and commit log survive,
+    which is precisely what a checkpointed restart gives the real
+    source."""
+
+    def __init__(self, table, factory=make_delta_stream_source, **options):
+        opts = {"path": table}
+        opts.update({k.lower(): str(v) for k, v in options.items()})
+        self._make = lambda: factory()(opts).streamReader(None)
+        self.reader = self._make()
+        self.committed = self.reader.initialOffset()
+        self.pending = None  # WAL'd but uncommitted (start, end)
+        self.emitted: list[tuple] = []  # rows in emission order
+
+    def _wal(self) -> bool:
+        if self.pending is None:
+            end = self.reader.latestOffset()
+            if end == self.committed:
+                return False
+            self.pending = (self.committed, end)
+        return True
+
+    def _execute(self):
+        start, end = self.pending
+        rows = []
+        for p in self.reader.partitions(start, end):
+            for batch in self.reader.read(p):
+                rows.extend(tuple(r.values()) for r in batch.to_pylist())
+        return rows
+
+    def trigger(self) -> list[tuple]:
+        """One microbatch (replaying a WAL'd-but-uncommitted one
+        first, as the engine does after a crash)."""
+        if not self._wal():
+            return []
+        rows = self._execute()
+        self.emitted.extend(rows)
+        _, end = self.pending
+        self.reader.commit(end)
+        self.committed = end
+        self.pending = None
+        return rows
+
+    def drain(self, limit: int = 64):
+        for _ in range(limit):
+            made_progress = self.pending is not None or self._wal()
+            if not made_progress:
+                return
+            self.trigger()
+        raise AssertionError("stream failed to catch up within limit")
+
+    def crash(self):
+        self.reader = self._make()
+
+    def walcrash(self):
+        """Crash after the offset WAL, before execution: the recorded
+        (start, end] range must replay identically on a fresh reader."""
+        self._wal()
+        self.reader = self._make()
+
+    def readcrash(self):
+        """Crash after planning AND reading, before the commit: the
+        re-execution must yield the SAME multiset (the exactly-once
+        replay contract a retried batch relies on)."""
+        if not self._wal():
+            return
+        first = self._execute()
+        self.reader = self._make()
+        second = self._execute()
+        assert Counter(first) == Counter(second), (
+            "batch replay diverged after crash-before-commit"
+        )
+        self.emitted.extend(second)
+        _, end = self.pending
+        self.reader.commit(end)
+        self.committed = end
+        self.pending = None
+
+
+def _df(spark, rows: dict[int, float]):
+    data = [(k, v) for k, v in sorted(rows.items())]
+    # one file per commit: multi-row files keep DV deletes partial-file
+    return spark.createDataFrame(data, "id long, v double").coalesce(1)
+
+
+class _TableDriver:
+    """Applies the mutation alphabet to a real table AND the dict
+    model, recording per-version transitions for the stream models."""
+
+    def __init__(self, spark, table):
+        self.spark = spark
+        self.table = table
+        self.model: dict[int, float] = {0: 0.0}
+        self.version = dl.write_delta_commit(_df(spark, self.model), table)
+        assert dl.enable_delta_cdf(table) == 1
+        self.version = 1
+        self.next_id = 1
+        self.horizon = 0
+        # version → ("append"|"cdc"|"rewrite"|"noop", expected change
+        # rows [(id, v, change_type)], state-after dict)
+        self.versions: dict[int, tuple] = {
+            0: ("append", [(0, 0.0, "insert")], dict(self.model)),
+            1: ("noop", [], dict(self.model)),
+        }
+        self.history: list[tuple[int, dict[int, float]]] = [
+            (0, dict(self.model)), (1, dict(self.model))
+        ]
+
+    def _record(self, kind, changes):
+        self.versions[self.version] = (kind, changes, dict(self.model))
+        self.history.append((self.version, dict(self.model)))
+
+    def apply(self, op: str, seed: int):
+        spark, table = self.spark, self.table
+        if op == "append":
+            batch = {
+                self.next_id + i: float(self.next_id + i)
+                for i in range(seed % 3 + 1)
+            }
+            self.next_id += len(batch)
+            self.version = dl.write_delta_commit(
+                _df(spark, batch), table, mode="append"
+            )
+            self.model.update(batch)
+            self._record(
+                "append", [(k, v, "insert") for k, v in batch.items()]
+            )
+        elif op == "overwrite":
+            batch = {
+                self.next_id + i: float(self.next_id + i)
+                for i in range(seed % 2 + 1)
+            }
+            self.next_id += len(batch)
+            changes = [(k, v, "delete") for k, v in self.model.items()]
+            changes += [(k, v, "insert") for k, v in batch.items()]
+            # an overwrite of an EMPTY table removes no files, so both
+            # flows rightly classify the commit as a pure append (its
+            # rows were never rewritten — skipping them would drop them
+            # from the append flow forever); delta-spark's source makes
+            # the same add-only classification
+            kind = "rewrite" if self.model else "append"
+            self.version = dl.write_delta_commit(
+                _df(spark, batch), table, mode="overwrite"
+            )
+            self.model = dict(batch)
+            self._record(kind, changes)
+        elif op == "delete":
+            m = seed % 3 + 2
+            doomed = {k: v for k, v in self.model.items() if k % m == 0}
+            new_v = dl.delete_delta(spark, table, f"id % {m} = 0")
+            if not doomed:
+                assert new_v == self.version
+                return
+            self.version = new_v
+            for k in doomed:
+                self.model.pop(k)
+            self._record(
+                "cdc", [(k, v, "delete") for k, v in doomed.items()]
+            )
+        elif op == "update":
+            m = seed % 3 + 2
+            hit = {k: v for k, v in self.model.items() if k % m == 1}
+            new_v = dl.update_delta(
+                spark, table, f"id % {m} = 1", {"v": f"v + {seed + 1}"}
+            )
+            if not hit:
+                assert new_v == self.version
+                return
+            self.version = new_v
+            changes = []
+            for k, v in hit.items():
+                changes.append((k, v, "update_preimage"))
+                self.model[k] = v + (seed + 1)
+                changes.append((k, self.model[k], "update_postimage"))
+            self._record("cdc", changes)
+        elif op == "restore":
+            # targets ≥ v1 only: restoring to v0 REVERTS the table
+            # metadata to pre-CDF-enable (RESTORE restores properties),
+            # after which every later rewrite legitimately refuses the
+            # CDF stream — that semantics is pinned by the directed
+            # test_cdf_stream_refuses_after_property_reverting_restore
+            candidates = self.history[1:]
+            target, state = candidates[seed % len(candidates)]
+            if target == self.version:
+                assert dl.restore_delta(spark, table, target) == self.version
+                return
+            if target < self.horizon:
+                with pytest.raises((FileNotFoundError, ValueError)):
+                    dl.restore_delta(spark, table, target)
+                return
+            self.version = dl.restore_delta(spark, table, target)
+            if state == self.model:
+                # metadata-identical restores may still commit; treat
+                # as a rewrite with no value-level change
+                self._record("rewrite", [])
+                return
+            changes = []
+            for k, v in self.model.items():
+                if state.get(k) != v:
+                    changes.append((k, v, "delete"))
+            for k, v in state.items():
+                if self.model.get(k) != v:
+                    changes.append((k, v, "insert"))
+            self.model = dict(state)
+            self._record("rewrite", changes)
+        elif op == "optimize":
+            self.version = dl.optimize_delta(spark, table)
+            self._record("noop", [])
+        elif op == "checkpoint":
+            assert dl.write_delta_checkpoint(table) == self.version
+        elif op == "cleanup":
+            cp = dl._read_last_checkpoint(table)
+            dl.cleanup_delta_log(table)
+            if cp is not None:
+                self.horizon = max(self.horizon, cp)
+        elif op == "vacuum":
+            dl.vacuum_delta(table, grace_ms=0)
+        else:  # pragma: no cover - alphabet is closed
+            raise AssertionError(op)
+
+
+_REFUSAL_TOKENS = ("truncated", "missing commit", "removed by log")
+
+
+def _consumed_versions(sim: _MicroBatchSim) -> int:
+    (value,) = sim.committed.values()
+    return value
+
+
+@settings(
+    max_examples=_ex(20),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+# overwrite of an EMPTY table: removes nothing, classifies as a pure
+# append, and its rows MUST reach the append flow (first model run
+# falsified the naive "every overwrite skips" expectation)
+@example(ops=[("delete", 0), ("overwrite", 0), ("append", 0)])
+@given(ops=_OPS)
+def test_snapshot_stream_matches_model_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    """Append-flow invariant: whatever the interleaving of mutations,
+    maintenance, drains, and crashes, the emitted rows are EXACTLY the
+    appended batches of the consumed versions — rewrites skip whole,
+    nothing duplicates across restarts, and a drain over a truncated
+    range refuses with the documented error, after which a fresh
+    stream from the horizon serves every later version."""
+    table = str(tmp_path_factory.mktemp("dstream") / "tbl")
+    drv = _TableDriver(spark, table)
+    sim = _MicroBatchSim(
+        table, maxVersionsPerBatch=2, skipChangeCommits=True
+    )
+    refused = False
+    for op, seed in ops:
+        if op in ("trigger", "drain", "crash", "walcrash", "readcrash"):
+            if refused:
+                continue
+            try:
+                getattr(sim, op)()
+            except RuntimeError as exc:
+                assert any(t in str(exc) for t in _REFUSAL_TOKENS), exc
+                assert _consumed_versions(sim) + 1 < drv.horizon, (
+                    "refused a drain whose commits are all on disk: "
+                    f"{exc}"
+                )
+                refused = True
+        else:
+            drv.apply(op, seed)
+    if not refused:
+        # finish the drain so the final comparison covers every version
+        try:
+            sim.drain()
+        except RuntimeError as exc:
+            assert any(t in str(exc) for t in _REFUSAL_TOKENS), exc
+            assert _consumed_versions(sim) + 1 < drv.horizon, exc
+            refused = True
+    expected = Counter()
+    for v in range(0, _consumed_versions(sim) + 1):
+        kind, changes, _state = drv.versions.get(v, ("noop", [], None))
+        if kind == "append":
+            expected.update((k, val) for k, val, _ in changes)
+    assert Counter(sim.emitted) == expected
+    if refused:
+        # the documented recovery: a NEW stream from the horizon must
+        # serve every version at or above it, exactly once
+        sim2 = _MicroBatchSim(
+            table,
+            maxVersionsPerBatch=4,
+            skipChangeCommits=True,
+            startingVersion=drv.horizon,
+        )
+        sim2.drain()
+        expected2 = Counter()
+        for v in range(drv.horizon, _consumed_versions(sim2) + 1):
+            kind, changes, _state = drv.versions.get(v, ("noop", [], None))
+            if kind == "append":
+                expected2.update((k, val) for k, val, _ in changes)
+        assert Counter(sim2.emitted) == expected2
+
+
+@settings(
+    max_examples=_ex(20),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+# the reconstruction alphabet end-to-end: overwrite + restore across a
+# DV delete, with a crash mid-stream and maintenance behind the stream
+@example(
+    ops=[
+        ("append", 2),
+        ("drain", 0),
+        ("delete", 0),
+        ("restore", 1),
+        ("walcrash", 0),
+        ("overwrite", 1),
+        ("checkpoint", 0),
+        ("drain", 0),
+    ]
+)
+@given(ops=_OPS)
+def test_cdf_stream_matches_model_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    """Change-feed invariants under random interleavings:
+
+    - cdc-served and pure-append versions emit their EXACT model rows;
+    - reconstructed versions (overwrite/RESTORE) satisfy the per-version
+      apply identity, and fold order lands on the final snapshot;
+    - every consumed version emits exactly once (crash/replay included);
+    - truncation refuses loudly, and the horizon restart recovers."""
+    table = str(tmp_path_factory.mktemp("dcdf") / "tbl")
+    drv = _TableDriver(spark, table)
+    sim = _MicroBatchSim(table, maxVersionsPerBatch=2, readChangeFeed=True)
+    refused = False
+    for op, seed in ops:
+        if op in ("trigger", "drain", "crash", "walcrash", "readcrash"):
+            if refused:
+                continue
+            try:
+                getattr(sim, op)()
+            except RuntimeError as exc:
+                assert any(t in str(exc) for t in _REFUSAL_TOKENS), exc
+                base_needed = _consumed_versions(sim)
+                assert base_needed < drv.horizon, (
+                    "refused a drain whose commits AND reconstruction "
+                    f"bases are all replayable: {exc}"
+                )
+                refused = True
+        else:
+            drv.apply(op, seed)
+    if not refused:
+        try:
+            sim.drain()
+        except RuntimeError as exc:
+            assert any(t in str(exc) for t in _REFUSAL_TOKENS), exc
+            assert _consumed_versions(sim) < drv.horizon
+            refused = True
+    _check_cdf_emissions(drv, sim, start=0)
+    if refused:
+        sim2 = _MicroBatchSim(
+            table,
+            maxVersionsPerBatch=4,
+            readChangeFeed=True,
+            startingVersion=drv.horizon,
+        )
+        try:
+            sim2.drain()
+        except RuntimeError as exc:
+            # reconstruction at exactly the horizon may legitimately
+            # need snapshot horizon-1, which cleanup made unreplayable
+            kind = drv.versions.get(drv.horizon, ("noop",))[0]
+            assert kind == "rewrite" and any(
+                t in str(exc) for t in _REFUSAL_TOKENS
+            ), exc
+        else:
+            _check_cdf_emissions(drv, sim2, start=drv.horizon)
+
+
+def _check_cdf_emissions(drv: _TableDriver, sim: _MicroBatchSim, start: int):
+    """Per-version exactness/identity checks over a sim's emissions.
+
+    Emitted rows are (id, v, _change_type, _commit_version)."""
+    consumed = _consumed_versions(sim)
+    by_version: dict[int, Counter] = {}
+    for row in sim.emitted:
+        rid, val, ct, cv = row
+        by_version.setdefault(cv, Counter())[(rid, val, ct)] += 1
+    state = None
+    for v in range(start, consumed + 1):
+        kind, changes, state_after = drv.versions.get(
+            v, ("noop", [], None)
+        )
+        got = by_version.pop(v, Counter())
+        if kind in ("append", "cdc"):
+            assert got == Counter(changes), f"version {v} ({kind})"
+        elif kind == "noop":
+            assert got == Counter(), f"version {v} emitted for a noop"
+        else:  # rewrite: apply identity against the model states
+            if state is None:
+                # stream started mid-history: derive the base state
+                prev = [
+                    s for (ver, s) in drv.history if ver == v - 1
+                ]
+                state = dict(prev[-1]) if prev else None
+            assert state is not None, f"no base state for version {v}"
+            folded = Counter((k, val) for k, val in state.items())
+            for (rid, val, ct), n in got.items():
+                if ct in ("insert", "update_postimage"):
+                    folded[(rid, val)] += n
+                else:
+                    folded[(rid, val)] -= n
+            folded = +folded
+            assert folded == Counter(
+                (k, val) for k, val in state_after.items()
+            ), f"apply identity broken at version {v}"
+        if state_after is not None:
+            state = dict(state_after)
+    assert not by_version, (
+        f"emissions for unconsumed/unknown versions: {sorted(by_version)}"
+    )
+
+
+# ------------------------- Iceberg stream source × maintenance model
+
+
+def _ice_last_seq(table: str) -> int:
+    import json
+
+    with open(os.path.join(table, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(table, "metadata", f"v{v}.metadata.json")) as f:
+        return json.load(f)["last-sequence-number"]
+
+
+class _IcebergTableDriver:
+    """Applies the Iceberg mutation + maintenance alphabet to a real
+    table AND the dict model, recording per-SEQUENCE-NUMBER expected
+    stream emissions (offsets of ``deg04_iceberg_stream`` ARE snapshot
+    sequence numbers)."""
+
+    def __init__(self, spark, table):
+        from deg04_local_data_lake_spark.sources import (
+            iceberg_tables as ice,
+        )
+
+        self.ice = ice
+        self.spark = spark
+        self.table = table
+        self.model: dict[int, float] = {0: 0.0}
+        sid = ice.write_iceberg_commit(_df(spark, self.model), table)
+        self.next_id = 1
+        seq = _ice_last_seq(table)
+        # seq → ("append"|"rewrite", [(id, v), ...] appended rows)
+        self.seqs: dict[int, tuple] = {
+            seq: ("append", [(0, 0.0)])
+        }
+        self.sid_seq: dict[int, int] = {sid: seq}
+        self.expired_seqs: set[int] = set()
+
+    def apply(self, op: str, seed: int):
+        spark, table, ice = self.spark, self.table, self.ice
+        if op == "append":
+            batch = {
+                self.next_id + i: float(self.next_id + i)
+                for i in range(seed % 3 + 1)
+            }
+            self.next_id += len(batch)
+            sid = ice.write_iceberg_commit(
+                _df(spark, batch), table, mode="append"
+            )
+            self.model.update(batch)
+            self._record(sid, "append", sorted(batch.items()))
+        elif op == "overwrite":
+            batch = {
+                self.next_id + i: float(self.next_id + i)
+                for i in range(seed % 2 + 1)
+            }
+            self.next_id += len(batch)
+            sid = ice.write_iceberg_commit(
+                _df(spark, batch), table, mode="overwrite"
+            )
+            self.model = dict(batch)
+            # Iceberg's source skips by the snapshot SUMMARY operation,
+            # so even an overwrite that replaced nothing is skipped —
+            # unlike the Delta add-only classification
+            self._record(sid, "rewrite", [])
+        elif op == "eqdelete":
+            keys = sorted(self.model)[:: max(1, seed + 1)][:3]
+            if not keys:
+                return
+            keys_df = spark.createDataFrame(
+                [(k,) for k in keys], "id long"
+            )
+            sid = ice.delete_iceberg_equality(spark, table, keys_df, ["id"])
+            for k in keys:
+                self.model.pop(k, None)
+            self._record(sid, "rewrite", [])
+        elif op == "compact":
+            sid = ice.compact_iceberg(spark, table)
+            self._record(sid, "rewrite", [])
+        elif op == "expire":
+            dropped = ice.expire_iceberg_snapshots(
+                table, keep_last=seed % 3 + 1
+            )
+            self.expired_seqs.update(
+                self.sid_seq[s] for s in dropped if s in self.sid_seq
+            )
+        else:  # orphan removal: grace 0 safe (single quiesced writer)
+            ice.remove_orphan_iceberg_files(table, grace_ms=0)
+
+    def _record(self, sid, kind, rows):
+        seq = _ice_last_seq(self.table)
+        self.seqs[seq] = (kind, rows)
+        self.sid_seq[sid] = seq
+
+
+_ICE_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            [
+                "append",
+                "overwrite",
+                "eqdelete",
+                "compact",
+                "expire",
+                "orphan",
+                "trigger",
+                "drain",
+                "crash",
+                "walcrash",
+                "readcrash",
+            ]
+        ),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=3,
+    max_size=9,
+)
+
+
+@settings(
+    max_examples=_ex(20),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+# consume, THEN expire: the emitted rows stay emitted — expiry bounds
+# what a future reader can serve, never what a past drain produced
+@example(ops=[("append", 0), ("trigger", 0), ("expire", 0)])
+@given(ops=_ICE_OPS)
+def test_iceberg_stream_matches_model_under_random_ops(
+    spark, tmp_path_factory, ops
+):
+    """The Delta stream model's Iceberg twin: under ANY interleaving of
+    appends, overwrites, equality deletes, compactions, snapshot
+    expiry, grace-0 orphan removal, drains, and crash/restarts
+    (``skipNonAppendSnapshots=true``),
+
+    - emitted rows are EXACTLY the appended batches of the consumed
+      sequence numbers (non-append snapshots skip whole; compaction is
+      invisible), never duplicated across restarts;
+    - a drain whose range includes an EXPIRED sequence number refuses
+      with the documented data-loss error (the round-9 expiry-race
+      contract), and orphan removal never breaks a stream positioned
+      on surviving snapshots;
+    - after a refusal, a fresh catch-up reader with
+      ``allowExpiredGaps=true`` serves exactly the appends of every
+      NON-expired sequence number."""
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_iceberg_stream_source,
+    )
+
+    table = str(tmp_path_factory.mktemp("icestream") / "tbl")
+    drv = _IcebergTableDriver(spark, table)
+    sim = _MicroBatchSim(
+        table,
+        factory=make_iceberg_stream_source,
+        maxSnapshotsPerBatch=2,
+        skipNonAppendSnapshots=True,
+    )
+    refused = False
+    for op, seed in ops:
+        if op in ("trigger", "drain", "crash", "walcrash", "readcrash"):
+            if refused:
+                continue
+            try:
+                getattr(sim, op)()
+            except RuntimeError as exc:
+                assert "expired" in str(exc), exc
+                start, end = sim.pending
+                (lo,) = start.values()
+                (hi,) = end.values()
+                assert any(
+                    lo < s <= hi for s in drv.expired_seqs
+                ), f"refused a range with no expired snapshot: {exc}"
+                refused = True
+        else:
+            drv.apply(op, seed)
+    if not refused:
+        try:
+            sim.drain()
+        except RuntimeError as exc:
+            assert "expired" in str(exc), exc
+            assert drv.expired_seqs, exc
+            refused = True
+    expected = Counter()
+    for s in range(1, _consumed_versions(sim) + 1):
+        kind, rows = drv.seqs.get(s, ("rewrite", []))
+        if kind == "append":
+            # expiry is NOT retroactive: a consumed sequence number was
+            # emitted while its snapshot still existed (an expired one
+            # inside an unconsumed range refuses instead) — so the
+            # expectation is every consumed append, whatever expired
+            # since (first model run falsified the naive exclusion)
+            expected.update(rows)
+    assert Counter(sim.emitted) == expected
+    if refused:
+        # the documented catch-up path: a fresh reader accepting
+        # expired gaps serves exactly the surviving appends
+        sim2 = _MicroBatchSim(
+            table,
+            factory=make_iceberg_stream_source,
+            maxSnapshotsPerBatch=4,
+            skipNonAppendSnapshots=True,
+            allowExpiredGaps=True,
+        )
+        sim2.drain()
+        expected2 = Counter()
+        for s in range(1, _consumed_versions(sim2) + 1):
+            kind, rows = drv.seqs.get(s, ("rewrite", []))
+            if kind == "append" and s not in drv.expired_seqs:
+                expected2.update(rows)
+        assert Counter(sim2.emitted) == expected2
