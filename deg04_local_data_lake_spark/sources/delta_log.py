@@ -1135,6 +1135,25 @@ def _scan_adds(
     gets one scan per lineage, still file-list-driven and fully pruned."""
     from functools import reduce
 
+    # absolute references exist only on SHALLOW CLONES, and the source
+    # table's own VACUUM/retention can reclaim them without this table
+    # ever knowing (the source has no registry of its clones — same
+    # caveat delta-spark documents). A reclaimed reference must refuse
+    # loudly here, not leak a raw PATH_NOT_FOUND out of the executor
+    # scan. O(absolute files) driver-side stats; normal tables pay zero.
+    missing = [
+        a["path"]
+        for a in adds
+        if os.path.isabs(a["path"]) and not os.path.exists(a["path"])
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} absolute-path data file(s) referenced by "
+            f"this table no longer exist (e.g. {missing[0]}): the source "
+            "table of this shallow clone has reclaimed them "
+            "(VACUUM/retention passed the clone's reference) — re-clone "
+            "from the current source or materialize with a deep copy"
+        )
     groups: dict[str, list[str]] = {}
     for a in adds:
         rel = a["path"]
@@ -1471,8 +1490,21 @@ def _dv_load(table: str, desc: dict):
             p = os.path.join(table, _dv_rel_path(desc))
         else:
             p = desc["pathOrInlineDv"]
-        with open(p, "rb") as f:
-            raw = f.read()
+        try:
+            with open(p, "rb") as f:
+                raw = f.read()
+        except FileNotFoundError:
+            if st == "p":
+                # absolute DV references exist only on shallow clones —
+                # same refusal contract as the data-file check in
+                # _scan_adds when the source's VACUUM reclaimed it
+                raise FileNotFoundError(
+                    f"deletion vector {p} referenced by this shallow "
+                    "clone no longer exists: the source table's "
+                    "VACUUM/retention reclaimed it — re-clone from the "
+                    "current source or materialize with a deep copy"
+                ) from None
+            raise
         off = desc.get("offset") or 1
         size, = struct.unpack_from(">i", raw, off)
         if size != desc.get("sizeInBytes", size):

@@ -1848,3 +1848,71 @@ def test_merge_by_source_rejects_unknown_action(spark, table):
     src = _df(spark, 0, 1)
     with pytest.raises(ValueError, match="not_matched_by_source"):
         merge_delta(spark, table, src, "id", not_matched_by_source="update")
+
+
+def test_shallow_clone_refuses_after_source_vacuum(spark, tmp_path):
+    """Round 11: the source table has no registry of its clones, so its
+    own VACUUM/retention can reclaim files a shallow clone references
+    (delta-spark documents the same caveat). The clone's read must then
+    refuse with the documented message — found leaking a raw
+    PATH_NOT_FOUND AnalysisException out of the executor scan."""
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        clone_delta,
+        cleanup_delta_log,
+        read_delta_log,
+        vacuum_delta,
+        write_delta_checkpoint,
+        write_delta_commit,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id long, v double"
+    ).coalesce(1)
+    write_delta_commit(df, src)
+    clone_delta(spark, src, dst)
+    assert sorted(r.id for r in read_delta_log(spark, dst).collect()) == list(
+        range(6)
+    )
+    # source moves on and reclaims: overwrite tombstones the referenced
+    # file, cleanup truncates the version pinning it, vacuum removes it
+    write_delta_commit(
+        spark.createDataFrame([(9, 9.0)], "id long, v double"),
+        src,
+        mode="overwrite",
+    )
+    write_delta_checkpoint(src)
+    cleanup_delta_log(src)
+    assert vacuum_delta(src, grace_ms=0)  # the clone's file is gone
+    with pytest.raises(FileNotFoundError, match="shallow clone"):
+        read_delta_log(spark, dst).collect()
+
+
+def test_shallow_clone_refuses_when_source_dv_reclaimed(spark, tmp_path):
+    """The deletion-vector leg of the same contract: a clone rewrites
+    the source's on-disk DV descriptors to absolute ``p`` storage, and
+    a reclaimed DV file must refuse with the documented message, never
+    a raw ENOENT out of the bitmap loader."""
+    import glob
+    import os
+
+    from deg04_local_data_lake_spark.sources.delta_log import (
+        clone_delta,
+        delete_delta,
+        read_delta_log,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "id long, v double"
+    ).coalesce(1)
+    write_delta_commit(df, src)
+    delete_delta(spark, src, "id % 2 = 0")  # big DV: lands on disk (u)
+    clone_delta(spark, src, dst)
+    assert read_delta_log(spark, dst).count() == 1000
+    dvs = glob.glob(os.path.join(src, "deletion_vectors", "*.bin"))
+    assert dvs, "expected an on-disk deletion vector"
+    for p in dvs:
+        os.remove(p)  # what a source-side VACUUM would do
+    with pytest.raises(FileNotFoundError, match="shallow clone"):
+        read_delta_log(spark, dst).count()
