@@ -434,6 +434,64 @@ def make_delta_stream_source():
             )
         return _dv_deserialize(data).tolist()
 
+    def _effective_stream_timestamps(table):
+        """(version, effective timestamp) pairs over the SURVIVING
+        commits, delta_log._effective_timestamps' monotonization rule
+        inlined for the runner process: a publish-time
+        ``effectiveTimestamp`` stamp wins (truncation-immune), else a
+        supplied timestamp advances the clock, else previous + 1."""
+        log = _os.path.join(table, "_delta_log")
+        versions = sorted(
+            int(f[:20])
+            for f in _os.listdir(log)
+            if f.endswith(".json") and f[:20].isdigit()
+        )
+        eff = None
+        for v in versions:
+            stored = sup = None
+            for a in _read_commit(table, v):
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    raw = int(ci.get("timestamp", 0) or 0)
+                    sup = raw if raw > 0 else None
+                    e = ci.get("effectiveTimestamp")
+                    stored = int(e) if e is not None else None
+            if stored is not None:
+                eff = stored
+            elif eff is None:
+                eff = sup if sup is not None else 0
+            elif sup is not None and sup > eff:
+                eff = sup
+            else:
+                eff += 1
+            yield v, eff
+
+    def _first_version_at_or_after(table, ts):
+        """``startingTimestamp`` resolution (delta-spark's stream rule:
+        all changes committed AT OR AFTER the timestamp stream). Refuses
+        loudly when the timestamp is after the latest commit, and — this
+        engine's retention contract, stricter than delta-spark's
+        silent earliest-available fallback — when log cleanup truncated
+        commits the timestamp would have selected."""
+        first = None
+        for v, eff in _effective_stream_timestamps(table):
+            if first is None:
+                first = (v, eff)
+                if v > 0 and ts < eff:
+                    raise ValueError(
+                        f"startingTimestamp {ts} predates the earliest "
+                        f"retained commit of {table} (version {v}, "
+                        f"effective timestamp {eff}) — earlier history "
+                        "was truncated by log cleanup (retention "
+                        "passed); start at or after the retained head"
+                    )
+            if eff >= ts:
+                return v
+        raise ValueError(
+            f"startingTimestamp {ts} is after the latest effective "
+            f"commit timestamp of {table} — nothing to stream"
+        )
+
     def _replay_live(table, version):
         """Live file state (path → add action) and effective metaData
         at ``version``, replaying from the newest ON-DISK checkpoint ≤
@@ -553,7 +611,18 @@ def make_delta_stream_source():
                 str(options.get("readchangefeed", "false")).lower()
                 == "true"
             )
-            self.start_version = int(options.get("startingversion", 0))
+            ts = options.get("startingtimestamp")
+            if ts is not None and "startingversion" in options:
+                raise ValueError(
+                    "startingVersion and startingTimestamp are "
+                    "mutually exclusive (delta-spark's stream contract)"
+                )
+            if ts is not None:
+                self.start_version = _first_version_at_or_after(
+                    self.table, int(ts)
+                )
+            else:
+                self.start_version = int(options.get("startingversion", 0))
             self._cursor = self.start_version - 1
             self._floor = self.start_version - 1
             # memoized (version, live, meta) snapshot cursor for the
@@ -944,6 +1013,60 @@ def make_iceberg_stream_source():
         ) as f:
             return _json.load(f)
 
+    def _first_seq_at_or_after(table, ts):
+        """``streamFromTimestamp`` resolution (Iceberg's
+        ``stream-from-timestamp`` contract: snapshots whose commit
+        instant is AT OR AFTER the timestamp stream) over the
+        snapshot-log's MONOTONIZED effective instants — the same
+        publish-time ``effective-timestamp-ms``-wins rule the batch
+        ``TIMESTAMP AS OF`` resolver uses, so resolution survives
+        expiry. An instant with nothing at or after it yet starts PAST
+        the head (only future snapshots stream — Iceberg's semantics,
+        unlike the Delta stream's loud refusal); an instant whose
+        selected snapshots were already expired refuses loudly (this
+        engine's retention contract, the Delta twin)."""
+        meta = _load_meta(table)
+        sid_seq = {
+            s["snapshot-id"]: s["sequence-number"]
+            for s in meta.get("snapshots", [])
+        }
+        by_id = {
+            s["snapshot-id"]: s for s in meta.get("snapshots", [])
+        }
+        eff = None
+        first = True
+        for entry in meta.get("snapshot-log") or []:
+            stored = entry.get("effective-timestamp-ms")
+            raw = int(entry.get("timestamp-ms", 0) or 0)
+            if stored is not None:
+                eff = int(stored)
+            elif eff is None:
+                eff = raw
+            elif raw > eff:
+                eff = raw
+            else:
+                eff += 1
+            sid = entry["snapshot-id"]
+            if first:
+                first = False
+                snap = by_id.get(sid)
+                if (
+                    ts < eff
+                    and snap is not None
+                    and snap.get("parent-snapshot-id") is not None
+                ):
+                    raise ValueError(
+                        f"streamFromTimestamp {ts} predates the "
+                        f"earliest retained snapshot of {table} "
+                        f"(effective timestamp-ms {eff}) — earlier "
+                        "history was removed by snapshot expiry "
+                        "(retention passed); start at or after the "
+                        "retained head"
+                    )
+            if eff >= ts and sid in sid_seq:
+                return sid_seq[sid]
+        return meta.get("last-sequence-number", 0) + 1
+
     class IcebergSnapshotFilePartition(_InputPartition):
         def __init__(self, path):
             self.path = path
@@ -970,11 +1093,17 @@ def make_iceberg_stream_source():
                 str(options.get("allowexpiredgaps", "false")).lower()
                 == "true"
             )
-            self._cursor = 0
-            self._floor = 0
+            ts = options.get("streamfromtimestamp")
+            self.start_seq = (
+                0
+                if ts is None
+                else _first_seq_at_or_after(self.table, int(ts)) - 1
+            )
+            self._cursor = self.start_seq
+            self._floor = self.start_seq
 
         def initialOffset(self):
-            return {"seq": 0}
+            return {"seq": self.start_seq}
 
         def latestOffset(self):
             latest = _load_meta(self.table)["last-sequence-number"]

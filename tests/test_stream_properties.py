@@ -70,6 +70,7 @@ _OPS = st.lists(
                 "overwrite",
                 "delete",
                 "update",
+                "merge",
                 "restore",
                 "optimize",
                 "checkpoint",
@@ -268,6 +269,42 @@ class _TableDriver:
                 self.model[k] = v + (seed + 1)
                 changes.append((k, self.model[k], "update_postimage"))
             self._record("cdc", changes)
+        elif op == "merge":
+            # tri-clause MERGE: one guaranteed-new upsert (insert), one
+            # matched upsert (pre/post pair), one CDC-'D' delete — the
+            # third cdc-emitting mutation alongside UPDATE and DELETE
+            ids = sorted(self.model)
+            upd = ids[seed % len(ids)] if ids else None
+            dele = ids[(seed + 1) % len(ids)] if len(ids) > 1 else None
+            if dele == upd:
+                dele = None
+            new_id = self.next_id
+            self.next_id += 1
+            rows = [(new_id, float(new_id), "U")]
+            if upd is not None:
+                rows.append((upd, self.model[upd] + 100.0, "U"))
+            if dele is not None:
+                rows.append((dele, 0.0, "D"))
+            src = spark.createDataFrame(rows, "id long, v double, op string")
+            self.version = dl.merge_delta(spark, table, src, "id", op_col="op")
+            changes = [(new_id, float(new_id), "insert")]
+            if upd is not None:
+                changes.append((upd, self.model[upd], "update_preimage"))
+                changes.append(
+                    (upd, self.model[upd] + 100.0, "update_postimage")
+                )
+            if dele is not None:
+                changes.append((dele, self.model[dele], "delete"))
+            # a merge into an EMPTY table removes no files: add-only
+            # commit, so the append flow rightly emits it (the same
+            # classification as overwrite-of-empty above)
+            kind = "cdc" if self.model else "append"
+            self.model[new_id] = float(new_id)
+            if upd is not None:
+                self.model[upd] = self.model[upd] + 100.0
+            if dele is not None:
+                self.model.pop(dele)
+            self._record(kind, changes)
         elif op == "restore":
             # targets ≥ v1 only: restoring to v0 REVERTS the table
             # metadata to pre-CDF-enable (RESTORE restores properties),
@@ -726,3 +763,135 @@ def test_iceberg_stream_matches_model_under_random_ops(
             if kind == "append" and s not in drv.expired_seqs:
                 expected2.update(rows)
         assert Counter(sim2.emitted) == expected2
+
+
+# ----------------------- startingTimestamp (delta-spark stream parity)
+
+
+def _ts_table(spark, tmp_path_factory) -> str:
+    table = str(tmp_path_factory.mktemp("dts") / "tbl")
+    for i, ts in enumerate([1000, 2000, 3000]):
+        dl.write_delta_commit(
+            _df(spark, {i: float(i)}),
+            table,
+            mode="append",
+            commit_timestamp=ts,
+        )
+    return table
+
+
+def test_stream_starting_timestamp_selects_at_or_after(
+    spark, tmp_path_factory
+):
+    """delta-spark's rule: all changes committed AT OR AFTER the
+    timestamp stream — a mid-gap instant starts at the next commit, an
+    exact instant is inclusive."""
+    table = _ts_table(spark, tmp_path_factory)
+    sim = _MicroBatchSim(table, startingTimestamp=1500)
+    sim.drain()
+    assert Counter(sim.emitted) == Counter([(1, 1.0), (2, 2.0)])
+    sim = _MicroBatchSim(table, startingTimestamp=2000)  # inclusive
+    sim.drain()
+    assert Counter(sim.emitted) == Counter([(1, 1.0), (2, 2.0)])
+    sim = _MicroBatchSim(table, startingTimestamp=500)  # full history
+    sim.drain()
+    assert Counter(sim.emitted) == Counter(
+        [(0, 0.0), (1, 1.0), (2, 2.0)]
+    )
+
+
+def test_stream_starting_timestamp_refusals(spark, tmp_path_factory):
+    table = _ts_table(spark, tmp_path_factory)
+    # after the latest effective commit timestamp: nothing to stream
+    with pytest.raises(ValueError, match="after the latest"):
+        _MicroBatchSim(table, startingTimestamp=3500)
+    # mutually exclusive with startingVersion
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _MicroBatchSim(table, startingTimestamp=1500, startingVersion=1)
+    # truncated history: an instant whose commits log cleanup removed
+    # must refuse loudly (stricter than delta-spark's silent
+    # earliest-available fallback, same contract as the batch resolver)
+    dl.write_delta_checkpoint(table)
+    dl.cleanup_delta_log(table)  # truncates v0, v1
+    with pytest.raises(ValueError, match="truncated by log cleanup"):
+        _MicroBatchSim(table, startingTimestamp=1500)
+    # at or after the retained head still works
+    sim = _MicroBatchSim(table, startingTimestamp=3000)
+    sim.drain()
+    assert Counter(sim.emitted) == Counter([(2, 2.0)])
+
+
+def test_stream_starting_timestamp_real_runner(spark, tmp_path_factory):
+    """One end-to-end pass through the actual streaming runner (the
+    sims above cover the boundaries cheaply)."""
+    table = _ts_table(spark, tmp_path_factory)
+    try:
+        spark.dataSource.register(make_delta_stream_source())
+    except Exception:
+        pass
+    q = (
+        spark.readStream.format("deg04_delta_stream")
+        .option("path", table)
+        .option("startingTimestamp", "1500")
+        .option("maxVersionsPerBatch", 10)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dts_real")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert Counter(
+        (r.id, r.v) for r in spark.table("dts_real").collect()
+    ) == Counter([(1, 1.0), (2, 2.0)])
+
+
+def _ice_ts_table(spark, tmp_path_factory) -> str:
+    from deg04_local_data_lake_spark.sources import iceberg_tables as ice
+
+    table = str(tmp_path_factory.mktemp("its") / "tbl")
+    for i, ts in enumerate([1000, 2000, 3000]):
+        ice.write_iceberg_commit(
+            _df(spark, {i: float(i)}), table, mode="append",
+            timestamp_ms=ts,
+        )
+    return table
+
+
+def test_iceberg_stream_from_timestamp(spark, tmp_path_factory):
+    """Iceberg's ``stream-from-timestamp`` contract: snapshots committed
+    AT OR AFTER the instant stream (inclusive boundary); an instant
+    with nothing at or after it yet streams only FUTURE snapshots
+    (unlike the Delta stream's loud after-the-latest refusal); an
+    instant whose snapshots were expired refuses loudly."""
+    from deg04_local_data_lake_spark.sources import iceberg_tables as ice
+    from deg04_local_data_lake_spark.sources.pyds import (
+        make_iceberg_stream_source,
+    )
+
+    table = _ice_ts_table(spark, tmp_path_factory)
+    mk = lambda **kw: _MicroBatchSim(
+        table, factory=make_iceberg_stream_source, **kw
+    )
+    sim = mk(streamFromTimestamp=1500)
+    sim.drain()
+    assert Counter(sim.emitted) == Counter([(1, 1.0), (2, 2.0)])
+    sim = mk(streamFromTimestamp=2000)  # inclusive
+    sim.drain()
+    assert Counter(sim.emitted) == Counter([(1, 1.0), (2, 2.0)])
+    # after the head: nothing NOW, but a future commit streams
+    sim = mk(streamFromTimestamp=9000)
+    sim.drain()
+    assert sim.emitted == []
+    ice.write_iceberg_commit(
+        _df(spark, {7: 7.0}), table, mode="append", timestamp_ms=9500
+    )
+    sim.drain()
+    assert Counter(sim.emitted) == Counter([(7, 7.0)])
+    # expired history refuses loudly
+    ice.expire_iceberg_snapshots(table, keep_last=1)
+    with pytest.raises(ValueError, match="snapshot expiry"):
+        mk(streamFromTimestamp=1500)
