@@ -413,6 +413,14 @@ def test_snapshot_stream_matches_model_under_random_ops(
         if kind == "append":
             expected.update((k, val) for k, val, _ in changes)
     assert Counter(sim.emitted) == expected
+    if not refused and drv.horizon == 0:
+        # granularity invariance (see the CDF twin below): one wide
+        # batch over the whole history must emit the same multiset
+        coarse = _MicroBatchSim(
+            table, maxVersionsPerBatch=16, skipChangeCommits=True
+        )
+        coarse.drain()
+        assert Counter(coarse.emitted) == expected
     if refused:
         # the documented recovery: a NEW stream from the horizon must
         # serve every version at or above it, exactly once
@@ -489,6 +497,19 @@ def test_cdf_stream_matches_model_under_random_ops(
             assert _consumed_versions(sim) < drv.horizon
             refused = True
     _check_cdf_emissions(drv, sim, start=0)
+    if not refused and drv.horizon == 0:
+        # granularity invariance: a fresh wide-batch reader draining
+        # the SAME final table in ranges spanning many versions must
+        # pass the identical per-version checks (exercises the
+        # multi-version partitions() walk and the snapshot-memo
+        # advance the one-version-at-a-time drains never stress).
+        # horizon == 0 only: a cleaned prefix rightly refuses a
+        # fresh full-history reader, which the recovery leg covers.
+        coarse = _MicroBatchSim(
+            table, maxVersionsPerBatch=16, readChangeFeed=True
+        )
+        coarse.drain()
+        _check_cdf_emissions(drv, coarse, start=0)
     if refused:
         sim2 = _MicroBatchSim(
             table,
