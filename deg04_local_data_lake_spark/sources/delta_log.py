@@ -3025,6 +3025,15 @@ def optimize_delta(
         }
         if not live:
             return version  # nothing in scope: no commit
+    if not live:
+        # nothing to compact — an empty snapshot has no files. Committing
+        # anyway would ADD a zero-row file that the next overwrite must
+        # then tombstone, turning that overwrite into a rewriting commit
+        # (remove + add) the snapshot stream rightly skips — dropping the
+        # overwrite's rows from the append flow. Found by the round-11
+        # random-op model ([delete-all, optimize, overwrite]); delta-spark
+        # OPTIMIZE with zero candidate files is the same no-op.
+        return version
     size = sum(a.get("size", 0) for a in live.values())
     n_files = max(1, math.ceil(size / target_file_bytes))
     if cluster_by and zorder_by:

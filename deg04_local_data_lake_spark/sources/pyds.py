@@ -625,6 +625,18 @@ def make_delta_stream_source():
                 self.start_version = int(options.get("startingversion", 0))
             self._cursor = self.start_version - 1
             self._floor = self.start_version - 1
+            # NOTE on restarts: a reader rebuilt from a fully-committed
+            # checkpoint hears no engine offset before its first
+            # latestOffset() (the no-arg Python API cannot pass the
+            # committed offset), so its first cursor-paced answers can
+            # land AT or BELOW the checkpoint. That is safe under the
+            # real engine contract — MicroBatchExecution keeps polling
+            # and every poll advances the window by per_batch, so the
+            # stream catches up after ⌈committed/per_batch⌉ empty polls
+            # — but any drain loop that treats ONE no-progress poll as
+            # caught-up will stall (the round-11 random-op model's sim
+            # did; its drain now re-polls until the answer stabilizes,
+            # like the engine).
             # memoized (version, live, meta) snapshot cursor for the
             # CDF whole-file reconstruction: partitions() walks
             # versions in ascending order, so the previous snapshot
@@ -1101,6 +1113,10 @@ def make_iceberg_stream_source():
             )
             self._cursor = self.start_seq
             self._floor = self.start_seq
+            # restart pacing contract: see DeltaLogStreamReader.__init__
+            # — paced answers may sit at/below a restarted checkpoint for
+            # a few polls; the engine's re-polling catches up, and drain
+            # loops must poll until the answer stabilizes
 
         def initialOffset(self):
             return {"seq": self.start_seq}

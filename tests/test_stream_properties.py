@@ -138,11 +138,25 @@ class _MicroBatchSim:
         return rows
 
     def drain(self, limit: int = 64):
+        # MicroBatchExecution keeps polling after an empty trigger, and a
+        # cursor-paced reader restarted from a fully-committed checkpoint
+        # legitimately answers AT or BELOW the committed offset for its
+        # first ⌈committed/per_batch⌉ polls (the no-arg latestOffset API
+        # gives it no way to learn the checkpoint). Treating ONE
+        # no-progress poll as caught-up therefore stalls a restarted
+        # stream with backlog on disk — the first falsification of this
+        # model ([append×5, readcrash, append×2, crash]). Like the
+        # engine, poll until the offset answer stops moving.
+        last = None
         for _ in range(limit):
-            made_progress = self.pending is not None or self._wal()
-            if not made_progress:
+            if self.pending is not None or self._wal():
+                self.trigger()
+                last = None
+                continue
+            probe = self.reader.latestOffset()
+            if probe == last:
                 return
-            self.trigger()
+            last = probe
         raise AssertionError("stream failed to catch up within limit")
 
     def crash(self):
@@ -336,7 +350,12 @@ class _TableDriver:
             self.model = dict(state)
             self._record("rewrite", changes)
         elif op == "optimize":
-            self.version = dl.optimize_delta(spark, table)
+            new_v = dl.optimize_delta(spark, table)
+            if new_v == self.version:
+                # empty snapshot: nothing to compact, no commit
+                assert not self.model
+                return
+            self.version = new_v
             self._record("noop", [])
         elif op == "checkpoint":
             assert dl.write_delta_checkpoint(table) == self.version
@@ -368,6 +387,22 @@ def _consumed_versions(sim: _MicroBatchSim) -> int:
 # append, and its rows MUST reach the append flow (first model run
 # falsified the naive "every overwrite skips" expectation)
 @example(ops=[("delete", 0), ("overwrite", 0), ("append", 0)])
+# restart-stall regression (round 11): a crash on a FULLY-committed
+# stream with appends still unread leaves the rebuilt reader's paced
+# latestOffset() at/below the committed offset for a few polls — a
+# drain that treats one empty poll as caught-up terminates with the
+# backlog unread (the sim's drain now re-polls until the answer
+# stabilizes, which is the real engine's behavior)
+@example(
+    ops=[("append", 0)] * 5
+    + [("readcrash", 0), ("append", 0), ("append", 0), ("crash", 0)]
+)
+# empty-snapshot OPTIMIZE regression (round 11): compacting a table
+# whose only file was fully deleted used to ADD a zero-row file, which
+# forced the next overwrite to tombstone it — a rewriting commit the
+# stream skips, silently dropping the overwrite's rows from the append
+# flow (optimize_delta now no-ops on an empty live set)
+@example(ops=[("delete", 0), ("optimize", 0), ("overwrite", 0)])
 @given(ops=_OPS)
 def test_snapshot_stream_matches_model_under_random_ops(
     spark, tmp_path_factory, ops
