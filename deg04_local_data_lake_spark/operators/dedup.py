@@ -773,16 +773,41 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = n.alias("a")
     b = n.alias("b")
-    cos = (
-        dot(F.col("a.qe"), F.col("b.qe")).cast("double")
-        / (F.col("a.nrm") * F.col("b.nrm"))
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    # per-pair dot via the Arrow batch stage (see pair_dot_batches /
+    # dedup_semdedup, round 11): the interpreted fold was 2.4 s of this
+    # query's 3.1 s at sf0.1; the numpy einsum is the identical int64
+    # multiply-sum, and the cosine division stays a JVM expression
+    sel = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+            F.col("a.qe").alias("qa"),
+            F.col("b.qe").alias("qb"),
+        )
+    )
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(spark)
+    dotted = sel.mapInArrow(
+        pair_dot_batches,
+        "vec_a long, vec_b long, na double, nb double, dot long",
+    )
+    return (
+        dotted.select(
+            "vec_a",
+            "vec_b",
+            (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= 0.3)
     )
@@ -1235,28 +1260,40 @@ def semdedup_dropped(
     ex = q.select(
         "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
     ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
-    # centroid MATERIALIZED once (k×dim rows — metadata-sized at any SF):
-    # cnorm and the vdot join would otherwise each recompute the
-    # full-corpus posexplode + aggregate that dominates this query
-    cent = (
-        ex.groupBy("label", "pos")
-        .agg(F.sum("v").cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    # centroid direction per cluster, with the cluster norm attached IN
+    # the same frame by a label window (same move as similarity_ivf_topk,
+    # round 11): carrying c_nrm on every (label, pos) row makes the
+    # centroid table single-consumer (the vdot broadcast join), so the
+    # round-9 eager localCheckpoint barrier — added because cnorm and
+    # vdot each re-planned the full-corpus explode+aggregate — is
+    # obsolete: one fewer synchronous job, one fewer broadcast join.
+    #
     # c*c summed over dim must NOT accumulate in long: a mega-cluster's
     # centroid components reach ~n·10^6·|x| (the skewed-sf1 12.8k-vector
     # cluster put SUM(c²) at ~1.3e20 > int64 — found by the round-9
     # adversarial-skew study). decimal(38,0) keeps the sum exact, like
     # the DuckDB oracle's HUGEINT accumulator; the cast to double of the
     # same exact integer is bitwise-identical where both paths fit.
+    from pyspark.sql import Window
+
     _c_dec = F.col("c").cast("decimal(38,0)")
-    cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(_c_dec * _c_dec).cast("double")).alias("c_nrm")
+    wl = Window.partitionBy("label")
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("v").cast("bigint").alias("c"))
+        .withColumn(
+            "c_nrm", F.sqrt(F.sum(_c_dec * _c_dec).over(wl).cast("double"))
+        )
     )
     vdot = (
         ex.join(F.broadcast(cent), ["label", "pos"])
         .groupBy("vec_id")
-        .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dotc"))
+        .agg(
+            F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dotc"),
+            # constant within the group (one label per vec): max picks
+            # that single exact double deterministically
+            F.max("c_nrm").alias("c_nrm"),
+        )
     )
     v_nrm = F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double"))
     # mega-cluster salt: metadata-sized per-label counts, broadcast back;
@@ -1269,7 +1306,6 @@ def semdedup_dropped(
     )
     cs = (
         q.join(vdot, "vec_id")
-        .join(F.broadcast(cnorm), "label")
         .join(F.broadcast(sizes), "label")
         .select(
             "vec_id",
@@ -1281,22 +1317,83 @@ def semdedup_dropped(
         )
     )
     a, b = cs.alias("a"), cs.alias("b")
-    pair_cos = int_dot(F.col("a.qe"), F.col("b.qe")).cast("double") / (
-        F.col("a.v_nrm") * F.col("b.v_nrm")
-    )
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.salt") == F.col("b.salt"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).filter(pair_cos >= SEM_TAU)
-    return pairs.select(
+    )
+    # per-pair exact dot via ONE Arrow batch stage + numpy (guide §4.2):
+    # the expression form (aggregate∘zip_with, CodegenFallback) costs an
+    # interpreted 64-element fold PER PAIR and measured 2.4 s of this
+    # query's 3.4 s at sf0.1; einsum over the zero-copy Arrow buffers is
+    # the identical int64 multiply-sum at 2.2× less wall-clock (and the
+    # double division stays a JVM expression, so every float op is
+    # engine-identical). The Arrow hop re-serializes only the pair rows
+    # the join already materialized — no extra shuffle, no extra pass.
+    sel = pairs.select(
         F.col("a.label").alias("label"),
-        F.when(F.col("a.csim") < F.col("b.csim"), F.col("b.vec_id"))
-        .when(F.col("b.csim") < F.col("a.csim"), F.col("a.vec_id"))
-        .otherwise(F.col("b.vec_id"))
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.col("a.csim").alias("ca"),
+        F.col("b.csim").alias("cb"),
+        F.col("a.v_nrm").alias("na"),
+        F.col("b.v_nrm").alias("nb"),
+        F.col("a.qe").alias("qa"),
+        F.col("b.qe").alias("qb"),
+    )
+    from deg04_local_data_lake_spark.operators.multimodal import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(emb.sparkSession)
+    dotted = sel.mapInArrow(
+        pair_dot_batches,
+        "label int, va long, vb long, ca double, cb double, "
+        "na double, nb double, dot long",
+    )
+    kept = dotted.filter(
+        F.col("dot").cast("double") / (F.col("na") * F.col("nb")) >= SEM_TAU
+    )
+    return kept.select(
+        "label",
+        F.when(F.col("ca") < F.col("cb"), F.col("vb"))
+        .when(F.col("cb") < F.col("ca"), F.col("va"))
+        .otherwise(F.col("vb"))
         .alias("vec_id"),
     ).distinct()
+
+
+def pair_dot_batches(batches):
+    """mapInArrow worker: exact int64 dot product of the ``qa``/``qb``
+    array<long> columns, appended as ``dot``; the two array columns are
+    dropped from the output (the heavy payload never travels past the
+    stage that consumes it). Zero-copy: an Arrow list<int64> column is
+    one flat values buffer + offsets, so ``flatten().to_numpy()``
+    reshaped to (rows, dim) feeds ``einsum`` without a per-row copy.
+    int64 multiply-sum in numpy is bit-identical to the JVM long fold it
+    replaces (components ≤1e6 in micro-units ⇒ |dot| ≤ dim·1e12 ≪ 2^63,
+    no overflow on either path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        nrows = batch.num_rows
+        out = batch.drop_columns(["qa", "qb"])
+        if nrows == 0:
+            yield out.append_column("dot", pa.array([], pa.int64()))
+            continue
+        va = batch.column("qa").flatten().to_numpy(zero_copy_only=False)
+        vb = batch.column("qb").flatten().to_numpy(zero_copy_only=False)
+        # fixed-dimension corpus: every row's array has the same length
+        assert va.size % nrows == 0 and va.size == vb.size, (
+            "ragged embedding arrays in pair_dot_batches"
+        )
+        dim = va.size // nrows
+        dot = np.einsum(
+            "ij,ij->i", va.reshape(nrows, dim), vb.reshape(nrows, dim)
+        )
+        yield out.append_column("dot", pa.array(dot, pa.int64()))
 
 
 # ------------------------------------- exact-substring (window) dedup

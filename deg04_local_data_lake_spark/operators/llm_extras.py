@@ -1226,23 +1226,29 @@ def embedding_kmeans_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = persist_tracked(ex)
     assign = q.select("vec_id", F.col("label").alias("lbl"))
     dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # per-round centroid norm attached IN the centroid frame by a window
+    # (the round-11 single-consumer move, see similarity_ivf_topk /
+    # semdedup_dropped): cnorm's separate aggregate + broadcast join per
+    # round collapse away, and c_nrm rides the dot aggregate's group key
+    # (constant within a cluster label)
+    wl = Window.partitionBy("c_label")
     for _ in range(_KMEANS_ITERS):
         cent = (
             ex.join(assign, "vec_id")
             .groupBy(F.col("lbl").alias("c_label"), "pos")
             .agg(F.sum("v").cast("bigint").alias("c"))
-        )
-        cnorm = cent.groupBy("c_label").agg(
-            F.sqrt(F.sum(dec38("c") * dec38("c")).cast("double")).alias("c_nrm")
+            .withColumn(
+                "c_nrm",
+                F.sqrt(F.sum(dec38("c") * dec38("c")).over(wl).cast("double")),
+            )
         )
         dots = (
             ex.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "c_label")
+            .groupBy("vec_id", "c_label", "c_nrm")
             .agg(F.sum(dec38("v") * dec38("c")).alias("dot"))
         )
         assign = (
-            dots.join(F.broadcast(cnorm), "c_label")
-            .withColumn(
+            dots.withColumn(
                 "rn",
                 F.row_number().over(
                     Window.partitionBy("vec_id").orderBy(

@@ -237,21 +237,26 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantized(F.col("embedding")).alias("qe")
     )
-    # centroid direction per cell: component sums (posexplode → keyed agg).
-    # MATERIALIZED once (|cells|×|dim| rows — metadata-sized at any SF):
-    # two consumers (cnorm and the cell-score join) would otherwise each
-    # recompute the full-corpus posexplode + aggregate, doubling the
-    # dominant scan of this query.
+    # centroid direction per cell: component sums (posexplode → keyed
+    # agg), with the cell norm attached IN the same frame by a label
+    # window — sqrt(Σc²) over the 64 component rows of each label, the
+    # exact integer sum the separate cnorm aggregate used to compute.
+    # Carrying c_nrm on every (label, pos) row makes the centroid table
+    # SINGLE-consumer (the cell-score broadcast join), so the full-corpus
+    # explode+aggregate is planned exactly once by construction — the
+    # round-10 eager localCheckpoint barrier (added because TWO consumers,
+    # cnorm and the join, each re-planned the corpus pass) is obsolete:
+    # one fewer synchronous job, one fewer broadcast, same single pass.
     ex = emb.select(
         "vec_id", "label", F.posexplode("qe").alias("pos0", "v")
     ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    wl = Window.partitionBy("label")
     cent = (
         ex.groupBy("label", "pos")
         .agg(F.sum("v").cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("c_nrm")
+        .withColumn(
+            "c_nrm", F.sqrt(F.sum(F.col("c") * F.col("c")).over(wl).cast("double"))
+        )
     )
     n = emb.select(
         "vec_id", "label", "qe",
@@ -268,17 +273,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("qe").alias("pos0", "v"))
         .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
     )
+    # c_nrm rides the group key (constant within a label) so the cell
+    # ranking needs no second join
     cell_score = (
         qex.join(F.broadcast(cent), "pos")
-        .groupBy(F.col("vec_id").alias("query_id"), "label")
+        .groupBy(F.col("vec_id").alias("query_id"), "label", "c_nrm")
         .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dot"))
     )
     wc = Window.partitionBy("query_id").orderBy(
         (F.col("dot").cast("double") / F.col("c_nrm")).desc(), F.col("label")
     )
     probed = (
-        cell_score.join(F.broadcast(cnorm), "label")
-        .withColumn("cell_rn", F.row_number().over(wc))
+        cell_score.withColumn("cell_rn", F.row_number().over(wc))
         .filter(F.col("cell_rn") <= NPROBE)
         .select("query_id", "label")
     )
@@ -434,6 +440,11 @@ def dedup_lsh_cosine(
         F.sqrt(int_dot(F.col("qe"), F.col("qe")).cast("double")).alias("nrm"),
     )
     x, y = n.alias("x"), n.alias("y")
+    # NOTE (round 11): verification deliberately stays the pure-JVM
+    # expression fold rather than the Arrow pair-dot stage used by
+    # dedup_embedding_pairs/semdedup — measured HERE the band-bucket
+    # candidate set is small enough that the Arrow stage's fixed cost
+    # exactly cancels the per-pair win (2.67 s → 2.83 s A/B)
     cos = int_dot(F.col("x.qe"), F.col("y.qe")).cast("double") / (
         F.col("x.nrm") * F.col("y.nrm")
     )

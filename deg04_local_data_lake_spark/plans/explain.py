@@ -57,7 +57,9 @@ def plan_facts(df: DataFrame) -> dict:
         "pushed": bool(re.search(r"PushedFilters: \[(?!\])", plan)),
         "arrow": bool(
             re.search(
-                r"MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython", plan
+                r"MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython"
+                r"|MapInArrow",
+                plan,
             )
         ),
         "sort_limit": "TakeOrderedAndProject" in plan,
